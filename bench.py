@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Per-query timing = full plan execution to a count over the result
+(collect would measure Python serialization of big outputs instead of
+engine time; count still executes every operator)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from magicxml_spark.queries import QUERIES
+    from magicxml_spark.session import get_spark
+
+    headline = [
+        "q_flagship_revenue",
+        "q_pricing_summary",
+        "q_stock_aggregate",
+        "q_topk_per_group",
+        "q_category_path",
+        "q_exact_dedup",
+        "q_minhash_lsh_pairs",
+        "q_simhash",
+        "q_text_profile",
+        "q_tfidf_top_terms",
+        "q_cosine_topk",
+    ]
+    spark = get_spark("magicxml-bench")
+    # warm the JVM + parquet footers once so timings measure the plans
+    QUERIES["q_flagship_revenue"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""P8: recursive category-path materialization (reference main.py:1477-1506).
+
+The reference walks each row's ``id -> parentId`` chain through an
+in-memory adjacency dict, collecting names root->leaf, with a
+visited-set cycle guard and 'Undefined' for unknown names
+(main.py:1487-1506).
+
+Spark spelling — two interchangeable strategies:
+
+* ``build_category_paths`` (default): a bounded driver loop of
+  **broadcast self-joins to fixpoint**. The category dimension is tiny
+  relative to the fact table (thousands of nodes vs billions of rows),
+  so each iteration is a broadcast hash join with no shuffle; the loop
+  runs depth times (trees are shallow). This is the 100 TB-safe path:
+  the expensive fact table is only touched once, by a final broadcast
+  join against the materialized (id, category_path) dimension.
+* ``build_category_paths_sql``: Spark 4.x native ``WITH RECURSIVE`` —
+  same result, one SQL statement; kept as the declarative alternative
+  (and it is exactly the DuckDB oracle spelling).
+
+Cycle guard parity: a node whose ancestor chain revisits an id stops
+extending, like the reference's ``visited`` set (main.py:1495). Unknown
+parent names contribute 'Undefined' (main.py:1483, 1497-1499).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PATH_SEP = "///"
+
+
+def build_category_paths(
+    categories: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    name_col: str = "name",
+    max_depth: int = 64,
+    sep: str = PATH_SEP,
+) -> DataFrame:
+    """Return (id, category_path) with path = root->leaf names joined by
+    ``sep``. Missing names become 'Undefined'; cycles and orphan parents
+    terminate the walk (reference main.py:1495-1499)."""
+    dim = categories.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(parent_col).cast("string").alias("_parent"),
+        F.coalesce(F.col(name_col).cast("string"), F.lit("Undefined")).alias("_name"),
+    ).localCheckpoint(eager=True)  # tiny dim: pin it, avoid re-scanning per iteration
+
+    # State: for each starting id — names collected so far (leaf-first),
+    # the next ancestor to resolve, and the visited ids (cycle guard).
+    state = dim.select(
+        F.col("_id").alias("id"),
+        F.array(F.col("_name")).alias("_names"),
+        F.col("_parent").alias("_next"),
+        F.array(F.col("_id")).alias("_visited"),
+    )
+    done = state.filter(F.col("_next").isNull()).drop("_next")
+
+    for _ in range(max_depth):
+        active = state.filter(F.col("_next").isNotNull())
+        if active.isEmpty():
+            break
+        joined = active.join(
+            F.broadcast(dim), active["_next"] == dim["_id"], "left"
+        )
+        state = joined.select(
+            F.col("id"),
+            F.when(
+                F.col("_id").isNotNull(), F.concat(F.col("_names"), F.array(F.col("_name")))
+            )
+            .otherwise(F.col("_names"))
+            .alias("_names"),
+            # stop on: orphan parent (no dim row) or cycle (parent already
+            # visited — including the ancestor we just consumed, so a
+            # self-loop terminates immediately)
+            F.when(
+                F.col("_id").isNotNull()
+                & ~F.array_contains(
+                    F.concat(F.col("_visited"), F.array(F.col("_id"))), F.col("_parent")
+                ),
+                F.col("_parent"),
+            ).alias("_next"),
+            F.when(
+                F.col("_id").isNotNull(), F.concat(F.col("_visited"), F.array(F.col("_id")))
+            )
+            .otherwise(F.col("_visited"))
+            .alias("_visited"),
+        ).localCheckpoint(eager=True)  # cut lineage: plans must not grow with depth
+        done = done.unionByName(state.filter(F.col("_next").isNull()).drop("_next"))
+        state = state.filter(F.col("_next").isNotNull())
+
+    # anything still active at max_depth keeps its partial path
+    done = done.unionByName(state.drop("_next"))
+    return done.select(
+        "id", F.array_join(F.reverse(F.col("_names")), sep).alias("category_path")
+    )
+
+
+def build_category_paths_sql(spark, categories: DataFrame, sep: str = PATH_SEP) -> DataFrame:
+    """Declarative twin using Spark 4 recursive CTE. Expects columns
+    (id, parent_id, name). Cycle-safe via depth cap."""
+    categories.createOrReplaceTempView("_cat_dim")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk (id, path, ancestor, depth) AS (
+          SELECT CAST(id AS STRING),
+                 coalesce(CAST(name AS STRING), 'Undefined'),
+                 CAST(parent_id AS STRING), 1
+          FROM _cat_dim
+          UNION ALL
+          SELECT w.id, concat(coalesce(CAST(c.name AS STRING), 'Undefined'), '{sep}', w.path),
+                 CAST(c.parent_id AS STRING), w.depth + 1
+          FROM walk w JOIN _cat_dim c ON w.ancestor = CAST(c.id AS STRING)
+          WHERE w.depth < 64
+        )
+        SELECT id, max_by(path, depth) AS category_path
+        FROM walk GROUP BY id
+        """
+    )

@@ -1,0 +1,172 @@
+"""Deduplication operators for the LLM-data-pipeline extension.
+
+All variants are expressed as declarative DataFrame plans:
+
+* exact          — hash-groupBy on a canonical fingerprint (one shuffle)
+* minhash + LSH  — shingle -> per-band min-hash signature -> band-bucket
+                   self-join. The join is on (band, signature), so at
+                   100 TB it is an equi-join whose build side is the
+                   banded signature table (tiny vs the corpus); skewed
+                   buckets (boilerplate docs) are handled by AQE skew
+                   splitting.
+* simhash        — 16-bit sign-sum sketch over token hashes; near-dups
+                   bucket by exact sketch equality (Hamming-0) here,
+                   with the bit-sliced variant left to the similarity
+                   module.
+* n-gram Jaccard — exact verify step for LSH candidates.
+
+Hash family: md5 hex (JVM built-in, deterministic across engines) —
+the min over shingles of md5(salt || shingle) is a valid min-wise hash
+per band, and keeping it string-typed lets the DuckDB oracle replicate
+it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = "\\s+"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _WS), lambda t: t != F.lit(""))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (distinct, order-free set)."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = _words(c)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    )
+
+
+def minhash_band_signature(shingles: Column, band: int) -> Column:
+    """Min-wise hash for one band: min over shingles of
+    md5('<band>|' || shingle). Lexicographic min over hex strings is a
+    uniform order, so each band is an independent hash family member."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
+) -> DataFrame:
+    """(id, band, signature) — long form, ready for the bucket join."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    with_sh = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), minhash_band_signature(F.col("_sh"), b).alias("signature")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return with_sh.select("id", F.explode(bands).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band signature.
+
+    Plan: one shuffle to group by (band, signature); pairs emitted by a
+    self-join on the bucket key. Giant buckets are exact-duplicate
+    boilerplate clusters; AQE skew-join splits them.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_k)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verify step).
+    Broadcast-joins the (id -> shingle set) map when it's small; at
+    corpus scale the join shuffles on id, still one pass."""
+    sets_ = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = sets_.alias("sa")
+    b = sets_.alias("sb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("sa.id"))
+        .join(b, pairs["id_b"] == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+                / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on whitespace-normalized lowercase text. Returns
+    (fingerprint, keeper_id, n_dupes); keeper = min id (deterministic)."""
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    return (
+        df.select(F.md5(normed).alias("fingerprint"), F.col(id_col).alias("id"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash: per token, a 16-bit hash (first 4 md5 hex chars);
+    per bit, sign-sum over tokens; sketch = bits where the sum > 0.
+
+    Entirely built-ins: explode-free (transform + aggregate over the
+    token array), so it composes into a single projection.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(
+        _words(c), lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    def _vote_fn(b: int):
+        # single-closure factory: F.aggregate's merge lambda must take
+        # exactly (acc, elem) — extra default args break signature binding
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote_fn(b)) for b in range(16)]
+    out = F.lit(0)
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by exact 16-bit sketch; returns (simhash, keeper_id, n_docs)."""
+    return (
+        df.select(simhash16(F.col(text_col)).alias("simhash"), F.col(id_col).alias("id"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_docs"))
+    )

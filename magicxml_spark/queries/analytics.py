@@ -1,0 +1,274 @@
+"""LLM-data-pipeline analytics queries (SURVEY.md §2.7 + BASELINE.json
+north star: dedup, similarity search, text analysis at 100 TB shape).
+
+Oracle notes: hash families are md5-hex (identical across JVM/DuckDB);
+float comparisons ride on both engines evaluating the same elementwise
+expression tree over exact inputs, with rounding applied only to output
+columns, never to ranking keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash16,
+)
+from magicxml_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup,
+)
+from magicxml_spark.operators.text import LANG_MARKERS, text_profile
+from magicxml_spark.queries import query
+from magicxml_spark.tables import table
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+# --- Exact dedup (hash-groupBy) ---------------------------------------------
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- MinHash + LSH candidate pairs ------------------------------------------
+@query(
+    "q_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                 i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> md5(b.band || '|' || s)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM sig a JOIN sig b2
+      ON a.band = b2.band AND a.signature = b2.signature AND a.doc_id < b2.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4, shingle_k=3
+    )
+
+
+# --- Exact n-gram Jaccard (verify step, over consecutive-doc pairs) ----------
+@query(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND a.w = b.w
+              GROUP BY 1, 2)
+    SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+           round(CAST(coalesce(i, 0) AS DOUBLE) / (s1.n + s2.n - coalesce(i, 0)), 6) AS jaccard
+    FROM sizes s1
+    JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+    LEFT JOIN inter ON inter.id_a = s1.doc_id AND inter.id_b = s2.doc_id
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d2 = docs.select((F.col("doc_id")).alias("_rhs"))
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        d2, F.col("_rhs") == F.col("id_a") + 1
+    ).select("id_a", F.col("_rhs").alias("id_b"))
+    out = jaccard_pairs(docs, pairs, "doc_id", "text", shingle_k=1)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- SimHash sketch -----------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(w, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+          FROM w)
+    SELECT doc_id, CAST({bit_terms} AS INTEGER) AS simhash FROM h
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+# --- Text profile: token counts, quality, language ID, fingerprint -----------
+def _text_profile_oracle() -> str:
+    marker_scores = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({markers!r}, t))) AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    n_at_best = " + ".join(f"(CASE WHEN s_{lang} = best THEN 1 ELSE 0 END)" for lang in langs)
+    pick = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
+    en = LANG_MARKERS["en"]
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS toks,
+             len(text) - len(regexp_replace(text, '[\\.,;:!\\?"''()\\[\\]{{}}]', '', 'g'))
+               AS n_punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, toks, n_punct,
+             len(list_filter(toks, t -> list_contains({en!r}, t))) AS n_stop_en,
+             {marker_scores}
+      FROM base),
+    final AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[\\p{{L}}]+|[0-9]+|[^\\p{{L}}0-9\\s]')) AS BIGINT) AS n_subwords,
+             CAST(len(text) AS BIGINT) AS n_chars_measured,
+             CASE WHEN len(text) > 0
+                  THEN round(CAST(n_punct AS DOUBLE) / len(text), 4) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN round(CAST(n_stop_en AS DOUBLE) / len(toks), 4) ELSE 0.0 END
+               AS stopword_ratio_en,
+             round(((CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN len(text) = 0 OR CAST(n_punct AS DOUBLE) / len(text) <= 0.2
+                          THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN len(toks) > 0 AND CAST(n_stop_en AS DOUBLE) / len(toks) >= 0.01
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
+             CASE WHEN {best} > 0 AND ({n_at_best}) = 1
+                  THEN ({pick}) ELSE 'und' END AS lang_pred,
+             substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+               AS fingerprint,
+             best
+      FROM (SELECT *, {best} AS best FROM scored))
+    SELECT doc_id, n_tokens, n_subwords, n_chars_measured, punct_ratio,
+           stopword_ratio_en, quality, lang_pred, fingerprint
+    FROM final
+    """
+
+
+@query("q_text_profile", oracle=_text_profile_oracle())
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prof = text_profile(docs, "text")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        F.col("n_chars_measured").cast("bigint").alias("n_chars_measured"),
+        "punct_ratio",
+        "stopword_ratio_en",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+# --- TF-IDF top terms (A1 + A4) ----------------------------------------------
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    stats AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf
+              FROM tok GROUP BY term)
+    SELECT term, doc_freq, total_tf,
+           round(ln((CAST(n_docs AS DOUBLE) + 1) / (doc_freq + 1)), 6) AS idf
+    FROM stats, n
+    ORDER BY total_tf DESC, term
+    LIMIT 20
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    stats = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"), F.count("*").alias("total_tf")
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            F.round(
+                F.log((F.col("n_docs").cast("double") + 1) / (F.col("doc_freq") + 1)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("total_tf"), "term")
+        .limit(20)
+    )
+
+
+# --- Cosine top-k: exact baseline ---------------------------------------------
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+               AS sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor_id, rank, round(sim, 4) AS sim
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_bruteforce(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+
+
+# --- Cosine top-k: LSH-bucketed scale path (approximate; rows-only check) ------
+@query("q_cosine_topk_lsh")
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_lsh(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5, dim=64, n_planes=8
+    )
+
+
+# --- Embedding-cosine near-duplicate pairs -------------------------------------
+@query(
+    "q_embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+               AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(sim, 4) AS sim FROM pairs WHERE sim >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )

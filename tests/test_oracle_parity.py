@@ -1,0 +1,34 @@
+"""THE correctness gate: every registered query vs its DuckDB oracle
+at sf0.01 — the same comparison the driver records in
+CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+from magicxml_spark.queries import ORACLE, QUERIES
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_ORACLE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    result = compare(df, duck, ORACLE[name])
+    assert result["rows_match"], f"{name}: row counts {result['rows_spark']} vs {result['rows_duck']}"
+    assert result["schema_match"], f"{name}: columns {result['cols_spark']} vs {result['cols_duck']}"
+    assert result["values_match"], f"{name}: first diff {result.get('first_diff')}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
