@@ -34,13 +34,25 @@ def _words(text: Column) -> Column:
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as an array<string> (distinct, order-free set)."""
+    """k-word shingles as an array<string> (distinct, order-free set).
+
+    Spelled as zip_with over k-1 shifted views of the word array —
+    string concats only, no per-shingle slice/array allocation (the
+    index-generate + slice spelling costs ~3x more in the interpreted
+    lambda evaluator). Documents shorter than k words yield one shingle
+    of all their words.
+    """
     c = F.col(text) if isinstance(text, str) else text
     w = _words(c)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = w
+    for i in range(1, k):
+        shifted = F.slice(w, i + 1, F.greatest(n - i, F.lit(1)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # trailing positions lack a full window -> concat with null -> null
+    sh = F.filter(sh, lambda x: x.isNotNull())
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+        F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(sh)
     )
 
 
@@ -56,21 +68,25 @@ def minhash_band_signature(shingles: Column, band: int) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
 ) -> DataFrame:
-    """(id, band, signature) — long form, ready for the bucket join."""
+    """(id, band, signature) — long form, ready for the bucket join.
+
+    Shape: explode shingles, fan out bands, then ONE hash aggregation
+    with map-side partial min — each shingle's md5 is computed exactly
+    once per band, and the shuffle carries only (id, band, partial-min)
+    after combine. (An array-expression spelling recomputes the whole
+    shingle array per band because Catalyst collapses projections.)
+    """
     sh = word_shingles(F.col(text_col), shingle_k)
-    with_sh = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(
-        F.size("_sh") > 0
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    banded = exploded.select(
+        "id",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        "shingle",
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), minhash_band_signature(F.col("_sh"), b).alias("signature")
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return with_sh.select("id", F.explode(bands).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature")
+    return banded.groupBy("id", "band").agg(
+        F.min(
+            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("signature")
     )
 
 

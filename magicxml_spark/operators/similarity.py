@@ -24,6 +24,17 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, n) with the L2 norm materialized once per row, so the
+    quadratic pair stage computes dot(a,b)/(a.n*b.n) — one array pass
+    per pair instead of three. (Scaling the array itself would tempt
+    Catalyst's projection collapse into re-deriving the norm inside the
+    per-element lambda; a scalar column can't be inlined that way.)"""
+    return df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
@@ -41,27 +52,58 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per vector: (vec_id, neighbor_id, rank, sim).
 
-    Deterministic tie-break: (sim DESC, neighbor_id ASC). sim is rounded
-    only in the output — ranking uses full precision.
+    Execution: the index side (all ids + a row-normalized float64
+    matrix) is broadcast to every task; the query side streams through
+    ``mapInPandas`` in Arrow batches and does one BLAS GEMM per batch,
+    keeping only the local top-k — so no quadratic pair table is ever
+    materialized and no shuffle happens at all. At cluster scale the
+    broadcast index is the bounded "catalog" side; for corpus-vs-corpus
+    ANN where neither side fits an executor, use ``cosine_topk_lsh``.
+
+    Deterministic tie-break: (sim DESC, neighbor_id ASC). Ranking uses
+    full float64 precision; sim is rounded only in the output.
     """
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    a = base.alias("qa")
-    b = base.alias("qb")
-    sim = cosine(F.col("qa.v"), F.col("qb.v"))
-    pairs = (
-        a.join(b, F.col("qa.id") != F.col("qb.id"))
-        .select(
-            F.col("qa.id").alias("vec_id"),
-            F.col("qb.id").alias("neighbor_id"),
-            sim.alias("sim"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    idx_rows = base.collect()  # index side only — bounded catalog, not the stream
+    idx_ids = np.array([r["id"] for r in idx_rows])
+    idx_mat = np.array([r["v"] for r in idx_rows], dtype=np.float64)
+    idx_mat /= np.linalg.norm(idx_mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
+
+    id_dtype = dict(base.dtypes)["id"]
+    out_schema = (
+        f"vec_id {id_dtype}, neighbor_id {id_dtype}, rank int, sim double"
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+
+    def topk_batches(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat.T  # one GEMM per Arrow batch
+            out_vec, out_nbr, out_rank, out_sim = [], [], [], []
+            for i, qid in enumerate(pdf["id"]):
+                row = sims[i]
+                # (sim DESC, neighbor_id ASC), self excluded
+                order = np.lexsort((ids, -row))
+                order = order[ids[order] != qid][:k]
+                out_vec.extend([qid] * len(order))
+                out_nbr.extend(ids[order])
+                out_rank.extend(range(1, len(order) + 1))
+                out_sim.extend(np.round(row[order], 4))
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_vec,
+                    "neighbor_id": out_nbr,
+                    "rank": np.array(out_rank, dtype="int32"),
+                    "sim": out_sim,
+                }
+            )
+
+    return base.mapInPandas(topk_batches, schema=out_schema)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -92,12 +134,12 @@ def cosine_topk_lsh(
     """Approximate top-k: exact cosine ranking within LSH buckets.
     Recall improves with fewer planes (bigger buckets); n_planes=8 on
     random data keeps buckets ~corpus/256."""
-    base = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+    base = _with_norm(df, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+    )
     a = base.alias("la")
     b = base.alias("lb")
-    sim = cosine(F.col("la.v"), F.col("lb.v"))
+    sim = dot(F.col("la.v"), F.col("lb.v")) / (F.col("la.n") * F.col("lb.n"))
     pairs = (
         a.join(
             b,
@@ -120,18 +162,42 @@ def cosine_topk_lsh(
 def embedding_near_dup(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)."""
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    a = base.alias("na")
-    b = base.alias("nb")
-    sim = cosine(F.col("na.v"), F.col("nb.v"))
-    return (
-        a.join(b, F.col("na.id") < F.col("nb.id"))
-        .select(
-            F.col("na.id").alias("id_a"),
-            F.col("nb.id").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
-    )
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Same broadcast-index GEMM shape as ``cosine_topk_bruteforce``: one
+    matrix multiply per Arrow batch, emitting only above-threshold
+    pairs — the quadratic pair table never exists as rows. For
+    corpus-vs-corpus scale, pre-bucket with ``lsh_bucket`` and run this
+    per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    idx_rows = base.collect()
+    idx_ids = np.array([r["id"] for r in idx_rows])
+    idx_mat = np.array([r["v"] for r in idx_rows], dtype=np.float64)
+    idx_mat /= np.linalg.norm(idx_mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
+
+    id_dtype = dict(base.dtypes)["id"]
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, sim double"
+
+    def near_dup_batches(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat.T
+            qids = pdf["id"].to_numpy()
+            # only emit (a < b) so each pair appears exactly once
+            qi, ni = np.nonzero((sims >= threshold) & (qids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi],
+                    "id_b": ids[ni],
+                    "sim": np.round(sims[qi, ni], 4),
+                }
+            )
+
+    return base.mapInPandas(near_dup_batches, schema=out_schema)
