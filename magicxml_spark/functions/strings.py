@@ -23,7 +23,9 @@ def dedup_delimited(col: Column | str, delimiter: str = "///") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # split() takes a Java regex; quote the delimiter so any literal works.
     items = F.split(c, _regex_quote(delimiter))
-    cleaned = F.filter(F.transform(items, F.trim), lambda x: x != F.lit(""))
+    # NB: lambda must be single-arg — passing F.trim directly binds its
+    # optional second parameter to the array index.
+    cleaned = F.filter(F.transform(items, lambda x: F.trim(x)), lambda x: x != F.lit(""))
     return F.coalesce(F.array_join(F.array_distinct(cleaned), delimiter), F.lit(""))
 
 

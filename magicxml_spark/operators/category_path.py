@@ -38,22 +38,30 @@ def build_category_paths(
     name_col: str = "name",
     max_depth: int = 64,
     sep: str = PATH_SEP,
+    skip_undefined_names: bool = False,
 ) -> DataFrame:
     """Return (id, category_path) with path = root->leaf names joined by
-    ``sep``. Missing names become 'Undefined'; cycles and orphan parents
-    terminate the walk (reference main.py:1495-1499)."""
+    ``sep``. Cycles and orphan parents terminate the walk (reference
+    main.py:1495-1499).
+
+    ``skip_undefined_names=True`` reproduces the reference closure
+    exactly (main.py:1487-1506): 'Undefined' names are dropped from the
+    path, and if that leaves nothing the node's own name is returned.
+    """
     dim = categories.select(
         F.col(id_col).cast("string").alias("_id"),
-        F.col(parent_col).cast("string").alias("_parent"),
+        F.nullif(F.col(parent_col).cast("string"), F.lit("")).alias("_parent"),
         F.coalesce(F.col(name_col).cast("string"), F.lit("Undefined")).alias("_name"),
     ).localCheckpoint(eager=True)  # tiny dim: pin it, avoid re-scanning per iteration
 
     # State: for each starting id — names collected so far (leaf-first),
     # the next ancestor to resolve, and the visited ids (cycle guard).
+    # A self-parent is a cycle from step 0 (reference pre-checks
+    # `visited` before consuming), so it never enters the loop.
     state = dim.select(
         F.col("_id").alias("id"),
         F.array(F.col("_name")).alias("_names"),
-        F.col("_parent").alias("_next"),
+        F.when(F.col("_parent") != F.col("_id"), F.col("_parent")).alias("_next"),
         F.array(F.col("_id")).alias("_visited"),
     )
     done = state.filter(F.col("_next").isNull()).drop("_next")
@@ -93,9 +101,15 @@ def build_category_paths(
 
     # anything still active at max_depth keeps its partial path
     done = done.unionByName(state.drop("_next"))
-    return done.select(
-        "id", F.array_join(F.reverse(F.col("_names")), sep).alias("category_path")
-    )
+    if skip_undefined_names:
+        kept = F.filter(F.reverse(F.col("_names")), lambda x: x != F.lit("Undefined"))
+        path = F.when(F.size(kept) > 0, F.array_join(kept, sep)).otherwise(
+            # empty path -> the node's own name (reference main.py:1502-1505)
+            F.element_at(F.col("_names"), 1)
+        )
+    else:
+        path = F.array_join(F.reverse(F.col("_names")), sep)
+    return done.select("id", path.alias("category_path"))
 
 
 def build_category_paths_sql(spark, categories: DataFrame, sep: str = PATH_SEP) -> DataFrame:

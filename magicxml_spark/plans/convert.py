@@ -1,0 +1,92 @@
+"""Conversion pipelines (reference query lifecycles, SURVEY §3).
+
+``xml_to_csv`` is the flagship path (§3.1: URL/file -> validate ->
+dialect detect -> flatten -> prune -> CSV). ``convert_file`` is the
+extension-dispatch surface (§3.2). Everything between source and sink
+is one lazy DataFrame plan — Catalyst owns ordering; the only driver
+materializations are the tiny category dimension and the param-key
+distinct scan (both bounded dimensions, SURVEY §4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from magicxml_spark.operators.category_path import build_category_paths
+from magicxml_spark.operators.flatten import (
+    flatten_offer_records,
+    flatten_russian_records,
+    flatten_service_records,
+)
+from magicxml_spark.sinks.csv_sink import write_csv
+from magicxml_spark.sinks.json_sink import write_json_array
+from magicxml_spark.sinks.xml_sink import write_simple_catalog, write_yml_catalog
+from magicxml_spark.sources.csv_source import read_csv
+from magicxml_spark.sources.json_source import read_json
+from magicxml_spark.sources.xml_source import (
+    read_categories,
+    read_xml_records,
+)
+
+
+def flatten_xml(spark: SparkSession, path: str, dialect: str | None = None) -> DataFrame:
+    """XML file -> flat string-typed DataFrame (dialect-dispatched)."""
+    records, detected = read_xml_records(spark, path, dialect)
+    if detected == "russian":
+        return flatten_russian_records(records)
+    if detected == "service":
+        return flatten_service_records(records)
+    paths = None
+    if detected == "offer":
+        cats = read_categories(spark, path)
+        if not cats.isEmpty():
+            paths = build_category_paths(cats, skip_undefined_names=True)
+    return flatten_offer_records(records, detected, category_paths=paths)
+
+
+def xml_to_csv(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    dialect: str | None = None,
+    single_file: bool = True,
+) -> str:
+    """§3.1 flagship: XML catalog -> pruned ';'-CSV (BOM single-file
+    mode mirrors the reference byte format; multi-part for scale)."""
+    flat = flatten_xml(spark, src, dialect)
+    return write_csv(flat, dst, single_file=single_file)
+
+
+def csv_to_xml(
+    spark: SparkSession, src: str, dst: str, xml_format: str = "yandex_market"
+) -> str:
+    df = read_csv(spark, src)
+    if xml_format == "yandex_market":
+        return write_yml_catalog(df, dst)
+    return write_simple_catalog(df, dst)
+
+
+def json_to_csv(spark: SparkSession, src: str, dst: str, single_file: bool = True) -> str:
+    return write_csv(
+        read_json(spark, src), dst, single_file=single_file, prune=False
+    )
+
+
+def csv_to_json(spark: SparkSession, src: str, dst: str) -> str:
+    return write_json_array(read_csv(spark, src), dst)
+
+
+def convert_file(spark: SparkSession, src: str, dst: str, **options) -> str:
+    """§3.2 extension dispatch: route by source extension; XML is the
+    default like the reference (main.py:1802-1812)."""
+    ext = os.path.splitext(src)[1].lower()
+    if ext == ".csv":
+        return csv_to_xml(spark, src, dst, options.get("xml_format", "yandex_market"))
+    if ext in (".xlsx", ".xls"):
+        from magicxml_spark.sources.excel import read_excel
+
+        return write_csv(read_excel(spark, src), dst, prune=False, single_file=True)
+    if ext == ".json":
+        return json_to_csv(spark, src, dst)
+    return xml_to_csv(spark, src, dst, dialect=options.get("dialect"))

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the reference's record dicts are case-sensitive ('ID' and 'id'
+        # are distinct columns, main.py:447); Spark's default
+        # case-insensitive resolution would make them ambiguous
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no

@@ -1,0 +1,110 @@
+"""Sinks/sources unit tests: pruning, JSON envelope, K7 conventions,
+binary stubs, path guard, Excel gating."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.pruning import prune_columns, select_output_columns
+from magicxml_spark.sinks.delivery import validated_file_path
+from magicxml_spark.sinks.json_sink import (
+    write_json_envelope,
+    xml_records_to_json,
+)
+from magicxml_spark.sources.binary_docs import (
+    extract_image_meta,
+    extract_pdf_tables,
+    png_to_jpg,
+    read_binary,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_prune_columns(spark):
+    df = spark.createDataFrame(
+        [("a", "", "Undefined", "x", "1", "keep"), ("b", " ", "Undefined", "y", "2", "")],
+        schema="name string, blank string, undef string, `z.col` string, "
+        "`42` string, `Размер` string",
+    )
+    cols = select_output_columns(df)
+    assert "blank" not in cols  # Q5 all-blank
+    assert "undef" not in cols  # Q5 all-Undefined
+    assert "42" not in cols  # Q7 digit-named
+    assert "Размер" in cols  # Q6 important override
+    assert cols == sorted(cols)  # Q8
+    assert prune_columns(df).columns == cols
+
+
+def test_json_envelope(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("n"))
+    out = str(tmp_path / "env.json")
+    write_json_envelope(df, out, exported_at="2024-01-01T00:00:00")
+    doc = json.loads(open(out).read())
+    assert doc["total"] == 3
+    assert [d["n"] for d in doc["data"]] == [0, 1, 2]
+    assert doc["exported_at"] == "2024-01-01T00:00:00"
+
+
+def test_xml_to_json_conventions(spark):
+    df, _ = __import__(
+        "magicxml_spark.sources.xml_source", fromlist=["read_xml_records"]
+    ).read_xml_records(spark, f"{FIX}/cat.xml")
+    docs = [json.loads(r["json"]) for r in xml_records_to_json(df).collect()]
+    byid = {d["@id"]: d for d in docs}
+    assert byid["101"]["@available"] == "1"  # @attr prefix (K7)
+    assert byid["101"]["param"][0]["#text"] == "Синий"  # #text + list promotion
+    assert byid["101"]["param"][0]["@name"] == "Цвет"
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bin")
+    for i in range(3):
+        (d / f"doc{i}.bin").write_bytes(bytes([i]) * (10 + i))
+    return read_binary(spark, str(d)).localCheckpoint()
+
+
+def test_binary_stub_pipelines(binary_df):
+    tables = extract_pdf_tables(binary_df, deterministic_stub=True)
+    assert tables.count() == 3
+    assert tables.columns == ["path", "pdf_page", "table_number", "cell_row", "cell_json"]
+    meta = extract_image_meta(binary_df, deterministic_stub=True)
+    assert meta.filter(F.col("width") > 0).count() == 3
+    jpg = png_to_jpg(binary_df, deterministic_stub=True)
+    row = jpg.collect()[0]
+    assert isinstance(row["jpg_content"], (bytes, bytearray))
+    # determinism: same bytes -> same stub output
+    again = png_to_jpg(binary_df, deterministic_stub=True).collect()[0]
+    assert row["jpg_content"] == again["jpg_content"]
+
+
+def test_path_guard(tmp_path):
+    (tmp_path / "ok.csv").write_text("x")
+    assert validated_file_path(str(tmp_path), "ok.csv").name == "ok.csv"
+    for bad in ("../etc/passwd", "a/b.csv", "..\\win", "missing.csv"):
+        with pytest.raises((ValueError, FileNotFoundError)):
+            validated_file_path(str(tmp_path), bad)
+
+
+def test_excel_gated(spark, tmp_path):
+    from magicxml_spark.sources import excel
+
+    try:
+        import openpyxl  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(NotImplementedError):
+            excel.read_excel(spark, str(tmp_path / "x.xlsx"))
+    else:
+        df = spark.createDataFrame([("a", "1")], ["c1", "c2"])
+        out = str(tmp_path / "x.xlsx")
+        excel.write_excel(df, out)
+        assert excel.read_excel(spark, out).count() == 1

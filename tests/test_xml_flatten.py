@@ -1,0 +1,183 @@
+"""Golden-output tests for the four XML dialect flatteners
+(SURVEY §2.3-2.5; FIXTURES.md F1-F6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from magicxml_spark.operators.category_path import build_category_paths
+from magicxml_spark.operators.flatten import (
+    flatten_offer_records,
+    flatten_russian_records,
+    flatten_service_records,
+)
+from magicxml_spark.sources.xml_source import (
+    detect_dialect,
+    read_categories,
+    read_xml_records,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _rows(df, key):
+    return {
+        r[key]: {k: v for k, v in r.asDict().items() if v is not None}
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def offer_rows(spark):
+    df, dialect = read_xml_records(spark, f"{FIX}/cat.xml")
+    assert dialect == "offer"
+    cats = read_categories(spark, f"{FIX}/cat.xml")
+    paths = build_category_paths(cats, skip_undefined_names=True)
+    return _rows(flatten_offer_records(df, dialect, category_paths=paths), "attr_id")
+
+
+def test_offer_attrs_and_category_path(offer_rows):
+    o = offer_rows["101"]
+    assert o["attr_available"] == "1"
+    assert o["category_path"] == "Мебель///Диваны///Угловые"
+    assert o["categoryId"] == "3"
+    # string fidelity: price survives byte-for-byte (main.py all-strings)
+    assert o["price"] == "1234.50"
+
+
+def test_offer_param_pivot(offer_rows):
+    o = offer_rows["101"]
+    assert o["Цвет"] == "Синий, Красный"  # repeats ', '-append (P14)
+    assert o["Размер"] == "120x200"  # '?'-strip (P11)
+    assert "42" not in o  # digit-named keys dropped (main.py:260-261)
+
+
+def test_offer_stock_hoist_and_images(offer_rows):
+    o = offer_rows["101"]
+    assert o["quantity"] == "5" and o["quantity_unit"] == "pcs"
+    assert o["warehouse"] == "Main"
+    assert o["pictures"] == "http://x.ru/img/1.jpg///http://x.ru/img/2.jpg"
+
+
+def test_offer_description_cleaned(offer_rows):
+    assert offer_rows["101"]["description"] == "<p>Отличный диван</p>"
+    assert offer_rows["102"]["description"] == ""  # no description tag
+
+
+def test_offer_name_not_sanitized_when_populated(offer_rows):
+    # quirk P10: transforms only fire when the raw pass left it empty
+    assert offer_rows["101"]["name"] == "Диван «Мечта» ( большой )"
+
+
+def test_offer_deep_descendants_and_attr_images(offer_rows):
+    o = offer_rows["102"]
+    assert o["deep"] == "deepval"  # P6 deep-descendant hoist
+    # attr containing 'image' feeds pictures (ext arm); 'img/' infix arm
+    assert o["pictures"] == "http://pic.io/d.webp///site.com/img/table.png"
+    assert o["available"] == "1"  # P18 default
+    assert o["category_path"] == "Мебель"
+
+
+@pytest.fixture(scope="module")
+def product_rows(spark):
+    # NB: auto-detection says 'offer' here because a nested <offer>
+    # exists — the reference behaves identically (main.py:1464 probes
+    # .//offer first); product mode is reached via the preset_id
+    # override (main.py:2292), which maps to the explicit dialect arg.
+    df, dialect = read_xml_records(spark, f"{FIX}/products.xml", dialect="product")
+    assert dialect == "product"
+    return _rows(flatten_offer_records(df, dialect), "attr_id")
+
+
+def test_product_parent_filter(product_rows):
+    # Q1: products containing nested <offer> dropped
+    assert set(product_rows) == {"P1", "P3"}
+
+
+def test_product_fabric_features_pivot(product_rows):
+    p = product_rows["P1"]
+    assert p["fabric_Состав"] == "Хлопок, Лен"
+    assert p["feature_Стиль"] == "Лофт"
+    assert p["category_path"] == "Undefined"  # non-offer dialect
+
+
+def test_product_description_from_name(product_rows):
+    # quirk P17: product dialect cleans .//name into description
+    assert product_rows["P1"]["description"] == "<p>Кровать</p>"
+
+
+def test_product_image_predicate(product_rows):
+    # 'bad url' fails every predicate arm; the good one passes
+    assert product_rows["P1"]["pictures"] == "http://x.ru/img/bed.jpg"
+
+
+@pytest.fixture(scope="module")
+def russian_rows(spark):
+    df, dialect = read_xml_records(spark, f"{FIX}/c1.xml")
+    assert dialect == "russian"
+    return _rows(flatten_russian_records(df), "ID")
+
+
+def test_russian_stock_aggregate(russian_rows):
+    e = russian_rows["E-1"]
+    assert e["stock_total"] == "5.0"  # str(float) fidelity
+    assert e["available"] == "1"
+    # zero-qty warehouse dropped; unparseable non-'0' qty still listed
+    assert e["stock_details"] == "Main: 5///Odd: много"
+
+
+def test_russian_price_pivot(russian_rows):
+    assert russian_rows["E-1"]["price"] == "800"
+    assert russian_rows["E-1"]["oldprice"] == "1000"
+    # ЦенаСкидка == '0' leaves base price alone
+    assert russian_rows["E-2"]["price"] == "500"
+    assert "oldprice" not in russian_rows["E-2"]
+
+
+def test_russian_materials_merge(russian_rows):
+    # scalar ID_Материала merged with ТЧ ids, order-preserving dedup
+    assert russian_rows["E-1"]["ID_Материала"] == "M1///M2///M3"
+    assert russian_rows["E-1"]["материалы"] == "Ткань///Дерево"
+
+
+def test_russian_renames_and_sanitize(russian_rows):
+    e = russian_rows["E-1"]
+    assert e["vendor"] == e["vendorCode"] == e["Артикул"] == "ART-77"
+    assert e["name"] == "Диван (угловой ) серый"  # sanitized (R6)
+    assert e["глубина"] == "90" and e["вес"] == "45.5"
+    assert e["param_Цвет"] == "Серый"
+    assert e["id"] == "E-1"
+
+
+def test_russian_category_from_site_groups(russian_rows):
+    assert russian_rows["E-1"]["category_path"] == "Мебель///Диваны"
+    assert russian_rows["E-1"]["categoryId"] == "Мебель"
+    assert russian_rows["E-2"]["category_path"] == "Undefined"
+
+
+@pytest.fixture(scope="module")
+def service_rows(spark):
+    df, dialect = read_xml_records(spark, f"{FIX}/svc.xml")
+    assert dialect == "service"
+    return {r.asDict().get("id") or r.asDict().get("sid"): {
+        k: v for k, v in r.asDict().items() if v is not None
+    } for r in flatten_service_records(df).collect()}
+
+
+def test_service_defaults(service_rows):
+    s1 = service_rows["S1"]
+    assert s1["available"] == "0"  # attr available, raw-named
+    assert s1["category_path"] == "Доставка ( быстрая )"  # RAW name quirk
+    assert s1["name"] == "Доставка (быстрая )"  # sanitized after
+    assert s1["price_currency"] == "RUR"
+    assert s1["service_type"] == "verification_service"
+    s2 = service_rows["S2"]
+    assert s2["categoryId"] == "S2"  # sid fallback
+    assert s2["category_path"] == "Service"
+
+
+def test_dialect_detection_order():
+    assert detect_dialect("<products><product/></products>") == "product"
+    assert detect_dialect("<offers><offer/><product/></offers>") == "offer"
