@@ -1,0 +1,143 @@
+"""Extension queries: Structured Streaming twin, dedup clustering,
+dynamic pivot, sessionization, ML vectors (SURVEY §2.7/§2.8 +
+BASELINE.json LLM-pipeline operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from magicxml_spark.analytics.clusters import dedup_clusters
+from magicxml_spark.analytics.ml import pca_project, tfidf_vectors
+from magicxml_spark.operators.dedup import lsh_candidate_pairs
+from magicxml_spark.queries import query
+from magicxml_spark.queries.analytics import _WORDS_SQL
+from magicxml_spark.streaming.events import run_stream_to_memory
+from magicxml_spark.tables import table
+
+
+# --- Structured Streaming twin of q_events_windowed -------------------------
+# The stream is driven to completion with availableNow + memory sink —
+# deterministic, so the BATCH SQL is a valid oracle for the STREAMING
+# result (same logical plan, same answer).
+@query(
+    "q_events_stream_windowed",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(spark, sf_dir)
+
+
+# --- Dedup clustering: connected components over LSH candidate pairs --------
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                 i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> md5(b.band || '|' || s)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM sig a JOIN sig b2
+                ON a.band = b2.band AND a.signature = b2.signature
+               AND a.doc_id < b2.doc_id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, shingle_k=3)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return dedup_clusters(nodes, pairs)
+
+
+# --- P14 relational shape: dynamic pivot (groupBy().pivot()) ----------------
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+# --- Sessionization (lag-gap windows; guide 'Common OLAP patterns') ---------
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- A1/A2: TF-IDF + PCA via Spark ML (rows-only: float vectors) ------------
+@query("q_tfidf_pca")
+def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = pca_project(tfidf_vectors(docs), k=3)
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(
+        "doc_id",
+        F.round(F.try_element_at(vector_to_array("pca"), F.lit(1)), 6).alias("pc1"),
+        F.round(F.try_element_at(vector_to_array("pca"), F.lit(2)), 6).alias("pc2"),
+        F.round(F.try_element_at(vector_to_array("pca"), F.lit(3)), 6).alias("pc3"),
+    )

@@ -1,0 +1,76 @@
+"""Streaming view of the events table: tumbling-window aggregation
+with a watermark for late data.
+
+The reference has no streaming surface (SURVEY §2.8) — its chunked
+asyncio loop (main.py:98-112, 1518-1530) is batch work. This module is
+the engine's forward-looking twin of ``q_events_windowed``: the same
+logical aggregation as a Structured Streaming query, which on a real
+cluster runs against Kafka/file drops with exactly-once sinks.
+
+For tests and the correctness gate the stream is driven synchronously:
+file source over the testdata parquet + availableNow trigger + memory
+sink — deterministic, independent of wall-clock.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ts arrives as nanos-long,
+    normalized exactly like tables.table)."""
+    # the file source wants a directory: stream the SF dir, globbed to
+    # the events table
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + sums with late-data watermark; works on
+    both batch and streaming DataFrames (same Catalyst plan shape)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the streaming aggregation to completion (availableNow) and
+    return the result as a DataFrame — complete output mode, so the
+    memory table holds the final windows."""
+    agg = windowed_event_counts(read_events_stream(spark, sf_dir))
+    name = f"events_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,60 @@
+"""Streaming, clustering, and ML extension tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from magicxml_spark.analytics.clusters import dedup_clusters
+from magicxml_spark.analytics.ml import pca_project, tfidf_vectors
+from magicxml_spark.streaming.events import run_stream_to_memory
+from magicxml_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_equals_batch(spark):
+    """The streaming windowed aggregation must agree with its batch
+    twin — same logical plan, driven via availableNow + memory sink."""
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_to_memory(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    batch = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_dedup_clusters_small_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # components: {1,2,3,4} (chain + cycle), {5,6}, {7} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_tfidf_pca_shapes(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    vecs = tfidf_vectors(docs)
+    assert "tfidf" in vecs.columns
+    proj = pca_project(vecs, k=3)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = proj.select(F.size(vector_to_array("pca")).alias("d")).distinct().collect()
+    assert [r["d"] for r in arr] == [3]
+    # PCA(3) captures nonzero variance: projections aren't all zero
+    norms = proj.select(
+        F.aggregate(
+            vector_to_array("pca"), F.lit(0.0), lambda s, x: s + x * x
+        ).alias("n2")
+    ).agg(F.sum("n2")).collect()[0][0]
+    assert norms and norms > 0
