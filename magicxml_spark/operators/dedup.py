@@ -78,16 +78,18 @@ def minhash_signatures(
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-    banded = exploded.select(
-        "id",
-        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
-        "shingle",
+    # one shuffle: all band minima as parallel aggregates of the same
+    # exploded rows (map-side combined), then a shuffle-free unpivot
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_b{b}")
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy("id", "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("signature")
+    stack_expr = "stack({}, {}) as (band, signature)".format(
+        n_bands, ", ".join(f"{b}, _b{b}" for b in range(n_bands))
     )
+    return mins.selectExpr("id", stack_expr)
 
 
 def lsh_candidate_pairs(

@@ -35,6 +35,19 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("n", norm(F.col("v")))
 
 
+def _collect_index(base: DataFrame):
+    """Collect (id, vec) to the driver via Arrow (toPandas) — an order
+    of magnitude faster than the py4j row path for array columns —
+    and return (ids, unit-normalized float64 matrix)."""
+    import numpy as np
+
+    pdf = base.toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.array(list(pdf["v"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
@@ -67,10 +80,7 @@ def cosine_topk_bruteforce(
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    idx_rows = base.collect()  # index side only — bounded catalog, not the stream
-    idx_ids = np.array([r["id"] for r in idx_rows])
-    idx_mat = np.array([r["v"] for r in idx_rows], dtype=np.float64)
-    idx_mat /= np.linalg.norm(idx_mat, axis=1, keepdims=True)
+    idx_ids, idx_mat = _collect_index(base)  # Arrow path, not row collect
     bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
 
     id_dtype = dict(base.dtypes)["id"]
@@ -174,10 +184,7 @@ def embedding_near_dup(
     import pandas as pd
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    idx_rows = base.collect()
-    idx_ids = np.array([r["id"] for r in idx_rows])
-    idx_mat = np.array([r["v"] for r in idx_rows], dtype=np.float64)
-    idx_mat /= np.linalg.norm(idx_mat, axis=1, keepdims=True)
+    idx_ids, idx_mat = _collect_index(base)
     bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
 
     id_dtype = dict(base.dtypes)["id"]

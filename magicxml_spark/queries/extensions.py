@@ -141,3 +141,86 @@ def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_element_at(vector_to_array("pca"), F.lit(2)), 6).alias("pc2"),
         F.round(F.try_element_at(vector_to_array("pca"), F.lit(3)), 6).alias("pc3"),
     )
+
+
+# --- Range join: bucketized non-equi join (guide 'as-of / range join') ------
+# Small tier dimension -> broadcast range join; at scale, bucketize the
+# range key and equi-join on bucket + residual filter.
+@query(
+    "q_range_join",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e18))
+    SELECT t.tier, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# --- As-of join: latest prior purchase per event (window spelling) ----------
+@query(
+    "q_asof_prev_purchase",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(max(CASE WHEN event_type = 'purchase' THEN ts END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    '%Y-%m-%d %H:%M:%S') AS prev_purchase_ts
+    FROM events
+    """,
+)
+def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(prev, "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
+    )
+
+
+# --- Skew-safe two-phase aggregation (salting; SURVEY 'Optimize' notes) -----
+# Hot grouping keys are salted so the first partial aggregation spreads
+# over salt_factor reducers; the second, tiny aggregation removes the
+# salt. Result is EXACTLY the plain groupBy (the oracle proves it).
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    salt_factor = 16
+    salted = li.withColumn(
+        "_salt", (F.crc32(F.col("l_orderkey").cast("string")) % salt_factor)
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("_n"), F.sum("l_quantity").alias("_s")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_items"), F.round(F.sum("_s"), 2).alias("sum_qty")
+    )
