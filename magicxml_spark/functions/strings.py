@@ -12,6 +12,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# --- Python-strip parity --------------------------------------------------
+# The reference strips with str.strip() — ALL whitespace, not just
+# spaces. Spark's F.trim removes only ' ' (0x20), so every place the
+# reference calls .strip() uses this instead. (\s here is ASCII
+# whitespace in both Java and RE2 — Unicode exotic spaces are the one
+# documented divergence from Python.)
+
+
+def strip_ws(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+
 # --- P4: order-preserving dedup of '///'-delimited pseudo-arrays ---------
 # Reference: remove_duplicates_from_delimited_string, main.py:87-95.
 # Split, trim each item, drop empties, keep first occurrence, re-join.
@@ -25,7 +38,7 @@ def dedup_delimited(col: Column | str, delimiter: str = "///") -> Column:
     items = F.split(c, _regex_quote(delimiter))
     # NB: lambda must be single-arg — passing F.trim directly binds its
     # optional second parameter to the array index.
-    cleaned = F.filter(F.transform(items, lambda x: F.trim(x)), lambda x: x != F.lit(""))
+    cleaned = F.filter(F.transform(items, lambda x: strip_ws(x)), lambda x: x != F.lit(""))
     return F.coalesce(F.array_join(F.array_distinct(cleaned), delimiter), F.lit(""))
 
 
@@ -90,7 +103,7 @@ def strip_size_question(key: Column | str, value: Column | str) -> Column:
     v = F.col(value) if isinstance(value, str) else value
     key_is_sizeish = F.lower(k).contains("размер") | F.lower(k).contains("size")
     val_hits = v.contains("?") & v.rlike("[0-9]")
-    stripped = F.trim(F.regexp_replace(v, "\\?", ""))
+    stripped = strip_ws(F.regexp_replace(v, "\\?", ""))
     return F.when(key_is_sizeish | val_hits, stripped).otherwise(v)
 
 
@@ -132,7 +145,7 @@ def csv_normalize_value(field_name: str, value: Column | str) -> Column:
     if field_name in ("ROOM_TYPE", "PURPOSE"):
         v = F.regexp_replace(v, ", ", "///")
     v = F.regexp_replace(v, "[\\n\\r]", " ")
-    return F.trim(v)
+    return strip_ws(v)
 
 
 # --- Q17: md5 short id ----------------------------------------------------

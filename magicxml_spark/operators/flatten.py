@@ -37,6 +37,7 @@ from magicxml_spark.functions.strings import (
     dedup_delimited,
     sanitize_name,
     strip_size_question,
+    strip_ws,
 )
 
 IMAGE_TAGS = {"picture", "photo", "optionalImages", "image", "images", "img"}
@@ -60,7 +61,8 @@ def _s(c: Column) -> Column:
 
 
 def _nonempty(c: Column) -> Column:
-    return F.nullif(F.trim(_s(c)), F.lit(""))
+    # reference: child.text.strip() — Python-strip parity
+    return F.nullif(strip_ws(_s(c)), F.lit(""))
 
 
 # Closure factories for Spark higher-order-function lambdas: these MUST
@@ -88,7 +90,7 @@ def _strip_size_value(key: str):
 
 def _append_dedup(values: Column) -> Column:
     """'///'-join with the reference's order-preserving dedup (P4)."""
-    cleaned = F.filter(F.transform(values, lambda x: F.trim(_s(x))), lambda x: x != "")
+    cleaned = F.filter(F.transform(values, lambda x: strip_ws(_s(x))), lambda x: x != "")
     return F.nullif(F.array_join(F.array_distinct(cleaned), "///"), F.lit(""))
 
 
@@ -102,7 +104,7 @@ def _second_pass_transform(tag: str, raw: Column) -> Column:
     if tag == "name":
         val = sanitize_name(val)
     if tag == "Size":
-        val = F.when(val.contains("?"), F.trim(F.regexp_replace(val, "\\?", ""))).otherwise(
+        val = F.when(val.contains("?"), strip_ws(F.regexp_replace(val, "\\?", ""))).otherwise(
             val
         )
     return val
@@ -274,6 +276,7 @@ def flatten_offer_records(
     dialect: str = "offer",
     category_paths: DataFrame | None = None,
     param_keys: list[str] | None = None,
+    max_param_keys: int = 1000,
 ) -> DataFrame:
     """Flatten offer/product records (reference process_offer,
     main.py:115-325) into the reference's flat string schema.
@@ -413,6 +416,10 @@ def flatten_offer_records(
         el = pdt.elementType if isinstance(pdt, T.ArrayType) else pdt
         if isinstance(el, T.StructType) and "_name" in el.names:
             if param_keys is None:
+                # dynamic-pivot distinct scan, CAPPED to protect the
+                # 100 TB path (SURVEY §4: unbounded distinct keys would
+                # mean unbounded columns) — keys beyond the cap are
+                # dropped deterministically (sorted order)
                 param_keys = [
                     r[0]
                     for r in df.select(
@@ -422,6 +429,8 @@ def flatten_offer_records(
                     )
                     .filter(F.col("k").isNotNull() & (F.col("k") != ""))
                     .distinct()
+                    .sort("k")
+                    .limit(max_param_keys)
                     .collect()
                 ]
             import re as _re
@@ -576,7 +585,7 @@ def _tc_get(row: Column, field: str, fields: list[str], default: str = "") -> Co
     (reference main.py:339-345 builds tc_row only from non-empty text)."""
     if field not in fields:
         return F.lit(default)
-    return F.coalesce(F.nullif(F.trim(_s(row[field])), F.lit("")), F.lit(default))
+    return F.coalesce(F.nullif(strip_ws(_s(row[field])), F.lit("")), F.lit(default))
 
 
 def flatten_russian_records(df: DataFrame) -> DataFrame:
@@ -695,7 +704,7 @@ def flatten_russian_records(df: DataFrame) -> DataFrame:
                 F.coalesce(out.cols.get("ID_Материала", F.lit(None)), F.lit("")), "///"
             )
             merged_ids = F.filter(
-                F.concat(F.transform(scalar_ids, lambda x: F.trim(x)), F.array_distinct(mat_ids)),
+                F.concat(F.transform(scalar_ids, lambda x: strip_ws(x)), F.array_distinct(mat_ids)),
                 lambda x: x != "",
             )
             out.set(

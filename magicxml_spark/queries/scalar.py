@@ -56,7 +56,7 @@ def q_sanitize_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT doc_id,
              list_filter(list_transform(string_split_regex(lower(text), '\\s+')[1:8],
-                                        x -> trim(x)),
+                                        x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                          x -> x <> '') AS items
       FROM documents)
     SELECT doc_id,
