@@ -11,6 +11,27 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# SQL confs the engine depends on; all runtime-settable, so a session
+# we did not build (e.g. the verification driver's) can be adopted.
+_REQUIRED_SQL_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS) — unreadable otherwise
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp rendering vs external engines
+    "spark.sql.session.timeZone": "UTC",
+    # reference dict keys are case-sensitive ('ID' vs 'id')
+    "spark.sql.caseSensitive": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for key, value in _REQUIRED_SQL_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf not recognized
+            pass
+
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -33,7 +54,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as a long
     (nanosAsLong, see session.py) — normalize it to a microsecond
-    timestamp here so every operator sees TimestampType."""
+    timestamp here so every operator sees TimestampType.
+
+    Works on ANY session (confs are adopted at read time), so the
+    verification driver's own SparkSession needs no special setup."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
