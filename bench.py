@@ -32,6 +32,10 @@ def main() -> None:
         "q_text_profile",
         "q_tfidf_top_terms",
         "q_cosine_topk",
+        "q_sessionize",
+        "q_range_join",
+        "q_salted_agg",
+        "q_events_stream_windowed",
     ]
     spark = get_spark("magicxml-bench")
     # warm the JVM + parquet footers once so timings measure the plans

@@ -33,6 +33,7 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    prev_sum = None
 
     for _ in range(max_rounds):
         # push each node's label to its neighbors, keep the minimum
@@ -60,9 +61,12 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)  # cut lineage per round
         )
-        if new_labels.join(
-            labels.withColumnRenamed("cluster_id", "_old"), "id"
-        ).filter(F.col("cluster_id") != F.col("_old")).isEmpty():
+        # labels only ever decrease, so an unchanged total IS the
+        # fixpoint — one tiny scalar agg over checkpointed data instead
+        # of a join-per-round change detector
+        label_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if label_sum == prev_sum:
             return new_labels
+        prev_sum = label_sum
         labels = new_labels
     return labels
