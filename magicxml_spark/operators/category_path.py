@@ -39,6 +39,7 @@ def build_category_paths(
     max_depth: int = 64,
     sep: str = PATH_SEP,
     skip_undefined_names: bool = False,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Return (id, category_path) with path = root->leaf names joined by
     ``sep``. Cycles and orphan parents terminate the walk (reference
@@ -47,12 +48,41 @@ def build_category_paths(
     ``skip_undefined_names=True`` reproduces the reference closure
     exactly (main.py:1487-1506): 'Undefined' names are dropped from the
     path, and if that leaves nothing the node's own name is returned.
+
+    Execution strategy by dimension size: at or below
+    ``driver_threshold`` rows the walk runs on the driver (one collect
+    of an already-tiny table — a per-iteration Spark job would cost
+    more in scheduling than the whole computation); above it, the
+    distributed iterative broadcast-join loop. Both produce identical
+    results (tests cross-check them).
     """
     dim = categories.select(
         F.col(id_col).cast("string").alias("_id"),
         F.nullif(F.col(parent_col).cast("string"), F.lit("")).alias("_parent"),
         F.coalesce(F.col(name_col).cast("string"), F.lit("Undefined")).alias("_name"),
     ).localCheckpoint(eager=True)  # tiny dim: pin it, avoid re-scanning per iteration
+
+    if dim.count() <= driver_threshold:
+        rows = dim.collect()
+        names = {r["_id"]: r["_name"] for r in rows}
+        parents = {r["_id"]: r["_parent"] for r in rows if r["_parent"]}
+        out = []
+        for cid in names:
+            path, current, visited = [], cid, set()
+            while current and current in names and current not in visited:
+                visited.add(current)
+                name = names[current]
+                if not skip_undefined_names or (name and name != "Undefined"):
+                    path.append(name)
+                current = parents.get(current)
+            if not path:
+                value = names[cid]
+            else:
+                value = sep.join(reversed(path))
+            out.append((cid, value))
+        return categories.sparkSession.createDataFrame(
+            out, "id string, category_path string"
+        )
 
     # State: for each starting id — names collected so far (leaf-first),
     # the next ancestor to resolve, and the visited ids (cycle guard).

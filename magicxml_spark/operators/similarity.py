@@ -208,3 +208,66 @@ def embedding_near_dup(
             )
 
     return base.mapInPandas(near_dup_batches, schema=out_schema)
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF variant of approximate top-k: KMeans partitions the corpus
+    into cells; each query searches only its n_probe nearest cells.
+
+    Scale shape: centroids are a tiny broadcast table; cell assignment
+    is one projection; the search joins query-side (id, probe_cell) to
+    index-side (id, cell) — an equi-join on the cell id, quadratic only
+    within cells. Recall rises with n_probe (n_probe = n_cells is exact
+    brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = _with_norm(df, id_col, vec_col)
+    ml = base.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(ml)
+    assigned = model.transform(ml).select("id", "v", "n", "cell")
+
+    # query-side probe cells: distance to every centroid (tiny loop over
+    # broadcast centroid literals), keep the n_probe closest
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    dists = F.array(
+        *[
+            F.struct(
+                dot(
+                    F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                    F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                ).alias("d2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, n_probe)
+    queries = assigned.select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("n").alias("q_n"),
+        F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"),
+    )
+
+    sim = dot(F.col("q_v"), F.col("v")) / (F.col("q_n") * F.col("n"))
+    pairs = (
+        queries.join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .select(F.col("q_id").alias("vec_id"), F.col("id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

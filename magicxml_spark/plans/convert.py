@@ -31,18 +31,37 @@ from magicxml_spark.sources.xml_source import (
 
 
 def flatten_xml(spark: SparkSession, path: str, dialect: str | None = None) -> DataFrame:
-    """XML file -> flat string-typed DataFrame (dialect-dispatched)."""
+    """XML file -> flat string-typed DataFrame (dialect-dispatched).
+
+    A single XML file scans as ONE partition (the XML source splits by
+    file, not rowTag) — everything downstream would run serially, so an
+    under-parallel scan is re-partitioned once up front. For repeated
+    processing of one giant file, pre-split it on disk instead
+    (sources.xml_split.presplit_xml)."""
     records, detected = read_xml_records(spark, path, dialect)
+    target = spark.sparkContext.defaultParallelism
+    if records.rdd.getNumPartitions() < max(2, target // 2):
+        records = records.repartition(target)
+    # the pipeline scans records several times (param-key distinct scan,
+    # Q5 prune aggregate, final projection+write) — cache the typed
+    # records so the XML text parses exactly once
+    records = records.persist()
+    cached = records
     if detected == "russian":
-        return flatten_russian_records(records)
-    if detected == "service":
-        return flatten_service_records(records)
-    paths = None
-    if detected == "offer":
-        cats = read_categories(spark, path)
-        if not cats.isEmpty():
-            paths = build_category_paths(cats, skip_undefined_names=True)
-    return flatten_offer_records(records, detected, category_paths=paths)
+        flat = flatten_russian_records(records)
+    elif detected == "service":
+        flat = flatten_service_records(records)
+    else:
+        paths = None
+        if detected == "offer":
+            cats = read_categories(spark, path)
+            if not cats.isEmpty():
+                paths = build_category_paths(cats, skip_undefined_names=True)
+        flat = flatten_offer_records(records, detected, category_paths=paths)
+    # hand the cache handle to the caller so one-shot pipelines can
+    # unpersist after their final action (long sessions don't leak)
+    flat._mxs_cached = cached  # type: ignore[attr-defined]
+    return flat
 
 
 def xml_to_csv(
@@ -55,7 +74,12 @@ def xml_to_csv(
     """§3.1 flagship: XML catalog -> pruned ';'-CSV (BOM single-file
     mode mirrors the reference byte format; multi-part for scale)."""
     flat = flatten_xml(spark, src, dialect)
-    return write_csv(flat, dst, single_file=single_file)
+    try:
+        return write_csv(flat, dst, single_file=single_file)
+    finally:
+        cached = getattr(flat, "_mxs_cached", None)
+        if cached is not None:
+            cached.unpersist()
 
 
 def csv_to_xml(

@@ -224,3 +224,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("_n").alias("n_items"), F.round(F.sum("_s"), 2).alias("sum_qty")
     )
+
+
+# --- IVF approximate top-k (KMeans cells; rows-only: approximate) -----------
+@query("q_cosine_topk_ivf")
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5, n_cells=16, n_probe=2
+    )

@@ -160,3 +160,45 @@ def pdf_report_rows(df: DataFrame, style: str = "table") -> DataFrame:
     first 50 rows, 'summary' the first 5 — the rendering itself is
     reportlab (absent); the capped DataFrame is the engine's output."""
     return df.limit(50 if style == "table" else 5)
+
+
+def extract_pdf_documents(
+    binary_df: DataFrame, deterministic_stub: bool = False
+) -> DataFrame:
+    """S10 (main.py:981-1034): whole-document extraction — page count,
+    concatenated text, metadata JSON — one nested record per PDF."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        use_real = _have("pdfplumber")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if use_real:
+                    import io
+
+                    import pdfplumber
+
+                    with pdfplumber.open(io.BytesIO(content)) as doc:
+                        texts = [p.extract_text() or "" for p in doc.pages]
+                        rows.append(
+                            (
+                                path,
+                                len(doc.pages),
+                                "\n".join(texts),
+                                json.dumps(dict(doc.metadata or {})),
+                            )
+                        )
+                elif deterministic_stub:
+                    digest = hashlib.md5(bytes(content)).hexdigest()
+                    rows.append(
+                        (path, 1, f"stub text {digest[:12]}", json.dumps({"stub": digest[:8]}))
+                    )
+                else:
+                    raise NotImplementedError(
+                        "pdfplumber not installed; pass deterministic_stub=True"
+                    )
+            yield pd.DataFrame(rows, columns=["path", "pages_count", "text", "meta_json"])
+
+    return binary_df.select("path", "content").mapInPandas(batches, schema=PDF_DOC_SCHEMA)

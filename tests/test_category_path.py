@@ -47,10 +47,15 @@ def cats_df(spark):
     return spark.createDataFrame(CATS, ["id", "parent_id", "name"])
 
 
-def test_matches_reference_closure(spark, cats_df):
+# threshold 0 forces the distributed iterative loop; the default takes
+# the driver fast path — both must match the reference closure
+@pytest.mark.parametrize("threshold", [100_000, 0], ids=["driver", "distributed"])
+def test_matches_reference_closure(spark, cats_df, threshold):
     got = {
         r["id"]: r["category_path"]
-        for r in build_category_paths(cats_df, skip_undefined_names=True).collect()
+        for r in build_category_paths(
+            cats_df, skip_undefined_names=True, driver_threshold=threshold
+        ).collect()
     }
     categories = {c[0]: c[2] for c in CATS}
     parents = {c[0]: c[1] for c in CATS if c[1]}
@@ -58,9 +63,11 @@ def test_matches_reference_closure(spark, cats_df):
         assert got[cid] == reference_build_path(cid, categories, parents), cid
 
 
-def test_full_mode_keeps_undefined(spark, cats_df):
+@pytest.mark.parametrize("threshold", [100_000, 0], ids=["driver", "distributed"])
+def test_full_mode_keeps_undefined(spark, cats_df, threshold):
     got = {
-        r["id"]: r["category_path"] for r in build_category_paths(cats_df).collect()
+        r["id"]: r["category_path"]
+        for r in build_category_paths(cats_df, driver_threshold=threshold).collect()
     }
     assert got["3"] == "Root///Mid///Leaf"
     assert got["9"] == "Root///Mid///Undefined///UnderUndef"
