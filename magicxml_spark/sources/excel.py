@@ -43,3 +43,12 @@ def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> str:
             )
             ws.column_dimensions[get_column_letter(i)].width = min(width + 2, 50)
     return path
+
+
+def excel_to_pdf_rows(spark: SparkSession, path: str, style: str = "table") -> DataFrame:
+    """K9 (main.py:1155-1170): Excel -> (CSV-shaped rows) -> PDF report
+    composition; the reportlab render is gated like K8, so the engine's
+    output is the capped row set the report would contain."""
+    from magicxml_spark.sources.binary_docs import pdf_report_rows
+
+    return pdf_report_rows(read_excel(spark, path), style=style)

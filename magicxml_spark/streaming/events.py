@@ -74,3 +74,50 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count + value total, updated per micro-batch.
+
+    The reference has no stateful surface at all (SURVEY §2.8); this is
+    the engine's template for arbitrary keyed state at scale — state
+    lives in the state store partitioned by user_id, each micro-batch
+    touches only the keys it contains.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].fillna(0.0).sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="total double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful totals to completion; the final update per
+    user equals the batch aggregate (tests assert this)."""
+    agg = running_user_totals(read_events_stream(spark, sf_dir))
+    name = f"user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -94,3 +94,27 @@ def test_pdf_document_stub(spark, tmp_path):
     rows = docs.collect()
     assert {r["pages_count"] for r in rows} == {1}
     assert all(r["text"].startswith("stub text ") for r in rows)
+
+
+def test_stateful_stream_totals(spark):
+    """applyInPandasWithState running totals: final state per user must
+    equal the batch aggregate."""
+    from magicxml_spark.streaming.events import run_stateful_to_memory
+
+    streamed = run_stateful_to_memory(spark, SF_SMOKE)
+    # update mode emits one row per user per micro-batch; keep the last
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in streamed.collect()  # availableNow over one dir = one batch
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == batch
