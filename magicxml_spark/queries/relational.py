@@ -436,3 +436,41 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+# --- Exact percentiles (linear interpolation — matches quantile_cont) -------
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(min(value), 4) AS v_min, round(max(value), 4) AS v_max
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+    )
+
+
+# --- CUBE grouping sets (SURVEY §2.8: Spark-native, exposed) ----------------
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
