@@ -234,3 +234,43 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5, n_cells=16, n_probe=2
     )
+
+
+# --- Native session_window (batch twin of streaming sessionization) ---------
+# Spark's session_window extends a session while the next event starts
+# strictly before last_ts + gap, i.e. a new session begins when the
+# inter-event gap is >= the window gap — the oracle mirrors that
+# boundary exactly (>= 1800, vs q_sessionize's manual > 1800).
+@query(
+    "q_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
