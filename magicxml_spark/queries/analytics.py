@@ -272,3 +272,58 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
+
+
+# --- Composed corpus-curation pipeline (the LLM-data end-to-end) ------------
+# keep a document iff: it is its exact-dup cluster's keeper (min doc_id
+# per fingerprint), its heuristic quality passes, and language ID is
+# confident. One declarative plan: dedup groupBy + profile projection
+# joined back — the shape of a real 100 TB curation pass.
+@query(
+    "q_corpus_filter",
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(text) AS n_chars,
+             len(text) - len(regexp_replace(text, '[\\.,;:!\\?"''()\\[\\]{{}}]', '', 'g'))
+               AS n_punct,
+             {_WORDS_SQL} AS toks
+      FROM documents),
+    keepers AS (SELECT fp, min(doc_id) AS keeper_id FROM prof GROUP BY fp),
+    scored AS (
+      SELECT p.doc_id, p.fp,
+             ((CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN p.n_chars = 0 OR CAST(p.n_punct AS DOUBLE) / p.n_chars <= 0.2
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(p.toks) > 0
+                     AND CAST(len(list_filter(p.toks,
+                           t -> list_contains(['the','and','of','to','is','with'], t)))
+                         AS DOUBLE) / len(p.toks) >= 0.01
+                    THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM prof p)
+    SELECT s.doc_id
+    FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper_id
+    WHERE round(s.quality, 4) >= 0.6
+    """,
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prof = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+        ).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    keepers = prof.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        prof.join(
+            keepers,
+            (prof["fp"] == keepers["fp"]) & (prof["doc_id"] == keepers["keeper_id"]),
+        )
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id")
+    )
