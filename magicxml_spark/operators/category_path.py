@@ -60,10 +60,12 @@ def build_category_paths(
         F.col(id_col).cast("string").alias("_id"),
         F.nullif(F.col(parent_col).cast("string"), F.lit("")).alias("_parent"),
         F.coalesce(F.col(name_col).cast("string"), F.lit("Undefined")).alias("_name"),
-    ).localCheckpoint(eager=True)  # tiny dim: pin it, avoid re-scanning per iteration
+    )
 
-    if dim.count() <= driver_threshold:
-        rows = dim.collect()
+    # driver fast path needs the rows anyway — collect once, no
+    # checkpoint job
+    rows = dim.take(driver_threshold + 1)
+    if len(rows) <= driver_threshold:
         names = {r["_id"]: r["_name"] for r in rows}
         parents = {r["_id"]: r["_parent"] for r in rows if r["_parent"]}
         out = []
@@ -83,6 +85,9 @@ def build_category_paths(
         return categories.sparkSession.createDataFrame(
             out, "id string, category_path string"
         )
+
+    # distributed loop: pin the dim so per-iteration joins don't rescan
+    dim = dim.localCheckpoint(eager=True)
 
     # State: for each starting id — names collected so far (leaf-first),
     # the next ancestor to resolve, and the visited ids (cycle guard).

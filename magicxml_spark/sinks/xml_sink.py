@@ -73,10 +73,14 @@ def _elem(tag: str, value: Column) -> Column:
 def offer_fragments(df: DataFrame, category_ids: DataFrame) -> DataFrame:
     """One '<offer ...>...</offer>' string per row (K3 body)."""
     cols = set(df.columns)
+    # Q10 fallback (main.py:551-552): positional 1..n in input order —
+    # row_number over the scan order, deterministic for bounded exports
     row_id = (
         F.col("id").cast("string")
         if "id" in cols
-        else (F.monotonically_increasing_id() + 1).cast("string")  # Q10 fallback
+        else F.row_number()
+        .over(W.orderBy(F.monotonically_increasing_id()))
+        .cast("string")
     )
     parts: list[Column] = [
         F.concat(
@@ -148,7 +152,9 @@ def product_fragments(df: DataFrame) -> DataFrame:
     row_id = (
         F.col("id").cast("string")
         if "id" in cols
-        else (F.monotonically_increasing_id() + 1).cast("string")
+        else F.row_number()
+        .over(W.orderBy(F.monotonically_increasing_id()))
+        .cast("string")
     )
     parts: list[Column] = [
         F.concat(F.lit('<product id="'), xml_escape_attr(row_id), F.lit('">'))

@@ -120,3 +120,13 @@ def test_delimiter_sniffing(spark):
     assert sniff_delimiter("a,b;c;d") == ";"  # ties/less go ';'
     df = read_csv(spark, f"{FIX}/input.csv")
     assert df.columns[0] == "id" and df.count() == 3
+
+
+def test_csv_to_xml_positional_id_fallback(spark, outdir, tmp_path_factory):
+    # Q10: rows without an id column get positional ids 1..n
+    src = tmp_path_factory.mktemp("noid") / "noid.csv"
+    src.write_text("name;price\nA;1\nB;2\nC;3\n")
+    out = str(outdir / "noid.xml")
+    csv_to_xml(spark, str(src), out, xml_format="simple")
+    root = ET.parse(out).getroot()
+    assert [p.get("id") for p in root.findall(".//product")] == ["1", "2", "3"]
