@@ -52,8 +52,11 @@ def write_csv(
     (a directory of parts, or the single file in single_file mode)."""
     out = prune_columns(df) if prune else df
     out = normalize_for_csv(out)
+    # repartition(1), NOT coalesce(1): coalesce would collapse the whole
+    # upstream compute into one task; the shuffle boundary keeps
+    # flatten/normalize parallel and only the final write is serial
     writer = (
-        out.coalesce(1) if single_file else out
+        out.repartition(1) if single_file else out
     ).write.mode("overwrite").options(
         header=True, sep=delimiter, quote='"', escape='"', emptyValue=""
     )

@@ -129,18 +129,39 @@ def read_xml_records(
     path: str,
     dialect: str | None = None,
     sample_bytes: int = 1 << 20,
+    presplit_threshold: int = 16 << 20,
 ) -> tuple[DataFrame, str]:
     """Read one XML catalog file into a (records_df, dialect) pair.
 
     Driver reads a head sample for validate/detect; Spark's XML source
     does the record parsing. If the initial parse yields only corrupt
     records, the repaired text is re-read (PERMISSIVE + repair pre-pass).
+
+    Files above ``presplit_threshold`` bytes are auto-split at row-tag
+    boundaries into a temp directory first — the XML source assigns one
+    task per file, so without this a big single-file export would do
+    BOTH its passes (structure inference + parse) serially.
     """
+    import atexit
+    import shutil
+
     with open(path, "rb") as f:
         sample = decode_bytes(f.read(sample_bytes))
     validate_xml_structure(sample)
     if dialect is None:
         dialect = detect_dialect(sample)
+
+    if (
+        os.path.isfile(path)
+        and presplit_threshold
+        and os.path.getsize(path) > presplit_threshold
+    ):
+        from magicxml_spark.sources.xml_split import presplit_xml
+
+        parts_dir = tempfile.mkdtemp(prefix="mxs_presplit_")
+        atexit.register(shutil.rmtree, parts_dir, ignore_errors=True)
+        presplit_xml(path, parts_dir, _ROW_TAGS[dialect])
+        path = parts_dir
 
     def _read(p: str) -> DataFrame:
         return (
