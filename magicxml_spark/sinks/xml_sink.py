@@ -224,8 +224,14 @@ def write_yml_catalog(
 ) -> str:
     """Assemble the full yml_catalog document (K3). Bounded driver-side
     wrap; offer fragments stream from executors."""
-    cat_ids = dense_category_ids(df)
-    cats = cat_ids.orderBy(F.col("category_id").cast("int")).collect()
+    if "category_path" in df.columns:
+        cat_ids = dense_category_ids(df)
+        cats = cat_ids.orderBy(F.col("category_id").cast("int")).collect()
+    else:  # no categories in the input -> empty categories block
+        cat_ids = df.sparkSession.createDataFrame(
+            [], "category_path string, category_id string"
+        )
+        cats = []
     frags = offer_fragments(df, cat_ids)
     with open(path, "w", encoding="utf-8") as f:
         f.write("<?xml version='1.0' encoding='utf-8'?>\n")

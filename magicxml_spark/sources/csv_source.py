@@ -28,11 +28,13 @@ def sniff_delimiter_trial(first_line: str) -> str:
 def read_csv(
     spark: SparkSession, path: str, delimiter: str | None = None
 ) -> DataFrame:
-    if delimiter is None:
-        with open(path, "rb") as f:
-            from magicxml_spark.sources.xml_source import decode_bytes
+    with open(path, "rb") as f:
+        from magicxml_spark.sources.xml_source import decode_bytes
 
-            first_line = decode_bytes(f.readline())
+        first_line = decode_bytes(f.readline())
+    if not first_line.strip():  # reference main.py:510-511, 521-522
+        raise ValueError("CSV data is empty")
+    if delimiter is None:
         delimiter = sniff_delimiter(first_line)
     return spark.read.csv(
         path, header=True, sep=delimiter, quote='"', escape='"', inferSchema=False

@@ -130,3 +130,21 @@ def test_csv_to_xml_positional_id_fallback(spark, outdir, tmp_path_factory):
     csv_to_xml(spark, str(src), out, xml_format="simple")
     root = ET.parse(out).getroot()
     assert [p.get("id") for p in root.findall(".//product")] == ["1", "2", "3"]
+
+
+def test_empty_csv_rejected(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("empty") / "empty.csv"
+    src.write_text("")
+    with pytest.raises(ValueError, match="CSV data is empty"):
+        csv_to_xml(spark, str(src), "/tmp/never.xml")
+
+
+def test_csv_without_categories_to_yml(spark, outdir, tmp_path_factory):
+    src = tmp_path_factory.mktemp("nocat") / "nocat.csv"
+    src.write_text("id;name;price\n7;Стул;10\n")
+    out = str(outdir / "nocat.xml")
+    csv_to_xml(spark, str(src), out, xml_format="yandex_market")
+    root = ET.parse(out).getroot()
+    assert root.findall(".//category") == []
+    offer = root.find(".//offer")
+    assert offer.get("id") == "7" and offer.findtext("name") == "Стул"
