@@ -202,3 +202,85 @@ def extract_pdf_documents(
             yield pd.DataFrame(rows, columns=["path", "pages_count", "text", "meta_json"])
 
     return binary_df.select("path", "content").mapInPandas(batches, schema=PDF_DOC_SCHEMA)
+
+
+def resize_images(
+    binary_df: DataFrame,
+    width: int,
+    height: int,
+    deterministic_stub: bool = False,
+) -> DataFrame:
+    """Multimodal resize: (path, content) -> (path, width, height,
+    resized binary). PIL-gated; the stub emits md5-derived bytes of a
+    size proportional to the target so batch-shape behavior is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = _have("PIL")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if use_real:
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(content)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, im.format or "PNG")
+                        rows.append((path, width, height, buf.getvalue()))
+                elif deterministic_stub:
+                    seed = hashlib.md5(bytes(content)).digest()
+                    fake = (seed * ((width * height) // len(seed) + 1))[: width * height]
+                    rows.append((path, width, height, fake))
+                else:
+                    raise NotImplementedError(
+                        "PIL not installed; pass deterministic_stub=True"
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "width", "height", "resized"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema="path string, width int, height int, resized binary"
+    )
+
+
+def sample_video_frames(
+    binary_df: DataFrame,
+    every_n: int = 30,
+    max_frames: int = 8,
+    deterministic_stub: bool = False,
+) -> DataFrame:
+    """Multimodal frame sampling: one row per sampled frame with a
+    frame_index lineage column (video codecs absent from this image —
+    the stub derives per-frame bytes from md5(content, index) so the
+    explode shape, ordering, and lineage columns are real and tested)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = _have("cv2") or _have("av")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if use_real:  # pragma: no cover - codec not in image
+                    raise NotImplementedError("wire cv2/av decode here")
+                if deterministic_stub:
+                    for k in range(max_frames):
+                        frame_index = k * every_n
+                        rows.append(
+                            (
+                                path,
+                                frame_index,
+                                hashlib.md5(
+                                    bytes(content) + str(frame_index).encode()
+                                ).digest(),
+                            )
+                        )
+                else:
+                    raise NotImplementedError(
+                        "no video codec installed; pass deterministic_stub=True"
+                    )
+            yield pd.DataFrame(rows, columns=["path", "frame_index", "frame"])
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema="path string, frame_index int, frame binary"
+    )

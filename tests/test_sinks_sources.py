@@ -127,3 +127,19 @@ def test_encoding_cascade_1251(spark, tmp_path):
     out = xml_to_csv(spark, str(utf), str(tmp_path / "out.csv"))
     body = open(out, encoding="utf-8-sig").read()
     assert "Привет Мир" in body
+
+
+def test_multimodal_resize_and_frames(binary_df):
+    from magicxml_spark.sources.binary_docs import resize_images, sample_video_frames
+
+    resized = resize_images(binary_df, 4, 4, deterministic_stub=True).collect()
+    assert all(len(r["resized"]) == 16 for r in resized)
+    frames = sample_video_frames(
+        binary_df, every_n=10, max_frames=3, deterministic_stub=True
+    )
+    rows = frames.collect()
+    assert len(rows) == 9  # 3 files x 3 frames
+    assert sorted({r["frame_index"] for r in rows}) == [0, 10, 20]
+    # per-frame bytes deterministic and distinct per index
+    one = [r for r in rows if r["path"] == rows[0]["path"]]
+    assert len({bytes(r["frame"]) for r in one}) == 3
