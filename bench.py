@@ -38,8 +38,19 @@ def main() -> None:
         "q_events_stream_windowed",
     ]
     spark = get_spark("magicxml-bench")
-    # warm the JVM + parquet footers once so timings measure the plans
-    QUERIES["q_flagship_revenue"](spark, sf_dir).count()
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed runs measure data-proportional work, not whole-stage-codegen
+    # compilation (standard JVM benchmarking practice; compiled classes
+    # are cached by plan shape and reused at the target SF).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in headline:
+        if name in QUERIES:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass  # a failing warm-up must not mask the measured run
 
     timings: dict[str, float] = {}
     for name in headline:
