@@ -24,6 +24,11 @@ Replicated quirks (each cited):
 * image-tag predicate arms differ between element text (extension OR
   'img/' infix OR http prefix, main.py:207-209) and attribute values
   (extension OR http prefix only, main.py:227-229).
+
+Known approximations (documented, fixture-pinned where they matter):
+``param_name_*`` re-append only sees top-level tags (the reference's
+iter() also catches nested ones); deep repeated STRUCT descendants use
+their first element's subtree (the reference scans every occurrence).
 """
 
 from __future__ import annotations
@@ -175,10 +180,86 @@ def _walk_struct_deep(
             )
         elif isinstance(sdt, T.ArrayType):
             if sub.name not in IMAGE_TAGS:
-                out.fill_missing(sub.name, _nonempty(F.try_element_at(child, F.lit(1))))
+                out.fill_missing(sub.name, _nonempty(_first_nonempty_el(child)))
         else:
             if sub.name not in IMAGE_TAGS:
                 out.fill_missing(sub.name, _nonempty(child))
+
+
+def _first_nonempty_el(arr: Column) -> Column:
+    """First element with non-empty trimmed text (reference iter()
+    takes the first occurrence that HAS text, not literally the first
+    element)."""
+    return F.try_element_at(
+        F.filter(arr, lambda x: _nonempty(x).isNotNull()), F.lit(1)
+    )
+
+
+def _deep_text_sources(schema: T.StructType, wanted: str) -> list[Column]:
+    """Text expressions for every field named ``wanted`` at any depth,
+    top level first then nested (approximates the reference's
+    document-order find('.//tag'))."""
+    found: list[Column] = []
+
+    def walk(st: T.StructType, get, depth: int) -> None:
+        for f in st.fields:
+            if _is_attr(f.name) or f.name == VALUE_TAG:
+                continue
+            c = get(f.name)
+            dt = f.dataType
+            if f.name == wanted:
+                if isinstance(dt, T.StructType):
+                    if VALUE_TAG in dt.names:
+                        found.append(_nonempty(c[VALUE_TAG]))
+                elif isinstance(dt, T.ArrayType):
+                    el = dt.elementType
+                    if isinstance(el, T.StructType):
+                        if VALUE_TAG in el.names:
+                            found.append(
+                                _nonempty(
+                                    _first_nonempty_el(
+                                        F.transform(c, lambda e: _s(e[VALUE_TAG]))
+                                    )
+                                )
+                            )
+                    else:
+                        found.append(_nonempty(_first_nonempty_el(c)))
+                else:
+                    found.append(_nonempty(c))
+            if isinstance(dt, T.StructType):
+                walk(dt, lambda n, cc=c: cc[n], depth + 1)
+            elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                first = F.try_element_at(c, F.lit(1))
+                walk(dt.elementType, lambda n, cc=first: cc[n], depth + 1)
+
+    walk(schema, lambda n: F.col(n), 0)
+    return found
+
+
+def _find_param_array(schema: T.StructType, holder: str = "param"):
+    """Locate the <param> array at any depth (reference findall('.//param')).
+    Returns (array_expr, element_struct_type) or (None, None)."""
+
+    def walk(st: T.StructType, get):
+        direct = None
+        for f in st.fields:
+            if f.name != holder:
+                continue
+            dt = f.dataType
+            if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                return get(f.name), dt.elementType
+            if isinstance(dt, T.StructType):
+                return F.array(get(f.name)), dt
+        for f in st.fields:
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                got = walk(dt, lambda n, cc=get(f.name): cc[n])
+                if got is not None:
+                    return got
+        return direct
+
+    got = walk(schema, lambda n: F.col(n))
+    return got if got is not None else (None, None)
 
 
 def _collect_image_exprs(
@@ -406,14 +487,11 @@ def flatten_offer_records(
     out.set("pictures", pics)
 
     # P14/P15/P16: param pivots (offer) / fabric+features (product)
-    if dialect == "offer" and "param" in names:
-        pdt = schema["param"].dataType
-        params = (
-            F.col("param")
-            if isinstance(pdt, T.ArrayType)
-            else F.array(F.col("param"))
-        )
-        el = pdt.elementType if isinstance(pdt, T.ArrayType) else pdt
+    params, el = (None, None)
+    if dialect == "offer":
+        # reference uses findall('.//param') — any depth
+        params, el = _find_param_array(schema)
+    if params is not None:
         if isinstance(el, T.StructType) and "_name" in el.names:
             if param_keys is None:
                 # dynamic-pivot distinct scan, CAPPED to protect the
@@ -500,21 +578,8 @@ def flatten_offer_records(
     desc_primary = "description" if dialect == "offer" else "name"
     desc_sources = []
     for tag in (desc_primary, "desc", "descr", "description_full", "full_description"):
-        if tag in names:
-            dt = schema[tag].dataType
-            if isinstance(dt, T.StructType):
-                if VALUE_TAG in dt.names:
-                    desc_sources.append(_nonempty(F.col(tag)[VALUE_TAG]))
-            elif isinstance(dt, T.ArrayType):
-                if isinstance(dt.elementType, T.StructType):
-                    if VALUE_TAG in dt.elementType.names:
-                        desc_sources.append(
-                            _nonempty(F.try_element_at(F.col(tag), F.lit(1))[VALUE_TAG])
-                        )
-                else:
-                    desc_sources.append(_nonempty(F.try_element_at(F.col(tag), F.lit(1))))
-            else:
-                desc_sources.append(_nonempty(F.col(tag)))
+        # reference searches './/tag' — descendants at any depth
+        desc_sources.extend(_deep_text_sources(schema, tag))
     found = F.coalesce(*desc_sources) if desc_sources else F.lit(None)
     out.set("description", F.coalesce(clean_description(found), F.lit("")))
 

@@ -19,6 +19,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from magicxml_spark.functions.strings import strip_ws
+
 # main.py:1544-1548
 EXCLUDED_COLUMNS = [
     "param",
@@ -59,8 +61,10 @@ def select_output_columns(df: DataFrame) -> list[str]:
             *[
                 F.count(
                     F.when(
-                        F.trim(_c(c).cast("string")).isNotNull()
-                        & (F.trim(_c(c).cast("string")) != "")
+                        # Python-strip parity: the reference tests
+                        # val.strip(), which drops tabs/newlines too
+                        strip_ws(_c(c).cast("string")).isNotNull()
+                        & (strip_ws(_c(c).cast("string")) != "")
                         & (_c(c).cast("string") != "Undefined"),
                         F.lit(1),
                     )

@@ -75,8 +75,10 @@ def offer_fragments(df: DataFrame, category_ids: DataFrame) -> DataFrame:
     cols = set(df.columns)
     # Q10 fallback (main.py:551-552): positional 1..n in input order —
     # row_number over the scan order, deterministic for bounded exports
+    # null id cells (empty CSV fields) render as id="" like the
+    # reference's csv.DictReader '' values — never a null fragment
     row_id = (
-        F.col("id").cast("string")
+        F.coalesce(F.col("id").cast("string"), F.lit(""))
         if "id" in cols
         else F.row_number()
         .over(W.orderBy(F.monotonically_increasing_id()))
@@ -130,15 +132,17 @@ def offer_fragments(df: DataFrame, category_ids: DataFrame) -> DataFrame:
                 ).otherwise("")
             )
     parts.append(F.lit("</offer>"))
+    parts = [F.coalesce(p, F.lit("")) for p in parts]
 
     avail = F.col("available").cast("string") if "available" in cols else F.lit(None)
     base = df.withColumn("_avail", avail)
     if "category_path" in cols:
-        base = base.join(
-            F.broadcast(category_ids.withColumnRenamed("category_path", "_cp")),
-            F.col("category_path") == F.col("_cp"),
-            "left",
+        dim = category_ids.withColumnRenamed(
+            "category_path", "_cp"
         ).withColumnRenamed("category_id", "_category_id")
+        base = base.join(
+            F.broadcast(dim), F.col("category_path") == F.col("_cp"), "left"
+        )
     else:
         base = base.withColumn("_category_id", F.lit(None).cast("string"))
     return base.select(F.concat(*parts).alias("fragment"))
@@ -150,7 +154,7 @@ def product_fragments(df: DataFrame) -> DataFrame:
     (main.py:576-599)."""
     cols = [c for c in df.columns]
     row_id = (
-        F.col("id").cast("string")
+        F.coalesce(F.col("id").cast("string"), F.lit(""))
         if "id" in cols
         else F.row_number()
         .over(W.orderBy(F.monotonically_increasing_id()))
@@ -211,6 +215,7 @@ def product_fragments(df: DataFrame) -> DataFrame:
             ).otherwise("")
         )
     parts.append(F.lit("</product>"))
+    parts = [F.coalesce(p, F.lit("")) for p in parts]
     return df.select(F.concat(*parts).alias("fragment"))
 
 

@@ -161,7 +161,9 @@ def read_xml_records(
         parts_dir = tempfile.mkdtemp(prefix="mxs_presplit_")
         atexit.register(shutil.rmtree, parts_dir, ignore_errors=True)
         presplit_xml(path, parts_dir, _ROW_TAGS[dialect])
-        path = parts_dir
+        orig_path, path = path, parts_dir
+    else:
+        orig_path = path
 
     def _read(p: str) -> DataFrame:
         return (
@@ -174,8 +176,11 @@ def read_xml_records(
 
     df = _read(path)
     if not df.columns or df.columns == ["_corrupt_record"]:
-        # parse produced nothing usable -> repair and retry
-        with open(path, "rb") as f:
+        # parse produced nothing usable -> repair and retry. Always
+        # repair from the ORIGINAL file — `path` may have been swapped
+        # for the presplit parts directory (a repaired document parses
+        # serially; corrupt giants are the rare path).
+        with open(orig_path, "rb") as f:
             text = decode_bytes(f.read())
         repaired = repair_xml_text(clean_xml_text(text))
         tmp = tempfile.NamedTemporaryFile(

@@ -27,14 +27,22 @@ def presplit_xml(
     os.makedirs(out_dir, exist_ok=True)
     open_pat = re.compile(rf"<{re.escape(row_tag)}[\s>/]")
     close_tag = f"</{row_tag}>"
-    self_close = re.compile(rf"<{re.escape(row_tag)}[^>]*/>\s*$")
+    # a self-closing record ends at its own '/>' — never extend to the
+    # chunk limit, which would swallow the trailing document envelope
+    self_close = re.compile(rf"<{re.escape(row_tag)}[^>]*/>")
 
     with open(path, encoding=encoding, errors="replace") as f:
         text = f.read()  # reference envelope caps inputs at 100 MB;
         # for larger files switch this to a chunked scanner keyed on the
         # same boundary regexes
 
-    starts = [m.start() for m in open_pat.finditer(text)]
+    # mask comments and CDATA so row-tag lookalikes inside them can't
+    # create false record boundaries (offsets preserved)
+    masked = text
+    for pat in (r"<!--.*?-->", r"<!\[CDATA\[.*?\]\]>"):
+        masked = re.sub(pat, lambda m: " " * len(m.group(0)), masked, flags=re.S)
+
+    starts = [m.start() for m in open_pat.finditer(masked)]
     if not starts:
         raise ValueError(f"no <{row_tag}> records found")
 
@@ -42,14 +50,13 @@ def presplit_xml(
     # the self-closing '>') before the next start
     spans: list[tuple[int, int]] = []
     for i, s in enumerate(starts):
-        limit = starts[i + 1] if i + 1 < len(starts) else len(text)
-        close = text.rfind(close_tag, s, limit)
+        limit = starts[i + 1] if i + 1 < len(starts) else len(masked)
+        close = masked.rfind(close_tag, s, limit)
         if close != -1:
             spans.append((s, close + len(close_tag)))
         else:
-            chunk = text[s:limit]
-            m = self_close.search(chunk)
-            spans.append((s, s + (m.end() if m else len(chunk))))
+            m = self_close.match(masked, s)
+            spans.append((s, m.end() if m else limit))
 
     parts: list[str] = []
     for p in range(0, len(spans), records_per_part):

@@ -148,3 +148,16 @@ def test_csv_without_categories_to_yml(spark, outdir, tmp_path_factory):
     assert root.findall(".//category") == []
     offer = root.find(".//offer")
     assert offer.get("id") == "7" and offer.findtext("name") == "Стул"
+
+
+def test_null_id_and_category_id_column(spark, outdir, tmp_path_factory):
+    # empty id cell -> id="" (reference DictReader parity); an input
+    # category_id column must not collide with the dimension join
+    src = tmp_path_factory.mktemp("nullid") / "n.csv"
+    src.write_text("id;name;category_path;category_id\n;A;X;77\n2;B;X;78\n")
+    out = str(outdir / "nullid.xml")
+    csv_to_xml(spark, str(src), out, xml_format="yandex_market")
+    root = ET.parse(out).getroot()
+    offers = root.findall(".//offer")
+    assert [o.get("id") for o in offers] == ["", "2"]
+    assert all(o.findtext("categoryId") == "1" for o in offers)

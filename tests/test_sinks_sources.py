@@ -143,3 +143,22 @@ def test_multimodal_resize_and_frames(binary_df):
     # per-frame bytes deterministic and distinct per index
     one = [r for r in rows if r["path"] == rows[0]["path"]]
     assert len({bytes(r["frame"]) for r in one}) == 3
+
+
+def test_presplit_ignores_comments_and_selfclose(tmp_path):
+    from magicxml_spark.sources.xml_split import presplit_xml
+
+    doc = (
+        "<offers><offer id='1'><a>x</a><!-- <offer promo> --><b>y</b></offer>"
+        "<offer id='2'/></offers>"
+    )
+    src = tmp_path / "c.xml"
+    src.write_text(doc)
+    parts = presplit_xml(str(src), str(tmp_path / "parts"), "offer", records_per_part=10)
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(parts[0]).getroot()
+    recs = root.findall("offer")
+    assert len(recs) == 2
+    assert recs[0].findtext("b") == "y"  # comment did not truncate record 1
+    assert recs[1].get("id") == "2"  # self-closing record kept clean

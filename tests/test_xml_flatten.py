@@ -181,3 +181,26 @@ def test_service_defaults(service_rows):
 def test_dialect_detection_order():
     assert detect_dialect("<products><product/></products>") == "product"
     assert detect_dialect("<offers><offer/><product/></offers>") == "offer"
+
+
+@pytest.fixture(scope="module")
+def nested_rows(spark):
+    df, dialect = read_xml_records(spark, f"{FIX}/nested.xml")
+    return _rows(flatten_offer_records(df, dialect), "attr_id")
+
+
+def test_nested_description_found(nested_rows):
+    # reference: find('.//description') — any depth (main.py:309)
+    assert nested_rows["N1"]["description"] == "<p>Deep desc</p>"
+    assert nested_rows["N2"]["description"] == ""
+
+
+def test_nested_params_pivoted(nested_rows):
+    # reference: findall('.//param') — any depth (main.py:247)
+    assert nested_rows["N1"]["Цвет"] == "red, blue"
+    assert "42" not in nested_rows["N1"]
+
+
+def test_deep_repeated_first_nonempty(nested_rows):
+    # reference iter() fills from the first occurrence WITH text
+    assert nested_rows["N1"]["barcode"] == "4601234567890"
