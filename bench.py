@@ -49,8 +49,10 @@ def main() -> None:
         if name in QUERIES:
             try:
                 QUERIES[name](spark, warm_dir).count()
-            except Exception:
-                pass  # a failing warm-up must not mask the measured run
+            except Exception as exc:  # noqa: BLE001
+                # a failing warm-up must not mask the measured run, but
+                # a silently-cold measurement is not comparable — say so
+                print(f"warm-up failed for {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in headline:

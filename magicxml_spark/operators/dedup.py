@@ -52,7 +52,11 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     # trailing positions lack a full window -> concat with null -> null
     sh = F.filter(sh, lambda x: x.isNotNull())
     return F.array_distinct(
-        F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(sh)
+        # zero-token documents have NO shingles (not a [''] sentinel) —
+        # keeps engine and SQL oracles agreeing on blank-document rows
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", w)))
+        .otherwise(sh)
     )
 
 
@@ -128,7 +132,7 @@ def jaccard_pairs(
     corpus scale the join shuffles on id, still one pass."""
     sets_ = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)  # blank docs have no shingle set at all
     a = sets_.alias("sa")
     b = sets_.alias("sb")
     return (

@@ -1,10 +1,15 @@
 """LLM-data-pipeline analytics queries (SURVEY.md §2.7 + BASELINE.json
 north star: dedup, similarity search, text analysis at 100 TB shape).
 
-Oracle notes: hash families are md5-hex (identical across JVM/DuckDB);
-float comparisons ride on both engines evaluating the same elementwise
-expression tree over exact inputs, with rounding applied only to output
-columns, never to ranking keys.
+Oracle notes: hash families are md5-hex (identical across JVM/DuckDB).
+Integer-derived floats (ratios, idf inputs) are exact rationals on both
+sides. The cosine queries are the exception: the engine computes a
+normalized float64 GEMM while the oracle computes dot/(|a||b|) —
+mathematically identical but not bit-identical, so rankings can differ
+when two candidates' cosines agree to within last-ulp noise and output
+rounding uses banker's (numpy) vs half-away (DuckDB) at exact
+representation boundaries; both events are measure-zero on real-valued
+embeddings and absent from the current testdata.
 """
 
 from __future__ import annotations

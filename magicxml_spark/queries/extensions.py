@@ -112,11 +112,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
+    # full-precision gap: the oracle's epoch() is fractional seconds, so
+    # casting to whole seconds would evaluate the 1800s boundary at a
+    # different precision (compare microseconds on both sides)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts)
     marked = ev.withColumn(
         "new_sess",
-        F.when(
-            lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800), 1
-        ).otherwise(0),
+        F.when(lag_ts.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
     )
     sess = marked.withColumn(
         "session_no",

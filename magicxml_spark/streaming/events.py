@@ -27,7 +27,13 @@ EVENTS_SCHEMA = (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ts arrives as nanos-long,
-    normalized exactly like tables.table)."""
+    normalized exactly like tables.table).
+
+    Adopts the required session confs like the batch path does — the
+    verification driver's own SparkSession must work here too."""
+    from magicxml_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     # the file source wants a directory: stream the SF dir, globbed to
     # the events table
     stream = (

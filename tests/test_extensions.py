@@ -118,3 +118,31 @@ def test_stateful_stream_totals(spark):
         .collect()
     }
     assert final == batch
+
+
+def test_blank_documents_excluded_from_dedup(spark):
+    """Blank/whitespace docs must produce no shingles, no LSH pairs, and
+    no jaccard rows — matching the SQL oracles' semantics."""
+    from magicxml_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here"), (4, "real text here")],
+        "doc_id bigint, text string",
+    )
+    sh = docs.select(F.size(word_shingles(F.col("text"))).alias("n")).collect()
+    assert [r["n"] for r in sh] == [0, 0, 1, 1]
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    assert [tuple(r) for r in pairs.collect()] == [(3, 4)]  # not (1,2)
+    jac = jaccard_pairs(
+        docs,
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a bigint, id_b bigint"),
+        "doc_id",
+        "text",
+        shingle_k=1,
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert got == {(3, 4): 1.0}  # blank pair dropped entirely
