@@ -134,7 +134,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_tfidf_pca")
 def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    vecs = pca_project(tfidf_vectors(docs), k=3)
+    # 256 hash features: PCA's dense SVD is O(d^2) memory — 4096 dims
+    # OOMs a default-1g driver session (the corpus vocabulary is far
+    # smaller than 256 anyway, so the projection loses nothing)
+    vecs = pca_project(tfidf_vectors(docs, num_features=256), k=3)
     from pyspark.ml.functions import vector_to_array
 
     return vecs.select(
