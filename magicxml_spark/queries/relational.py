@@ -474,3 +474,27 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# --- Set operations (SURVEY §2.8: absent in the reference, exposed) ---------
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    positive = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey")
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    return positive.intersect(with_orders).exceptAll(building).distinct()
