@@ -343,7 +343,9 @@ def pictures_expr(schema: T.StructType) -> Column:
         flat = F.flatten(
             F.array(*[F.split(F.coalesce(e, F.lit("")), "\x00") for e in exprs])
         )
-        trimmed = F.filter(F.transform(flat, F.trim), lambda x: x != "")
+        # Single-arg lambda is mandatory: passing F.trim directly binds its
+        # optional second parameter to the array INDEX, corrupting values.
+        trimmed = F.filter(F.transform(flat, lambda x: strip_ws(x)), lambda x: x != "")
         return F.filter(trimmed, lambda u: _image_predicate(u, infix))
 
     all_images = F.array_union(gather(texts, True), gather(attrs, False))

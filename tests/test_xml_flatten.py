@@ -204,3 +204,32 @@ def test_nested_params_pivoted(nested_rows):
 def test_deep_repeated_first_nonempty(nested_rows):
     # reference iter() fills from the first occurrence WITH text
     assert nested_rows["N1"]["barcode"] == "4601234567890"
+
+
+def test_pictures_whitespace_padded_urls(spark):
+    # Regression (round-2 ADVICE high): F.trim passed bare to F.transform
+    # bound its optional 2nd param to the array INDEX, so padded URLs kept
+    # their whitespace (failing the predicate) and URLs whose ends matched
+    # the index digits were corrupted. strip_ws lambda fixes both.
+    from pyspark.sql import types as T
+
+    from magicxml_spark.operators.flatten import pictures_expr
+
+    schema = T.StructType([T.StructField("picture", T.ArrayType(T.StringType()))])
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    "  http://a.ru/pad0.jpg  ",  # padded, ends in '0' + index 0
+                    " http://a.ru/x1.png",       # padded, contains '1' + index 1
+                    "   ",                       # whitespace-only -> dropped
+                    "http://a.ru/plain.gif",
+                ],
+            )
+        ],
+        schema,
+    )
+    got = df.select(pictures_expr(schema).alias("pictures")).collect()[0][0]
+    assert got == (
+        "http://a.ru/pad0.jpg///http://a.ru/plain.gif///http://a.ru/x1.png"
+    )
