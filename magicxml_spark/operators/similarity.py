@@ -210,6 +210,141 @@ def embedding_near_dup(
     return base.mapInPandas(near_dup_batches, schema=out_schema)
 
 
+def _block_grid(df: DataFrame, id_col: str, vec_col: str, block_rows: int):
+    """Split a (id, vec) corpus into a Q×S block grid for distributed
+    exact similarity: every query block meets every index block exactly
+    once, and each cogroup group holds ≤ ~block_rows rows per side.
+
+    Returns (queries, index, n_blocks): both sides carry (qb, ib) keys;
+    the query side is replicated S times (one row per index block), the
+    index side Q times. Communication is the textbook block-matrix
+    O(n·S + n·Q) — no driver collect, no broadcast, memory bounded by
+    block_rows regardless of corpus size. Block membership is
+    pmod(xxhash64(id)) so the grid needs no global sort.
+    """
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    n = base.count()  # parquet metadata count — cheap at any scale
+    n_blocks = max(1, -(-n // block_rows))
+    qb = F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    replicate = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    queries = base.select("id", "v", qb.alias("qb"), replicate.alias("ib"))
+    # The index side gets DISTINCT column names (fresh exprIds via the
+    # aliases): both sides derive from the same parent plan, and
+    # sharing attribute ids across a self-cogroup breaks Catalyst's
+    # relation dedup under count()-style empty projections (the right
+    # side reached the Python worker without its data columns).
+    index = base.select(
+        F.col("id").alias("iid"),
+        F.col("v").alias("iv"),
+        replicate.alias("qb"),
+        qb.alias("ib"),
+    )
+    return queries, index, n_blocks
+
+
+def cosine_topk_blocked(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, block_rows: int = 2048
+) -> DataFrame:
+    """Exact top-k neighbors per vector with NO driver-side collect —
+    the 100 TB-safe default behind ``q_cosine_topk``.
+
+    Execution: block-matrix GEMM. Both sides of the self-similarity are
+    hashed into ⌈n/block_rows⌉ blocks; ``cogroup().applyInPandas`` pairs
+    every (query block, index block) cell, one Arrow-fed float64 GEMM
+    per cell, keeping only that cell's per-query top-k. A window then
+    re-ranks the ≤ k·S per-cell survivors to the global exact top-k.
+    Exactness: the global top-k under the total order (sim DESC, id ASC)
+    is a subset of the union of per-cell top-k under the same order.
+
+    vs ``cosine_topk_bruteforce`` (broadcast-index variant): that one
+    collects the full index through the driver, which caps it at
+    catalog-sized index sides; this one shuffles ~n·√cells rows instead
+    and is bounded by block_rows per task at any corpus size.
+
+    Deterministic tie-break: (sim DESC, neighbor_id ASC); ranking at
+    full float64, sim rounded only in the output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    queries, index, _ = _block_grid(df, id_col, vec_col, block_rows)
+    id_dtype = dict(queries.dtypes)["id"]
+
+    def cell_topk(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        q = np.array(list(qpdf["v"]), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        m = np.array(list(ipdf["iv"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = q @ m.T  # one GEMM per grid cell
+        ids = ipdf["iid"].to_numpy()
+        out_vec, out_nbr, out_sim = [], [], []
+        for i, qid in enumerate(qpdf["id"]):
+            row = sims[i]
+            order = np.lexsort((ids, -row))  # (sim DESC, neighbor_id ASC)
+            order = order[ids[order] != qid][:k]
+            out_vec.extend([qid] * len(order))
+            out_nbr.extend(ids[order])
+            out_sim.extend(row[order])  # full precision; round after re-rank
+        return pd.DataFrame({"vec_id": out_vec, "neighbor_id": out_nbr, "sim": out_sim})
+
+    cells = (
+        queries.groupBy("qb", "ib")
+        .cogroup(index.groupBy("qb", "ib"))
+        .applyInPandas(cell_topk, schema=f"vec_id {id_dtype}, neighbor_id {id_dtype}, sim double")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)
+    with NO driver-side collect — the 100 TB-safe default behind
+    ``q_embedding_near_dup``.
+
+    Same block-grid cogroup GEMM as ``cosine_topk_blocked``; each grid
+    cell emits only its above-threshold (a < b) pairs, so the result is
+    exact with no re-rank step and the quadratic pair table never
+    exists as rows anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    queries, index, _ = _block_grid(df, id_col, vec_col, block_rows)
+    id_dtype = dict(queries.dtypes)["id"]
+
+    def cell_pairs(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        q = np.array(list(qpdf["v"]), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        m = np.array(list(ipdf["iv"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = q @ m.T
+        qids = qpdf["id"].to_numpy()
+        ids = ipdf["iid"].to_numpy()
+        qi, ni = np.nonzero((sims >= threshold) & (qids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": qids[qi], "id_b": ids[ni], "sim": np.round(sims[qi, ni], 4)}
+        )
+
+    return (
+        queries.groupBy("qb", "ib")
+        .cogroup(index.groupBy("qb", "ib"))
+        .applyInPandas(cell_pairs, schema=f"id_a {id_dtype}, id_b {id_dtype}, sim double")
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,

@@ -24,9 +24,9 @@ from magicxml_spark.operators.dedup import (
     simhash16,
 )
 from magicxml_spark.operators.similarity import (
-    cosine_topk_bruteforce,
+    cosine_topk_blocked,
     cosine_topk_lsh,
-    embedding_near_dup,
+    embedding_near_dup_blocked,
 )
 from magicxml_spark.operators.text import LANG_MARKERS, text_profile
 from magicxml_spark.queries import query
@@ -248,7 +248,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_bruteforce(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+    # blocked exact variant: no driver-side index collect (round-2 fix)
+    return cosine_topk_blocked(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
 
 
 # --- Cosine top-k: LSH-bucketed scale path (approximate; rows-only check) ------
@@ -274,7 +275,8 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup(
+    # blocked exact variant: no driver-side index collect (round-2 fix)
+    return embedding_near_dup_blocked(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
 

@@ -146,3 +146,60 @@ def test_blank_documents_excluded_from_dedup(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
     assert got == {(3, 4): 1.0}  # blank pair dropped entirely
+
+
+def test_blocked_topk_equals_bruteforce_no_collect(spark, monkeypatch):
+    """cosine_topk_blocked must (a) reproduce the broadcast brute-force
+    results exactly and (b) never pull a DataFrame through the driver —
+    the round-2 scale fix for the oracle-checked ANN entries."""
+    from pyspark.sql import DataFrame
+
+    from magicxml_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_bruteforce,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    expected = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def _no_driver_collect(self, *a, **k):
+        raise AssertionError("driver-side toPandas in blocked ANN path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _no_driver_collect)
+    # small block_rows forces a real multi-cell grid even at smoke SF
+    got_df = cosine_topk_blocked(emb, "vec_id", "embedding", k=5, block_rows=16)
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+
+
+def test_blocked_near_dup_equals_broadcast(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from magicxml_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_blocked,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    expected = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    monkeypatch.setattr(
+        DataFrame,
+        "toPandas",
+        lambda self, *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver-side toPandas in blocked near-dup path")
+        ),
+    )
+    got_df = embedding_near_dup_blocked(
+        emb, "vec_id", "embedding", threshold=0.4, block_rows=16
+    )
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in got_df.collect()}
+    assert expected and got == expected
