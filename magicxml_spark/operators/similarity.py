@@ -116,50 +116,86 @@ def cosine_topk_bruteforce(
     return base.mapInPandas(topk_batches, schema=out_schema)
 
 
-def _hyperplane(plane: int, dim: int) -> list[float]:
+def _hyperplane(plane: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-free plane: coefficient j is
     (md5-derived int in [0, 2^31)) mapped to [-1, 1). No RNG state —
-    same plane on every executor, every run, every engine."""
+    same plane on every executor, every run, every engine. ``table``
+    salts the derivation so multi-table LSH gets independent planes."""
     import hashlib
 
     coeffs = []
     for j in range(dim):
-        h = hashlib.md5(f"plane{plane}|{j}".encode()).hexdigest()
+        h = hashlib.md5(f"t{table}|plane{plane}|{j}".encode()).hexdigest()
         coeffs.append((int(h[:8], 16) / float(2**31)) - 1.0)
     return coeffs
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
     """Sign sketch: bit b = 1 iff dot(vec, plane_b) > 0."""
     out = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim, table)])
         out = out + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out.cast("int")
 
 
 def cosine_topk_lsh(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5, dim: int = 64, n_planes: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within LSH buckets.
-    Recall improves with fewer planes (bigger buckets); n_planes=8 on
-    random data keeps buckets ~corpus/256."""
+    """Approximate top-k: exact cosine ranking within LSH buckets,
+    OR-amplified across ``n_tables`` independent hash tables.
+
+    Single-table sign-sketch LSH has poor recall on near-orthogonal
+    corpora (each extra plane halves the chance two true neighbors
+    collide), so this uses the standard multi-table construction: a
+    pair is a candidate if it shares a bucket in ANY table. Candidates
+    are deduplicated before ranking so a pair found by several tables
+    scores once.
+
+    Scale shape: one projection computes all table buckets, an explode
+    emits n_tables rows per vector, the self-join is an equi-join on
+    (table, bucket) — one shuffle, quadratic only within buckets, AQE
+    splits skewed mega-buckets. Candidate volume (and recall) rises
+    linearly with n_tables; n_planes trades bucket size vs collision
+    probability.
+    """
     base = _with_norm(df, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
-    )
+        "tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col("v"), dim, n_planes, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    ).select("id", "v", "n", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = base.alias("la")
     b = base.alias("lb")
     sim = dot(F.col("la.v"), F.col("lb.v")) / (F.col("la.n") * F.col("lb.n"))
     pairs = (
         a.join(
             b,
-            (F.col("la.bucket") == F.col("lb.bucket")) & (F.col("la.id") != F.col("lb.id")),
+            (F.col("la.t") == F.col("lb.t"))
+            & (F.col("la.bucket") == F.col("lb.bucket"))
+            & (F.col("la.id") != F.col("lb.id")),
         )
         .select(
             F.col("la.id").alias("vec_id"),
             F.col("lb.id").alias("neighbor_id"),
             sim.alias("sim"),
         )
+        # a pair colliding in several tables must rank once, not L times
+        .dropDuplicates(["vec_id", "neighbor_id"])
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -342,6 +378,28 @@ def embedding_near_dup_blocked(
         queries.groupBy("qb", "ib")
         .cogroup(index.groupBy("qb", "ib"))
         .applyInPandas(cell_pairs, schema=f"id_a {id_dtype}, id_b {id_dtype}, sim double")
+    )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """recall@k of an approximate neighbor list against the exact one:
+    one row (n_queries, n_exact_pairs, n_hits, recall). Both inputs are
+    (vec_id, neighbor_id, ...) pair tables; recall = |approx ∩ exact| /
+    |exact|. One left-semi-marked join + one aggregate — no collect.
+
+    This is the hard gate for the approximate ANN paths: with the
+    deterministic LSH planes (md5-derived) and a seeded KMeans the
+    recall at a fixed SF is a reproducible scalar, pinned in the DuckDB
+    oracle and floored in pytest.
+    """
+    e = exact.select("vec_id", "neighbor_id")
+    a = approx.select("vec_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    joined = e.join(a, ["vec_id", "neighbor_id"], "left_outer")
+    return joined.agg(
+        F.countDistinct("vec_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), 4).alias("recall"),
     )
 
 

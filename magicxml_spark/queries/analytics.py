@@ -255,9 +255,54 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Cosine top-k: LSH-bucketed scale path (approximate; rows-only check) ------
 @query("q_cosine_topk_lsh")
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3 planes x 8 OR-amplified tables: recall 0.86 at sf0.01 / 0.89 at
+    # sf0.1 vs the exact top-5 (see q_ann_recall for the pinned gate).
+    # At corpus scale grow n_planes ~ log2(n / target_bucket_size).
     return cosine_topk_lsh(
-        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5, dim=64, n_planes=8
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=5,
+        dim=64,
+        n_planes=3,
+        n_tables=8,
     )
+
+
+# --- ANN hard gate: recall@5 of the approximate paths vs blocked exact ---------
+# The LSH planes are md5-derived (no RNG) and KMeans is seeded, so at a
+# fixed SF the recall is a reproducible scalar — pinned below at the
+# driver's correctness SF (sf0.01) after cross-session verification.
+# A change to either approximate algorithm moves its recall and fails
+# the hash match; pytest additionally floors recall at SF_SMOKE.
+@query(
+    "q_ann_recall",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('lsh', (SELECT count(DISTINCT vec_id) FROM embeddings), 0.8588::DOUBLE),
+      ('ivf', (SELECT count(DISTINCT vec_id) FROM embeddings), 0.4676::DOUBLE)
+    ) AS t(algo, n_queries, recall)
+    ORDER BY algo
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import cosine_topk_ivf, topk_recall
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = cosine_topk_blocked(emb, "vec_id", "embedding", k=5)
+    lsh = cosine_topk_lsh(
+        emb, "vec_id", "embedding", k=5, dim=64, n_planes=3, n_tables=8
+    )
+    ivf = cosine_topk_ivf(emb, "vec_id", "embedding", k=5, n_cells=16, n_probe=2)
+    out = None
+    for algo, approx in (("lsh", lsh), ("ivf", ivf)):
+        row = topk_recall(approx, exact).select(
+            F.lit(algo).alias("algo"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("algo")
 
 
 # --- Embedding-cosine near-duplicate pairs -------------------------------------

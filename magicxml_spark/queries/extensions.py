@@ -130,8 +130,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A1/A2: TF-IDF + PCA via Spark ML (rows-only: float vectors) ------------
-@query("q_tfidf_pca")
+# --- A1/A2: TF-IDF + PCA via Spark ML -----------------------------------------
+# PCA scores are basis/sign-indeterminate floats, so raw projections
+# can't hash-match any SQL oracle. Instead the query RETURNS the
+# mathematical invariants a correct PCA must satisfy, rounded so float
+# noise vanishes — and DuckDB asserts them as constants (plus the
+# data-dependent doc count). A broken projection (wrong basis, missing
+# centering in the fit, unordered components, NaNs) flips at least one
+# metric. Per-doc projections remain covered by test_tfidf_pca_shapes.
+@query(
+    "q_tfidf_pca",
+    oracle="""
+    SELECT 'max_abs_score_corr_offdiag' AS metric, 0.0::DOUBLE AS value
+    UNION ALL SELECT 'n_docs_projected', count(*)::DOUBLE FROM documents
+    UNION ALL SELECT 'n_nonfinite_scores', 0.0
+    UNION ALL SELECT 'pca_dims', 3.0
+    UNION ALL SELECT 'variance_ordered', 1.0
+    ORDER BY metric
+    """,
+)
 def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # 256 hash features: PCA's dense SVD is O(d^2) memory — 4096 dims
@@ -140,12 +157,47 @@ def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = pca_project(tfidf_vectors(docs, num_features=256), k=3)
     from pyspark.ml.functions import vector_to_array
 
-    return vecs.select(
-        "doc_id",
-        F.round(F.try_element_at(vector_to_array("pca"), F.lit(1)), 6).alias("pc1"),
-        F.round(F.try_element_at(vector_to_array("pca"), F.lit(2)), 6).alias("pc2"),
-        F.round(F.try_element_at(vector_to_array("pca"), F.lit(3)), 6).alias("pc3"),
+    arr = vector_to_array("pca")
+    scores = vecs.select(
+        F.size(arr).alias("dims"),
+        F.try_element_at(arr, F.lit(1)).alias("pc1"),
+        F.try_element_at(arr, F.lit(2)).alias("pc2"),
+        F.try_element_at(arr, F.lit(3)).alias("pc3"),
     )
+    nonfinite = sum(
+        F.sum(F.when(F.isnan(cn) | F.col(cn).isNull(), 1).otherwise(0))
+        for cn in ("pc1", "pc2", "pc3")
+    )
+    agg = scores.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.max("dims").cast("double").alias("dims"),
+        nonfinite.cast("double").alias("nonfinite"),
+        F.var_pop("pc1").alias("v1"),
+        F.var_pop("pc2").alias("v2"),
+        F.var_pop("pc3").alias("v3"),
+        F.corr("pc1", "pc2").alias("c12"),
+        F.corr("pc1", "pc3").alias("c13"),
+        F.corr("pc2", "pc3").alias("c23"),
+    )
+    m = agg.select(
+        F.round(
+            F.greatest(F.abs("c12"), F.abs("c13"), F.abs("c23")), 4
+        ).alias("max_abs_score_corr_offdiag"),
+        F.col("n_docs").alias("n_docs_projected"),
+        F.col("nonfinite").alias("n_nonfinite_scores"),
+        F.col("dims").alias("pca_dims"),
+        F.when(
+            (F.col("v1") >= F.col("v2")) & (F.col("v2") >= F.col("v3")), 1.0
+        ).otherwise(0.0).alias("variance_ordered"),
+    )
+    unpivot = F.expr(
+        "stack(5, 'max_abs_score_corr_offdiag', max_abs_score_corr_offdiag, "
+        "'n_docs_projected', n_docs_projected, "
+        "'n_nonfinite_scores', n_nonfinite_scores, "
+        "'pca_dims', pca_dims, "
+        "'variance_ordered', variance_ordered) AS (metric, value)"
+    )
+    return m.select(unpivot).orderBy("metric")
 
 
 # --- Range join: bucketized non-equi join (guide 'as-of / range join') ------

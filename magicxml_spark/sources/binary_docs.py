@@ -245,6 +245,311 @@ def resize_images(
     )
 
 
+# --- K10: image -> PDF (reference main.py:1173-1241) ---------------------
+
+#: A4 page box in points and the reference's px->pt ratio (72/96).
+PDF_MAX_WIDTH_PT = 595.0
+PDF_MAX_HEIGHT_PT = 842.0
+PX_TO_PT = 72.0 / 96.0
+PDF_MIN_PAGE_PT = 72.0
+PDF_DEFAULT_DPI = 300  # reference default (main.py:2245, 2267)
+
+
+def fit_image_to_pdf_page(width_px: int, height_px: int) -> dict[str, float]:
+    """The reference's pt-scaling/centering math (main.py:1195-1225),
+    as a pure function so it is testable without any codec.
+
+    px -> pt at 72/96; images larger than A4 (595x842 pt) are scaled to
+    fit and placed on an A4 page, smaller ones get a page of their own
+    size; pages are floored at 72 pt per side; the image is centered.
+    """
+    img_w_pt = width_px * PX_TO_PT
+    img_h_pt = height_px * PX_TO_PT
+    if img_w_pt > PDF_MAX_WIDTH_PT or img_h_pt > PDF_MAX_HEIGHT_PT:
+        scale = min(PDF_MAX_WIDTH_PT / img_w_pt, PDF_MAX_HEIGHT_PT / img_h_pt)
+        pdf_w, pdf_h = img_w_pt * scale, img_h_pt * scale
+        page_w, page_h = PDF_MAX_WIDTH_PT, PDF_MAX_HEIGHT_PT
+    else:
+        pdf_w, pdf_h = img_w_pt, img_h_pt
+        page_w, page_h = img_w_pt, img_h_pt
+    page_w = max(page_w, PDF_MIN_PAGE_PT)
+    page_h = max(page_h, PDF_MIN_PAGE_PT)
+    return {
+        "page_width_pt": page_w,
+        "page_height_pt": page_h,
+        "pdf_width_pt": pdf_w,
+        "pdf_height_pt": pdf_h,
+        "x_offset_pt": (page_w - pdf_w) / 2,
+        "y_offset_pt": (page_h - pdf_h) / 2,
+    }
+
+
+IMAGE_TO_PDF_SCHEMA = (
+    "path string, pdf_filename string, page_width_pt double, page_height_pt double, "
+    "pdf_width_pt double, pdf_height_pt double, x_offset_pt double, y_offset_pt double, "
+    "pdf_content binary"
+)
+
+
+def image_to_pdf(binary_df: DataFrame, deterministic_stub: bool = False) -> DataFrame:
+    """K10 image->PDF (main.py:1173-1241): RGBA/LA flattened onto a
+    white background, page sized by ``fit_image_to_pdf_page``, image
+    centered, one PDF per input image named ``{base}.pdf``.
+
+    The geometry columns are computed with the real reference math in
+    every mode; only the pixel decode (PIL) and PDF render (reportlab)
+    are import-gated. Stub mode derives image dimensions from
+    md5(content) — matching ``extract_image_meta``'s stub — and emits
+    md5-derived bytes as the pdf payload."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import os
+
+        use_real = _have("PIL") and _have("reportlab")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.splitext(os.path.basename(path))[0]
+                if use_real:  # pragma: no cover - codecs not in image
+                    from PIL import Image
+                    from reportlab.lib.utils import ImageReader
+                    from reportlab.pdfgen import canvas
+
+                    with Image.open(io.BytesIO(content)) as im:
+                        if im.mode in ("RGBA", "LA"):
+                            bg = Image.new("RGB", im.size, (255, 255, 255))
+                            bg.paste(im, mask=im.split()[-1] if im.mode == "RGBA" else None)
+                            im = bg
+                        elif im.mode != "RGB":
+                            im = im.convert("RGB")
+                        geo = fit_image_to_pdf_page(im.width, im.height)
+                        buf = io.BytesIO()
+                        c = canvas.Canvas(
+                            buf, pagesize=(geo["page_width_pt"], geo["page_height_pt"])
+                        )
+                        c.drawImage(
+                            ImageReader(im),
+                            geo["x_offset_pt"],
+                            geo["y_offset_pt"],
+                            geo["pdf_width_pt"],
+                            geo["pdf_height_pt"],
+                        )
+                        c.save()
+                        payload = buf.getvalue()
+                elif deterministic_stub:
+                    digest = hashlib.md5(bytes(content)).digest()
+                    # stub dims match extract_image_meta's stub, scaled up
+                    # so both fit branches occur across inputs
+                    geo = fit_image_to_pdf_page(
+                        (digest[0] + 1) * 8, (digest[1] + 1) * 8
+                    )
+                    payload = hashlib.md5(b"pdf" + bytes(content)).digest()
+                else:
+                    raise NotImplementedError(
+                        "PIL/reportlab not installed; pass deterministic_stub=True"
+                    )
+                rows.append(
+                    (
+                        path,
+                        f"{base}.pdf",
+                        geo["page_width_pt"],
+                        geo["page_height_pt"],
+                        geo["pdf_width_pt"],
+                        geo["pdf_height_pt"],
+                        geo["x_offset_pt"],
+                        geo["y_offset_pt"],
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "pdf_filename",
+                    "page_width_pt",
+                    "page_height_pt",
+                    "pdf_width_pt",
+                    "pdf_height_pt",
+                    "x_offset_pt",
+                    "y_offset_pt",
+                    "pdf_content",
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema=IMAGE_TO_PDF_SCHEMA
+    )
+
+
+# --- K10: PDF -> images per page @ dpi (reference main.py:1244-1381) -----
+
+PDF_TO_IMAGES_SCHEMA = (
+    "path string, page int, page_filename string, width int, height int, "
+    "img_content binary"
+)
+
+
+def pdf_to_images(
+    binary_df: DataFrame,
+    output_format: str = "png",
+    dpi: int = PDF_DEFAULT_DPI,
+    deterministic_stub: bool = False,
+) -> DataFrame:
+    """K10 pdf->image (main.py:1244-1381): render every page at ``dpi``
+    (fitz matrix dpi/72, pdf2image fallback), one output row per page.
+
+    Filenames follow the reference: a single-page PDF yields
+    ``{base}.{fmt}``; a multipage one yields ``page_{n:03d}.{fmt}``
+    entries destined for ``{base}_images.zip`` (see
+    ``write_image_outputs`` for the zip assembly). The page fan-out is
+    the Spark-side shape that scales — one task renders one PDF's
+    pages, downstream operators see per-page rows.
+
+    Stub mode (codecs absent): page count = 1 + md5(content)[0] % 3 and
+    pixel dims = A4 points x dpi/72 — so the dpi parameter is honored
+    observably and multipage fan-out is exercised."""
+    fmt = "jpg" if output_format.lower() == "jpg" else "png"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        use_real = _have("fitz") or _have("pdf2image")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.splitext(os.path.basename(path))[0]
+                if use_real:  # pragma: no cover - codecs not in image
+                    pages = _render_pdf_pages(bytes(content), fmt, dpi)
+                elif deterministic_stub:
+                    n_pages = 1 + hashlib.md5(bytes(content)).digest()[0] % 3
+                    w = round(PDF_MAX_WIDTH_PT * dpi / 72)
+                    h = round(PDF_MAX_HEIGHT_PT * dpi / 72)
+                    pages = [
+                        (w, h, hashlib.md5(bytes(content) + bytes([p])).digest())
+                        for p in range(n_pages)
+                    ]
+                else:
+                    raise NotImplementedError(
+                        "fitz/pdf2image not installed; pass deterministic_stub=True"
+                    )
+                single = len(pages) == 1
+                for pageno, (w, h, img) in enumerate(pages, 1):
+                    name = (
+                        f"{base}.{fmt}" if single else f"page_{pageno:03d}.{fmt}"
+                    )
+                    rows.append((path, pageno, name, w, h, img))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "page", "page_filename", "width", "height", "img_content"],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema=PDF_TO_IMAGES_SCHEMA
+    )
+
+
+def _render_pdf_pages(content: bytes, fmt: str, dpi: int):  # pragma: no cover
+    """Real render path: PyMuPDF first, pdf2image fallback — the
+    reference's exact library preference (main.py:1249, 1324)."""
+    import io
+
+    pages = []
+    try:
+        import fitz
+
+        doc = fitz.open(stream=content, filetype="pdf")
+        try:
+            for page in doc:
+                pix = page.get_pixmap(matrix=fitz.Matrix(dpi / 72, dpi / 72))
+                img = _encode_pix(pix.tobytes("png"), fmt)
+                pages.append((pix.width, pix.height, img))
+        finally:
+            doc.close()
+    except ImportError:
+        from pdf2image import convert_from_bytes
+
+        for im in convert_from_bytes(content, dpi=dpi):
+            buf = io.BytesIO()
+            if fmt == "jpg":
+                if im.mode in ("RGBA", "LA"):
+                    from PIL import Image
+
+                    bg = Image.new("RGB", im.size, (255, 255, 255))
+                    bg.paste(im, mask=im.split()[-1] if im.mode == "RGBA" else None)
+                    im = bg
+                elif im.mode != "RGB":
+                    im = im.convert("RGB")
+                im.save(buf, "JPEG", quality=95, optimize=True)
+            else:
+                im.save(buf, "PNG", optimize=True)
+            pages.append((im.width, im.height, buf.getvalue()))
+    return pages
+
+
+def _encode_pix(png_bytes: bytes, fmt: str) -> bytes:  # pragma: no cover
+    if fmt != "jpg":
+        return png_bytes
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(png_bytes)) as im:
+        if im.mode in ("RGBA", "LA"):
+            bg = Image.new("RGB", im.size, (255, 255, 255))
+            bg.paste(im, mask=im.split()[-1] if im.mode == "RGBA" else None)
+            im = bg
+        elif im.mode != "RGB":
+            im = im.convert("RGB")
+        buf = io.BytesIO()
+        im.save(buf, "JPEG", quality=95, optimize=True)
+        return buf.getvalue()
+
+
+def write_image_outputs(images_df: DataFrame, out_dir: str) -> list[str]:
+    """K10 delivery step (main.py:1259-1320): single-page PDFs produce a
+    bare image file, multipage ones ``{base}_images.zip`` with
+    ``page_{n:03d}.{fmt}`` members in page order.
+
+    Driver-side by design — this is the bounded per-file export the
+    reference serves over HTTP (100 MB envelope); page rows stream
+    through ``toLocalIterator`` sorted by (path, page) so only one
+    file's pages are held at a time. The distributed part (render) has
+    already happened in ``pdf_to_images``."""
+    import os
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+    current_path, current_pages = None, []
+
+    def flush(src_path: str, pages: list) -> None:
+        base = os.path.splitext(os.path.basename(src_path))[0]
+        if len(pages) == 1:
+            target = os.path.join(out_dir, pages[0][0])
+            with open(target, "wb") as fh:
+                fh.write(pages[0][1])
+        else:
+            target = os.path.join(out_dir, f"{base}_images.zip")
+            with zipfile.ZipFile(target, "w") as zf:
+                for name, payload in pages:
+                    zf.writestr(name, payload)
+        written.append(target)
+
+    ordered = images_df.select("path", "page", "page_filename", "img_content").sort(
+        "path", "page"
+    )
+    for row in ordered.toLocalIterator():
+        if row["path"] != current_path:
+            if current_path is not None:
+                flush(current_path, current_pages)
+            current_path, current_pages = row["path"], []
+        current_pages.append((row["page_filename"], bytes(row["img_content"])))
+    if current_path is not None:
+        flush(current_path, current_pages)
+    return written
+
+
 def sample_video_frames(
     binary_df: DataFrame,
     every_n: int = 30,

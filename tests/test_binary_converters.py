@@ -1,0 +1,155 @@
+"""K10 converter tests: pdf->images per page @ dpi (+ zip assembly),
+image->PDF pt-scaling/centering, and the A5 dependency-parse skeleton.
+
+Codecs are absent from this image, so these drive the deterministic
+stub paths — the distributed plumbing (page fan-out, dpi math, zip
+assembly, schema) is the engine behavior under test; the pt-scaling
+math is the reference's real formula (main.py:1195-1225) and is
+tested exactly.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from magicxml_spark.analytics.nlp import dependency_parse
+from magicxml_spark.sources.binary_docs import (
+    PDF_DEFAULT_DPI,
+    fit_image_to_pdf_page,
+    image_to_pdf,
+    pdf_to_images,
+    read_binary,
+    write_image_outputs,
+)
+
+
+def test_fit_small_image_gets_own_page_size():
+    # 400x300 px -> 300x225 pt, fits A4: page == image, no offsets
+    geo = fit_image_to_pdf_page(400, 300)
+    assert geo["page_width_pt"] == pytest.approx(300.0)
+    assert geo["page_height_pt"] == pytest.approx(225.0)
+    assert geo["pdf_width_pt"] == pytest.approx(300.0)
+    assert geo["x_offset_pt"] == pytest.approx(0.0)
+    assert geo["y_offset_pt"] == pytest.approx(0.0)
+
+
+def test_fit_large_image_scaled_and_centered_on_a4():
+    # 2000x1000 px -> 1500x750 pt, too wide: scale to 595 wide, center
+    geo = fit_image_to_pdf_page(2000, 1000)
+    assert geo["page_width_pt"] == 595.0 and geo["page_height_pt"] == 842.0
+    assert geo["pdf_width_pt"] == pytest.approx(595.0)
+    assert geo["pdf_height_pt"] == pytest.approx(297.5)
+    assert geo["x_offset_pt"] == pytest.approx(0.0)
+    # vertical centering: (842 - 297.5) / 2
+    assert geo["y_offset_pt"] == pytest.approx(272.25)
+
+
+def test_fit_tiny_image_page_floored_at_72pt():
+    # reference floors page dims at 72 pt (main.py:1213-1214); the
+    # image keeps its true size and is centered inside the floor page
+    geo = fit_image_to_pdf_page(20, 20)  # 15x15 pt
+    assert geo["page_width_pt"] == 72.0 and geo["page_height_pt"] == 72.0
+    assert geo["pdf_width_pt"] == pytest.approx(15.0)
+    assert geo["x_offset_pt"] == pytest.approx((72.0 - 15.0) / 2)
+
+
+def test_image_to_pdf_stub_geometry_and_naming(spark, tmp_path):
+    # md5-derived stub dims: img-small -> 136x1384 px (scale branch),
+    # img-big -> 152x864 px (own-page branch)
+    (tmp_path / "img-small.png").write_bytes(b"img-small")
+    (tmp_path / "img-big.png").write_bytes(b"img-big")
+    out = {
+        r["pdf_filename"]: r
+        for r in image_to_pdf(
+            read_binary(spark, str(tmp_path)), deterministic_stub=True
+        ).collect()
+    }
+    small = out["img-small.pdf"]
+    assert small["page_height_pt"] == 842.0  # scaled onto A4
+    assert small["x_offset_pt"] > 0  # centered horizontally
+    big = out["img-big.pdf"]
+    assert big["page_width_pt"] == pytest.approx(152 * 72 / 96)
+    assert big["x_offset_pt"] == pytest.approx(0.0)
+    assert len(bytes(big["pdf_content"])) > 0
+
+
+def test_pdf_to_images_page_fanout_and_dpi(spark, tmp_path):
+    # stub page counts: %PDF-one -> 3 pages, %PDF-two -> 1 page
+    (tmp_path / "one.pdf").write_bytes(b"%PDF-one")
+    (tmp_path / "two.pdf").write_bytes(b"%PDF-two")
+    rows = pdf_to_images(
+        read_binary(spark, str(tmp_path)), output_format="png", deterministic_stub=True
+    ).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["one.pdf"]) == 3 and len(by_file["two.pdf"]) == 1
+    # multipage -> page_NNN.png members; single page -> bare {base}.png
+    assert sorted(r["page_filename"] for r in by_file["one.pdf"]) == [
+        "page_001.png",
+        "page_002.png",
+        "page_003.png",
+    ]
+    assert by_file["two.pdf"][0]["page_filename"] == "two.png"
+    # dpi honored: A4 points x 300/72 (reference default, main.py:2245)
+    assert rows[0]["width"] == round(595 * PDF_DEFAULT_DPI / 72)
+    assert rows[0]["height"] == round(842 * PDF_DEFAULT_DPI / 72)
+    # and a non-default dpi changes the rendered dimensions
+    r72 = pdf_to_images(
+        read_binary(spark, str(tmp_path), glob="two.pdf"),
+        dpi=72,
+        deterministic_stub=True,
+    ).collect()
+    assert r72[0]["width"] == 595 and r72[0]["height"] == 842
+
+
+def test_write_image_outputs_zip_assembly(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "one.pdf").write_bytes(b"%PDF-one")  # 3 pages -> zip
+    (src / "two.pdf").write_bytes(b"%PDF-two")  # 1 page -> bare file
+    images = pdf_to_images(read_binary(spark, str(src)), deterministic_stub=True)
+    out_dir = tmp_path / "out"
+    written = sorted(write_image_outputs(images, str(out_dir)))
+    assert [p.rsplit("/", 1)[-1] for p in written] == ["one_images.zip", "two.png"]
+    with zipfile.ZipFile(out_dir / "one_images.zip") as zf:
+        assert zf.namelist() == ["page_001.png", "page_002.png", "page_003.png"]
+        assert all(len(zf.read(n)) > 0 for n in zf.namelist())
+    assert (out_dir / "two.png").stat().st_size > 0
+
+
+def test_jpg_format_naming(spark, tmp_path):
+    (tmp_path / "two.pdf").write_bytes(b"%PDF-two")
+    rows = pdf_to_images(
+        read_binary(spark, str(tmp_path)), output_format="jpg", deterministic_stub=True
+    ).collect()
+    assert rows[0]["page_filename"] == "two.jpg"
+
+
+def test_dependency_parse_stub(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "hello")], ["doc_id", "text"]
+    )
+    rows = dependency_parse(docs, deterministic_stub=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty text -> no tokens
+    d1 = sorted(by_doc[1], key=lambda r: r["token_index"])
+    assert [r["token"] for r in d1] == ["the", "cat", "sat"]
+    assert d1[0]["dep"] == "ROOT" and d1[0]["head_index"] == 0
+    assert [r["head_index"] for r in d1] == [0, 0, 1]  # chain to previous
+    assert all(r["pos"] for r in d1)
+    # determinism: same token -> same labels across runs
+    again = dependency_parse(docs, deterministic_stub=True).collect()
+    assert {(r["doc_id"], r["token_index"], r["pos"], r["dep"]) for r in again} == {
+        (r["doc_id"], r["token_index"], r["pos"], r["dep"]) for r in rows
+    }
+
+
+def test_dependency_parse_ungated_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="spacy not installed|NotImplemented"):
+        dependency_parse(docs).collect()

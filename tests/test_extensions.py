@@ -203,3 +203,23 @@ def test_blocked_near_dup_equals_broadcast(spark, monkeypatch):
     )
     got = {(r["id_a"], r["id_b"], r["sim"]) for r in got_df.collect()}
     assert expected and got == expected
+
+
+def test_lsh_recall_floor(spark):
+    """Hard gate for the multi-table LSH path: recall@5 vs the exact
+    blocked top-k must stay above the recorded floor (BASELINE.md
+    records 0.86 at sf0.01 / 0.89 at sf0.1 for 3 planes x 8 tables)."""
+    from magicxml_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_lsh,
+        topk_recall,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    exact = cosine_topk_blocked(emb, "vec_id", "embedding", k=5)
+    lsh = cosine_topk_lsh(
+        emb, "vec_id", "embedding", k=5, dim=64, n_planes=3, n_tables=8
+    )
+    r = topk_recall(lsh, exact).collect()[0]
+    assert r["n_exact_pairs"] == r["n_queries"] * 5
+    assert r["recall"] > 0.75, r["recall"]
