@@ -13,16 +13,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # --- Python-strip parity --------------------------------------------------
-# The reference strips with str.strip() — ALL whitespace, not just
-# spaces. Spark's F.trim removes only ' ' (0x20), so every place the
-# reference calls .strip() uses this instead. (\s here is ASCII
-# whitespace in both Java and RE2 — Unicode exotic spaces are the one
-# documented divergence from Python.)
+# The reference strips with str.strip() — every char for which Python's
+# str.isspace() is true: ASCII \t\n\v\f\r and space (Java \s), the
+# C1/format controls \x1c-\x1f and \x85 (bidi B/S/WS), and the Unicode
+# separators category Z (Zs spaces incl. \xa0 and 　, Zl  ,
+# Zp  ). Spark's F.trim removes only ' ' (0x20) and Java \s is
+# ASCII-only, so every place the reference calls .strip() uses this
+# class instead — exact Python parity (pinned by
+# tests/test_strings.py::test_strip_ws_python_parity).
+
+_PY_WS_CLASS = "[\\s\\u001C-\\u001F\\u0085\\p{Z}]"
 
 
 def strip_ws(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, "^\\s+|\\s+$", "")
+    return F.regexp_replace(c, f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", "")
 
 
 # --- P4: order-preserving dedup of '///'-delimited pseudo-arrays ---------

@@ -694,9 +694,21 @@ def flatten_russian_records(df: DataFrame) -> DataFrame:
                 row_fields = list(rdt.elementType.names)
 
         if row_fields:
-            # R2 stock aggregate (main.py:348-365)
+            # R2 stock aggregate (main.py:348-365). The reference's
+            # tc_data keeps only rows with >=1 non-empty text child
+            # (main.py:339-345), so an Остатки part whose rows are all
+            # empty emits NO stock columns (available falls through to
+            # the '1' default) — gate on that, not on raw row count.
             row_struct = rdt.elementType
-            rows = _tc_rows(tc, "Остатки", row_struct)
+            data_fields = [fn for fn in row_fields if not _is_attr(fn)]
+
+            def _row_has_data(r: Column) -> Column:
+                cond = F.lit(False)
+                for fn in data_fields:
+                    cond = cond | _nonempty(r[fn]).isNotNull()
+                return cond
+
+            rows = F.filter(_tc_rows(tc, "Остатки", row_struct), _row_has_data)
             qty = lambda r: _tc_get(r, "КоличествоОстаток", row_fields, "0")  # noqa: E731
             wh = lambda r: _tc_get(r, "СкладНаименование", row_fields, "")  # noqa: E731
             total = F.aggregate(
@@ -715,8 +727,17 @@ def flatten_russian_records(df: DataFrame) -> DataFrame:
                 F.transform(listed, lambda r: F.concat(wh(r), F.lit(": "), qty(r))), "///"
             )
             has_stock = F.size(rows) > 0
+            # total_stock starts as Python int 0 and only becomes float
+            # when some quantity parses — str() renders '0' in the
+            # all-unparseable case, '0.0'/'5.0' otherwise
+            any_parsed = F.exists(
+                rows, lambda r: qty(r).try_cast("double").isNotNull()
+            )
             out.set("available", F.when(has_stock, F.when(total > 0, "1").otherwise("0")))
-            out.set("stock_total", F.when(has_stock, _s(total)))
+            out.set(
+                "stock_total",
+                F.when(has_stock, F.when(any_parsed, _s(total)).otherwise(F.lit("0"))),
+            )
             out.set("stock_details", F.when(has_stock, details))
 
             # R3 price fold — faithful document-order state machine

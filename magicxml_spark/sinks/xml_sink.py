@@ -238,10 +238,23 @@ def write_yml_catalog(
         )
         cats = []
     frags = offer_fragments(df, cat_ids)
+
+    # header values escape like the fragments do (the reference built the
+    # header with ElementTree, which escapes; a shop_name containing '&'
+    # must not produce malformed XML)
+    def esc_text(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def esc_attr(s: str) -> str:
+        return esc_text(s).replace('"', "&quot;")
+
     with open(path, "w", encoding="utf-8") as f:
         f.write("<?xml version='1.0' encoding='utf-8'?>\n")
-        f.write(f'<yml_catalog date="{date}"><shop>')
-        f.write(f"<name>{shop_name}</name><company>{company}</company><url>{url}</url>")
+        f.write(f'<yml_catalog date="{esc_attr(date)}"><shop>')
+        f.write(
+            f"<name>{esc_text(shop_name)}</name>"
+            f"<company>{esc_text(company)}</company><url>{esc_text(url)}</url>"
+        )
         f.write('<currencies><currency id="RUR" rate="1"/></currencies><categories>')
         for r in cats:
             esc = (

@@ -162,3 +162,34 @@ def test_presplit_ignores_comments_and_selfclose(tmp_path):
     assert len(recs) == 2
     assert recs[0].findtext("b") == "y"  # comment did not truncate record 1
     assert recs[1].get("id") == "2"  # self-closing record kept clean
+
+
+def test_presplit_streams_bounded_memory(tmp_path):
+    """The scanner must never hold the whole file: records are yielded
+    incrementally from pathologically small read chunks (1-3 chars), with
+    comments/CDATA/nesting straddling every chunk boundary."""
+    import io
+
+    from magicxml_spark.sources.xml_split import _iter_records, presplit_xml
+
+    doc = (
+        "<offers>"
+        + "".join(
+            f"<offer id='{i}'><!-- </offer> --><p><![CDATA[</offer>]]></p></offer>"
+            for i in range(50)
+        )
+        + "</offers>"
+    )
+    for chunk in (1, 3, 64):
+        recs = list(_iter_records(io.StringIO(doc), "offer", chunk=chunk))
+        assert len(recs) == 50
+        assert all(r.startswith("<offer id=") and r.endswith("</offer>") for r in recs)
+
+    src = tmp_path / "big.xml"
+    src.write_text(doc)
+    parts = presplit_xml(str(src), str(tmp_path / "parts"), "offer", records_per_part=20)
+    assert len(parts) == 3  # 20 + 20 + 10
+    import xml.etree.ElementTree as ET
+
+    totals = [len(ET.parse(p).getroot().findall("offer")) for p in parts]
+    assert totals == [20, 20, 10]

@@ -17,6 +17,7 @@ from magicxml_spark.functions.strings import (
     md5_short_id,
     sanitize_name,
     strip_size_question,
+    strip_ws,
 )
 
 
@@ -147,3 +148,25 @@ def test_dedup_idempotent(spark, value):
     df = spark.createDataFrame([(once,)], schema="v string")
     twice = df.select(dedup_delimited(F.col("v"))).collect()[0][0]
     assert twice == once
+
+
+def test_strip_ws_python_parity(spark):
+    """strip_ws must equal Python str.strip() for every char str.strip()
+    removes — ASCII whitespace, \\x1c-\\x1f/\\x85 controls, and all of
+    Unicode category Z — and must NOT remove non-space chars Python
+    keeps (e.g. ZWSP \\u200b, which isspace() rejects)."""
+    ws_chars = [
+        "\t", "\n", "\x0b", "\x0c", "\r", " ",
+        "\x1c", "\x1d", "\x1e", "\x1f", "\x85",
+        "\xa0", " ", " ", " ", " ",
+        " ", " ", " ", " ", "　",
+    ]
+    keep_chars = ["​", "⁠", "a", "."]  # not Python whitespace
+    samples = [f"{c}x{c}y{c}" for c in ws_chars + keep_chars]
+    samples += ["", "  ", "　\xa0\t", "plain"]
+    for s in samples:
+        assert s.strip() == s.strip()  # sanity: Python side defined
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["t"] for r in df.select(strip_ws("s").alias("t")).collect()]
+    expected = [s.strip() for s in samples]
+    assert got == expected

@@ -233,3 +233,41 @@ def test_pictures_whitespace_padded_urls(spark):
     assert got == (
         "http://a.ru/pad0.jpg///http://a.ru/plain.gif///http://a.ru/x1.png"
     )
+
+
+def test_russian_stock_empty_rows_and_unparseable(spark, tmp_path):
+    """ADVICE r1 parity: an Остатки part whose rows are all empty builds
+    an empty tc_data in the reference (main.py:339-347), so NO stock
+    columns are emitted and available falls through to the '1' default;
+    and when no quantity ever parses, total_stock stays Python int 0 ->
+    str renders '0', not '0.0'."""
+    doc = (
+        "<Корневой>"
+        "<ЭлементСправочника><ID>E-9</ID><Наименование>X</Наименование>"
+        '<ТЧ ИмяТабличнойЧасти="Остатки">'
+        "<ЭлементТЧ><СкладНаименование></СкладНаименование>"
+        "<КоличествоОстаток>  </КоличествоОстаток></ЭлементТЧ>"
+        "<ЭлементТЧ><СкладНаименование/><КоличествоОстаток/></ЭлементТЧ>"
+        "</ТЧ></ЭлементСправочника>"
+        "<ЭлементСправочника><ID>E-10</ID><Наименование>Y</Наименование>"
+        '<ТЧ ИмяТабличнойЧасти="Остатки">'
+        "<ЭлементТЧ><СкладНаименование>W</СкладНаименование>"
+        "<КоличествоОстаток>N/A</КоличествоОстаток></ЭлементТЧ>"
+        "</ТЧ></ЭлементСправочника>"
+        "</Корневой>"
+    )
+    p = tmp_path / "stock_edge.xml"
+    p.write_text(doc, encoding="utf-8")
+    df, dialect = read_xml_records(spark, str(p))
+    assert dialect == "russian"
+    rows = _rows(flatten_russian_records(df), "ID")
+
+    e9 = rows["E-9"]  # all-empty rows -> no stock block at all
+    assert "stock_total" not in e9
+    assert "stock_details" not in e9
+    assert e9["available"] == "1"
+
+    e10 = rows["E-10"]  # present but unparseable -> int-0 formatting
+    assert e10["available"] == "0"
+    assert e10["stock_total"] == "0"
+    assert e10["stock_details"] == "W: N/A"
