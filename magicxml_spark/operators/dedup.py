@@ -60,12 +60,31 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def _band_digest_salt(band: int) -> str:
+    """Digest-group salt for band b: bands are carved 4-per-md5 (one
+    128-bit digest = four independent 32-bit hex slices), so only every
+    4th band needs a fresh salted digest. Salt '' for the first group
+    keeps the common n_bands<=4 case a bare md5(shingle) — cheapest and
+    trivially oracle-expressible."""
+    group = band // 4
+    return "" if group == 0 else f"{group}|"
+
+
+def _band_slice(digest: Column, band: int) -> Column:
+    return F.substring(digest, 1 + (band % 4) * 8, 8)
+
+
 def minhash_band_signature(shingles: Column, band: int) -> Column:
-    """Min-wise hash for one band: min over shingles of
-    md5('<band>|' || shingle). Lexicographic min over hex strings is a
-    uniform order, so each band is an independent hash family member."""
+    """Min-wise hash for one band: min over shingles of an 8-hex slice
+    of md5. Lexicographic min over hex strings is a uniform order, and
+    the four 32-bit slices of one md5 are independent, so each band is
+    an independent hash family member at a quarter of the digest cost."""
+    salt = _band_digest_salt(band)
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+        F.transform(
+            shingles,
+            lambda s: _band_slice(F.md5(F.concat(F.lit(salt), s) if salt else s), band),
+        )
     )
 
 
@@ -74,19 +93,50 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, band, signature) — long form, ready for the bucket join.
 
-    Shape: explode shingles, fan out bands, then ONE hash aggregation
-    with map-side partial min — each shingle's md5 is computed exactly
-    once per band, and the shuffle carries only (id, band, partial-min)
-    after combine. (An array-expression spelling recomputes the whole
-    shingle array per band because Catalyst collapses projections.)
+    Shape: explode md5(shingle) — hashed INSIDE the array transform so
+    each shingle is digested exactly once regardless of band count
+    (Catalyst's projection collapse would otherwise re-digest per
+    band-aggregate) — then ONE hash aggregation computing every band's
+    minimum as a parallel aggregate with map-side partial min; the
+    shuffle carries only (id, partial-mins). A shuffle-free stack
+    unpivots to long form. Bands are 8-hex slices of the digest
+    (4 bands per md5; >4 bands salt additional digests).
     """
     sh = word_shingles(F.col(text_col), shingle_k)
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-    # one shuffle: all band minima as parallel aggregates of the same
-    # exploded rows (map-side combined), then a shuffle-free unpivot
+    n_digests = (n_bands + 3) // 4
+    digest_cols = [
+        F.explode(
+            F.transform(
+                sh,
+                (lambda salt: lambda s: F.md5(F.concat(F.lit(salt), s) if salt else s))(
+                    _band_digest_salt(g * 4)
+                ),
+            )
+        ).alias(f"_h{g}")
+        for g in range(n_digests)
+    ]
+    if n_digests == 1:
+        exploded = df.select(F.col(id_col).alias("id"), digest_cols[0])
+    else:
+        # multiple digest groups: explode arrays zipped positionally so
+        # each shingle contributes one row carrying all its digests
+        zipped = F.arrays_zip(
+            *[
+                F.transform(
+                    sh,
+                    (lambda salt: lambda s: F.md5(F.concat(F.lit(salt), s) if salt else s))(
+                        _band_digest_salt(g * 4)
+                    ),
+                )
+                for g in range(n_digests)
+            ]
+        )
+        exploded = df.select(
+            F.col(id_col).alias("id"), F.explode(zipped).alias("_z")
+        ).select("id", *[F.col("_z")[str(g)].alias(f"_h{g}") for g in range(n_digests)])
     mins = exploded.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_b{b}")
+            F.min(_band_slice(F.col(f"_h{b // 4}"), b)).alias(f"_b{b}")
             for b in range(n_bands)
         ]
     )

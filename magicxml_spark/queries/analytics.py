@@ -58,7 +58,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  i -> array_to_string(w[i:i+2], ' ')) AS sh
            FROM w WHERE len(w) > 0),
     sig AS (SELECT doc_id, b.band,
-                   list_aggregate(list_transform(sh, s -> md5(b.band || '|' || s)),
+                   list_aggregate(list_transform(sh, s -> substr(md5(s), 1 + b.band * 8, 8)),
                                   'min') AS signature
             FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
     SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b

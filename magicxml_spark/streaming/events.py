@@ -14,7 +14,11 @@ sink — deterministic, independent of wall-clock.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,20 +69,51 @@ def windowed_event_counts(
     )
 
 
-def run_stream_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+@contextmanager
+def _stream_tuning(spark: SparkSession, state_partitions: int):
+    """Right-size stateful-operator parallelism for the query's state
+    cardinality. The session default (32) means 32 state-store
+    instances each paying open/commit/fsync per micro-batch — for a
+    windowed agg whose state is a few thousand (window, type) rows
+    that fixed cost dominates. On a real cluster this knob scales with
+    key cardinality, not executor count. Restored on exit so batch
+    queries keep the session default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _checkpoint_dir(name: str) -> str:
+    """Checkpoint under tmpfs when available: the offset/commit/state
+    logs of a test-lifecycle query are throwaway, and memory-backed
+    fsync shaves the per-batch commit latency. Production streams pass
+    their own durable location instead."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "mxs_stream_ckpt", name)
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive the streaming aggregation to completion (availableNow) and
     return the result as a DataFrame — complete output mode, so the
     memory table holds the final windows."""
-    agg = windowed_event_counts(read_events_stream(spark, sf_dir))
     name = f"events_windows_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_tuning(spark, state_partitions):
+        agg = windowed_event_counts(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)
 
 
@@ -113,17 +148,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stateful_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stateful_to_memory(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive the stateful totals to completion; the final update per
     user equals the batch aggregate (tests assert this)."""
-    agg = running_user_totals(read_events_stream(spark, sf_dir))
     name = f"user_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_tuning(spark, state_partitions):
+        agg = running_user_totals(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)

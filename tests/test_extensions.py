@@ -40,6 +40,13 @@ def test_dedup_clusters_small_graph(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    # the iterative label-propagation path (taken above the single-task
+    # threshold) must produce the identical labeling
+    iterative = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, pairs, local_solve_edges=0).collect()
+    }
+    assert iterative == got
 
 
 def test_tfidf_pca_shapes(spark):
