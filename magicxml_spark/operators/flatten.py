@@ -360,6 +360,7 @@ def flatten_offer_records(
     category_paths: DataFrame | None = None,
     param_keys: list[str] | None = None,
     max_param_keys: int = 1000,
+    pivot_keys: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Flatten offer/product records (reference process_offer,
     main.py:115-325) into the reference's flat string schema.
@@ -369,11 +370,18 @@ def flatten_offer_records(
     ``param_keys``: distinct <param name=...> keys; computed with one
     tiny distinct pass if not supplied (the dynamic-pivot two-pass,
     SURVEY §4).
+    ``pivot_keys``: full {"param"/"fabric"/"features": [keys]} map —
+    supplying it skips every dynamic-pivot distinct scan (steady-state
+    re-ingest path). The keys actually used are reported back on the
+    result as ``_mxs_pivot_keys`` so callers can cache them.
     """
     schema: T.StructType = df.schema
     names = set(schema.names)
     excluded = _EXCLUDED.get(dialect, set())
     out = _Out()
+    used_pivot_keys: dict[str, list[str]] = {}
+    if param_keys is None and pivot_keys is not None:
+        param_keys = pivot_keys.get("param")
 
     # Q1: parent products containing nested <offer> are dropped
     if dialect == "product" and "offer" in names:
@@ -513,6 +521,7 @@ def flatten_offer_records(
                     .limit(max_param_keys)
                     .collect()
                 ]
+            used_pivot_keys["param"] = list(param_keys)
             import re as _re
 
             for key in sorted(param_keys):
@@ -557,15 +566,18 @@ def flatten_offer_records(
             el = fdt.elementType if isinstance(fdt, T.ArrayType) else fdt
             if not (isinstance(el, T.StructType) and "_name" in el.names):
                 continue
-            keys = [
-                r[0]
-                for r in df.select(
-                    F.explode(F.transform(feats, lambda p: _s(p["_name"]))).alias("k")
-                )
-                .filter(F.col("k").isNotNull() & (F.col("k") != ""))
-                .distinct()
-                .collect()
-            ]
+            keys = None if pivot_keys is None else pivot_keys.get(holder)
+            if keys is None:
+                keys = [
+                    r[0]
+                    for r in df.select(
+                        F.explode(F.transform(feats, lambda p: _s(p["_name"]))).alias("k")
+                    )
+                    .filter(F.col("k").isNotNull() & (F.col("k") != ""))
+                    .distinct()
+                    .collect()
+                ]
+            used_pivot_keys[holder] = list(keys)
             for key in sorted(keys):
                 matches = F.filter(feats, _name_eq(key, trim=False))
                 vals = F.transform(
@@ -618,6 +630,7 @@ def flatten_offer_records(
             )
         else:
             flat = flat.withColumn("category_path", F.lit("Undefined")).drop("_cid_join")
+    flat._mxs_pivot_keys = used_pivot_keys  # type: ignore[attr-defined]
     return flat
 
 

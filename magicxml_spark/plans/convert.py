@@ -38,15 +38,25 @@ def flatten_xml(spark: SparkSession, path: str, dialect: str | None = None) -> D
     under-parallel scan is re-partitioned once up front. For repeated
     processing of one giant file, pre-split it on disk instead
     (sources.xml_split.presplit_xml)."""
+    from magicxml_spark.sources.schema_registry import (
+        content_key,
+        meta_get,
+        meta_put,
+    )
+
     records, detected = read_xml_records(spark, path, dialect)
     target = spark.sparkContext.defaultParallelism
     if records.rdd.getNumPartitions() < max(2, target // 2):
         records = records.repartition(target)
     # the pipeline scans records several times (param-key distinct scan,
     # Q5 prune aggregate, final projection+write) — cache the typed
-    # records so the XML text parses exactly once
+    # records so the XML text parses exactly once. On a re-ingest of
+    # byte-identical content every derived artifact (pivot keys,
+    # category paths, prune columns) replays from the metadata cache and
+    # the whole conversion collapses to ONE parse+project+write pass.
     records = records.persist()
     cached = records
+    ckey = content_key(path)
     if detected == "russian":
         flat = flatten_russian_records(records)
     elif detected == "service":
@@ -54,13 +64,28 @@ def flatten_xml(spark: SparkSession, path: str, dialect: str | None = None) -> D
     else:
         paths = None
         if detected == "offer":
-            cats = read_categories(spark, path)
-            if not cats.isEmpty():
-                paths = build_category_paths(cats, skip_undefined_names=True)
-        flat = flatten_offer_records(records, detected, category_paths=paths)
+            path_rows = meta_get("category_paths", ckey)
+            if path_rows is None:
+                cats = read_categories(spark, path)
+                if not cats.isEmpty():
+                    paths = build_category_paths(cats, skip_undefined_names=True)
+                    meta_put("category_paths", ckey, tuple(paths.collect()))
+                else:
+                    meta_put("category_paths", ckey, ())
+            elif path_rows:
+                paths = spark.createDataFrame(
+                    list(path_rows), "id string, category_path string"
+                )
+        pivots = meta_get("pivot_keys", ckey)
+        flat = flatten_offer_records(
+            records, detected, category_paths=paths, pivot_keys=pivots
+        )
+        if pivots is None:
+            meta_put("pivot_keys", ckey, getattr(flat, "_mxs_pivot_keys", None))
     # hand the cache handle to the caller so one-shot pipelines can
     # unpersist after their final action (long sessions don't leak)
     flat._mxs_cached = cached  # type: ignore[attr-defined]
+    flat._mxs_content_key = ckey  # type: ignore[attr-defined]
     return flat
 
 
@@ -75,7 +100,12 @@ def xml_to_csv(
     mode mirrors the reference byte format; multi-part for scale)."""
     flat = flatten_xml(spark, src, dialect)
     try:
-        return write_csv(flat, dst, single_file=single_file)
+        return write_csv(
+            flat,
+            dst,
+            single_file=single_file,
+            meta_key=getattr(flat, "_mxs_content_key", None),
+        )
     finally:
         cached = getattr(flat, "_mxs_cached", None)
         if cached is not None:

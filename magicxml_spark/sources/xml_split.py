@@ -137,14 +137,21 @@ def presplit_xml(
     out_dir: str,
     row_tag: str,
     records_per_part: int = 20_000,
+    bytes_per_part: int = 4 << 20,
     encoding: str = "utf-8",
 ) -> list[str]:
-    """Split ``path`` into N well-formed parts of ~records_per_part
-    records each, streaming record-by-record. Returns the part paths."""
+    """Split ``path`` into N well-formed parts, streaming
+    record-by-record. A part closes at ``records_per_part`` records OR
+    ``bytes_per_part`` of record text, whichever comes first — the byte
+    cap keeps parse parallelism proportional to file size (a 52 MB /
+    100k-record export yields ~13 parts, not 5), matching how Spark's
+    own file sources split by maxPartitionBytes. Returns the part
+    paths."""
     os.makedirs(out_dir, exist_ok=True)
     parts: list[str] = []
     out: IO[str] | None = None
     n_in_part = 0
+    bytes_in_part = 0
 
     def open_part() -> IO[str]:
         part_path = os.path.join(out_dir, f"part-{len(parts):05d}.xml")
@@ -159,10 +166,11 @@ def presplit_xml(
                 out = open_part()
             out.write(record)
             n_in_part += 1
-            if n_in_part >= records_per_part:
+            bytes_in_part += len(record)
+            if n_in_part >= records_per_part or bytes_in_part >= bytes_per_part:
                 out.write("</records>")
                 out.close()
-                out, n_in_part = None, 0
+                out, n_in_part, bytes_in_part = None, 0, 0
     if out is not None:
         out.write("</records>")
         out.close()
