@@ -242,3 +242,47 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination check (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """For each evaluation document, measure k-gram overlap with the
+    training corpus: how many corpus docs share at least one k-gram,
+    how many distinct k-grams leak, and the total (doc, gram) pair
+    count. The standard pre-training hygiene check (decontamination).
+
+    Shape: both sides explode DISTINCT shingles (word_shingles — same
+    convention as minhash: short docs contribute one whole-text gram)
+    and equi-join on the gram string — bucketed by gram, never
+    all-pairs. At 100 TB the gram join inherits AQE skew splitting;
+    stop-gram removal (drop grams above a document-frequency cap, one
+    extra aggregate) is the standard mitigation for pathological common
+    grams and composes here as a pre-filter on the corpus side.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("corpus_doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    return (
+        ev.join(corp, "gram")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("corpus_doc_id").alias("n_contaminating_docs"),
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.count(F.lit(1)).alias("n_shared_pairs"),
+        )
+    )

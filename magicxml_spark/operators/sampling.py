@@ -1,0 +1,73 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling in a distributed pipeline must be REPRODUCIBLE — the
+same corpus must yield the same sample on every run, every cluster
+size, every partitioning (seeded `df.sample` is none of these across
+repartitions). These operators derive order from a content hash, so
+the sample is a pure function of the data.
+
+Scale shape: one shuffle on the strata key; Spark rewrites the
+row_number filter into WindowGroupLimit (a per-partition top-k push
+down before the shuffle), so a stratum never materializes fully on one
+task just to be cut to n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_order(key: Column | str) -> Column:
+    """Stable pseudo-random ordering: md5 of the key rendered as text.
+    md5 (not xxhash64) so cross-engine oracles can reproduce it."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(c.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    n_per_stratum: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank rows inside each
+    stratum by md5(key) (key itself breaks md5 ties) and keep the
+    first ``n_per_stratum``. ``rank_col`` exposes the rank so callers
+    can sub-slice without resampling."""
+    w = Window.partitionBy(*strata).orderBy(hash_order(key), F.col(key))
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n_per_stratum
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket each row by the
+    first 8 hex digits of md5(salt || key) scaled to [0,1) and assign
+    the split whose cumulative fraction range contains it. Stable
+    under repartitioning and engine changes (md5 is md5 everywhere)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**8))
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

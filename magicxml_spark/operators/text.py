@@ -129,3 +129,113 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+#: Detection patterns, deliberately RE2-compatible (no lookaround) so a
+#: cross-engine oracle (DuckDB/RE2 vs Spark/Java) sees identical
+#: matches. Order matters for redaction: email before phone keeps the
+#: digits of "user123@..." from being half-eaten as a phone number.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ().-]{7,}[0-9]",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts — pure regexp_extract_all, stays
+    inside whole-stage codegen (no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``, applying patterns in
+    PII_PATTERNS order (email/url first so their digit runs are not
+    partially consumed by the looser phone pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-category counts + a redacted copy of ``text_col``."""
+    counts = pii_counts(text_col)
+    return df.select(
+        *df.columns,
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        redact_pii(text_col).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules: excessive repetition
+# marks low-quality / boilerplate documents)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics:
+
+    * ``n_words`` — whitespace token count
+    * ``uniq_word_ratio`` — distinct words / words
+    * ``top_word_share`` — most frequent word's share of all words
+    * ``dup_bigram_share`` — 1 - distinct bigrams / bigrams
+
+    ``top_word_share`` needs a per-(doc, word) count — explode +
+    two aggregations (map-side partial combine keeps the shuffle to the
+    pre-aggregated pairs). The bigram ratios are pure array expressions
+    computed in the same scan, joined back on the doc id (broadcast-safe
+    at dimension scale, shuffle join otherwise; both sides are one row
+    per doc). Only docs with at least 2 words qualify (bigram domain).
+    """
+    words = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+    ).filter(F.size("_w") >= 2)
+
+    bigram_stats = base.select(
+        F.col(id_col),
+        F.size("_w").alias("n_words"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        "n_words",
+        F.size("_bg").alias("_n_bg"),
+        F.size(F.array_distinct("_bg")).alias("_n_bg_uniq"),
+    )
+
+    word_stats = (
+        base.select(F.col(id_col), F.explode("_w").alias("_word"))
+        .groupBy(id_col, "_word")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("_total"),
+            F.max("count").alias("_top"),
+            F.count(F.lit(1)).alias("_uniq"),
+        )
+    )
+
+    return bigram_stats.join(word_stats, id_col).select(
+        F.col(id_col),
+        "n_words",
+        F.round(F.col("_uniq") / F.col("_total"), 4).alias("uniq_word_ratio"),
+        F.round(F.col("_top") / F.col("_total"), 4).alias("top_word_share"),
+        F.round(1 - F.col("_n_bg_uniq") / F.col("_n_bg"), 4).alias("dup_bigram_share"),
+    )

@@ -43,3 +43,4 @@ from magicxml_spark.queries import scalar  # noqa: E402,F401
 from magicxml_spark.queries import hierarchy  # noqa: E402,F401
 from magicxml_spark.queries import analytics  # noqa: E402,F401
 from magicxml_spark.queries import extensions  # noqa: E402,F401
+from magicxml_spark.queries import pipeline  # noqa: E402,F401

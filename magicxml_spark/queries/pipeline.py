@@ -1,0 +1,232 @@
+"""Training-data pipeline queries: as-of join, PII scrubbing,
+repetition quality rules, eval-set contamination, deterministic
+sampling/splitting.
+
+These extend the LLM-pipeline operator family (BASELINE.json north
+star) beyond dedup/similarity/text-profile: the remaining operations a
+100 TB curation pipeline runs between raw crawl and training shards.
+Every query here is DuckDB-oracle-checked — the PII query deliberately
+injects synthetic PII (derived from doc_id, identically in both
+engines) so the regex semantics are exercised on non-trivial counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.asof import asof_join_backward
+from magicxml_spark.operators.dedup import contamination_check
+from magicxml_spark.operators.sampling import hash_split, stratified_sample
+from magicxml_spark.operators.text import pii_counts, redact_pii, repetition_profile
+from magicxml_spark.queries import query
+from magicxml_spark.queries.analytics import _WORDS_SQL
+from magicxml_spark.tables import table
+
+
+# --- As-of join: latest order at-or-before each event -----------------------
+# Right side is deduped to one row per (custkey, orderdate) first so
+# ties are impossible by construction — DuckDB's ASOF JOIN and the
+# union+window formulation then provably agree.
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS last_order_key,
+             round(max_by(o_totalprice, o_orderkey), 2) AS last_order_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date,
+           o.last_order_key, o.last_order_price
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_order_key"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias(
+                "last_order_price"
+            ),
+        )
+    )
+    joined = asof_join_backward(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["last_order_key", "last_order_price", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("last_order_date"),
+        "last_order_key",
+        "last_order_price",
+    )
+
+
+# --- PII scrub profile ------------------------------------------------------
+# documents.text is synthetic word salad with no real PII, so the query
+# appends deterministic doc_id-derived PII in BOTH engines: counts and
+# redacted sizes are then non-trivial and must agree exactly.
+_PII_AUG_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || ' tel +1 202 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+         || ' ref https://ex.org/' || CAST(doc_id AS VARCHAR)
+"""
+
+
+def _pii_aug_spark() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d, F.lit("@example.com"),
+        F.lit(" tel +1 202 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7"),
+        F.lit(" ref https://ex.org/"), d,
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT source, {_PII_AUG_SQL} AS t FROM documents),
+    c AS (SELECT source,
+            len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+            len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_url,
+            len(regexp_extract_all(t, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4,
+            len(regexp_extract_all(t, '\\+?[0-9][0-9 ().-]{{7,}}[0-9]')) AS n_phone,
+            length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+              'https?://[^\\s]+', '[PII]', 'g'),
+              '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[PII]', 'g'),
+              '\\+?[0-9][0-9 ().-]{{7,}}[0-9]', '[PII]', 'g')) AS redacted_len
+          FROM aug)
+    SELECT source, sum(n_email) AS n_email, sum(n_url) AS n_url,
+           sum(n_ipv4) AS n_ipv4, sum(n_phone) AS n_phone,
+           sum(redacted_len) AS redacted_chars
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source", _pii_aug_spark().alias("t")
+    )
+    counts = pii_counts(F.col("t"))
+    per_doc = docs.select(
+        "source",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        F.length(redact_pii(F.col("t"))).alias("redacted_len"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_url").alias("n_url"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("redacted_len").alias("redacted_chars"),
+    )
+
+
+# --- Gopher-style repetition metrics ---------------------------------------
+@query(
+    "q_repetition_profile",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    base AS (SELECT doc_id, w FROM w WHERE len(w) >= 2),
+    bgs AS (SELECT doc_id, len(w) AS n_words,
+                   len(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS n_bg,
+                   len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS n_bg_uniq
+            FROM base),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM base),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+    ws AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS uniq
+           FROM cnt GROUP BY 1)
+    SELECT b.doc_id, b.n_words,
+           round(ws.uniq / ws.total, 4) AS uniq_word_ratio,
+           round(ws.top / ws.total, 4) AS top_word_share,
+           round(1 - b.n_bg_uniq / CAST(b.n_bg AS DOUBLE), 4) AS dup_bigram_share
+    FROM bgs b JOIN ws USING (doc_id)
+    """,
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    prof = repetition_profile(docs)
+    return prof.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+# --- Eval-set contamination (train/test n-gram overlap) ---------------------
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+           FROM w WHERE len(w) > 0),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id AS corpus_doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT eval_doc_id,
+           count(DISTINCT corpus_doc_id) AS n_contaminating_docs,
+           count(DISTINCT gram) AS n_shared_ngrams,
+           count(*) AS n_shared_pairs
+    FROM ev JOIN corp USING (gram) GROUP BY 1
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, eval_set, "doc_id", "text", k=3)
+
+
+# --- Deterministic stratified sample ----------------------------------------
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, sample_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents) WHERE sample_rank <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = stratified_sample(docs, ["lang", "source"], "doc_id", 5)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+# --- Deterministic train/val/test split -------------------------------------
+@query(
+    "q_hash_split",
+    oracle="""
+    SELECT split, lang, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     / 4294967296.0 AS u
+            FROM documents))
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,139 @@
+"""Unit tests for the training-data pipeline operators (as-of join,
+PII, repetition, contamination, sampling). The oracle parity suite
+covers the registered queries end-to-end; these pin operator semantics
+on hand-built edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.asof import asof_join_backward
+from magicxml_spark.operators.dedup import contamination_check
+from magicxml_spark.operators.sampling import hash_split, stratified_sample
+from magicxml_spark.operators.text import pii_counts, redact_pii, repetition_profile
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),  # after both rights
+            (2, 10, _ts("2024-01-02T00:00:00")),  # exactly at right ts
+            (3, 10, _ts("2024-01-01T00:00:00")),  # before all rights
+            (4, 99, _ts("2024-01-05T00:00:00")),  # key with no right rows
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02T00:00:00"), "a"),
+            (10, _ts("2024-01-04T00:00:00"), "b"),
+        ],
+        "rk long, rts timestamp, v string",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join_backward(
+            left, right, "k", "rk", "ts", "rts", payload=["v"]
+        ).collect()
+    }
+    assert out == {1: "b", 2: "a", 3: None, 4: None}
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05T00:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02T00:00:00"), 1, "low"),
+            (10, _ts("2024-01-02T00:00:00"), 7, "high"),
+        ],
+        "rk long, rts timestamp, seq long, v string",
+    )
+    out = asof_join_backward(
+        left, right, "k", "rk", "ts", "rts", payload=["v"], tie_break="seq"
+    ).collect()
+    assert out[0]["v"] == "high"  # highest tie_break wins (last in order)
+
+
+def test_pii_detection_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@mail.example.org or +1 (415) 555-0199",),
+            ("server 192.168.0.1 logs at https://logs.example.com/x?q=1",),
+            ("no pii here at all",),
+        ],
+        "t string",
+    )
+    counts = pii_counts("t")
+    rows = df.select(
+        *[c.alias(n) for n, c in counts.items()], redact_pii("t").alias("red")
+    ).collect()
+    assert rows[0]["email"] == 1 and rows[0]["phone"] == 1
+    assert rows[1]["ipv4"] == 1 and rows[1]["url"] == 1
+    assert rows[2]["email"] == rows[2]["phone"] == rows[2]["ipv4"] == rows[2]["url"] == 0
+    assert "jo.doe" not in rows[0]["red"] and "555" not in rows[0]["red"]
+    assert "192.168" not in rows[1]["red"] and "https://" not in rows[1]["red"]
+    assert rows[2]["red"] == "no pii here at all"
+
+
+def test_repetition_profile_known_values(spark):
+    # "a a a b" -> 4 words, 2 uniq (0.5), top 'a' 3/4, bigrams
+    # [a a, a a, a b] -> 3 total 2 distinct -> dup share 1/3
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert list(rows) == [1]  # single-word doc excluded (no bigram domain)
+    r = rows[1]
+    assert r["n_words"] == 4
+    assert r["uniq_word_ratio"] == 0.5
+    assert r["top_word_share"] == 0.75
+    assert r["dup_bigram_share"] == round(1 / 3, 4)
+
+
+def test_contamination_check_small(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lorem ipsum dolor sit")],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "quick brown fox runs away"), (101, "completely novel words here")],
+        "doc_id long, text string",
+    )
+    out = {r["eval_doc_id"]: r for r in contamination_check(corpus, eval_set).collect()}
+    assert set(out) == {100}  # only the overlapping eval doc reports
+    assert out[100]["n_contaminating_docs"] == 1
+    assert out[100]["n_shared_ngrams"] == 1  # "quick brown fox"
+    assert out[100]["n_shared_pairs"] == 1
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)], "id long, lang string"
+    )
+    s1 = stratified_sample(df, ["lang"], "id", 7)
+    s2 = stratified_sample(df.repartition(13), ["lang"], "id", 7)
+    r1 = sorted((r["lang"], r["id"], r["sample_rank"]) for r in s1.collect())
+    r2 = sorted((r["lang"], r["id"], r["sample_rank"]) for r in s2.collect())
+    assert r1 == r2  # partitioning-independent
+    per = {}
+    for lang, _, _ in r1:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {"en": 7, "de": 7}
+
+
+def test_hash_split_fractions_and_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # same rows -> same assignment regardless of partitioning
+    again = hash_split(df.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
