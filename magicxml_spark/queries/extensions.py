@@ -34,6 +34,36 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+# --- Streaming sessionization (session_window on a stream) ------------------
+# Same determinism argument: availableNow drives the stream to
+# completion, complete mode emits the final merged sessions, so the
+# batch session_window SQL (see q_session_window) is a valid oracle.
+@query(
+    "q_events_stream_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_sessionize_to_memory
+
+    return run_sessionize_to_memory(spark, sf_dir)
+
+
 # --- Dedup clustering: connected components over LSH candidate pairs --------
 @query(
     "q_dedup_clusters",

@@ -167,3 +167,85 @@ def run_stateful_to_memory(
         q.awaitTermination()
         shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session_window sessionization — same aggregation works on
+    batch and streaming inputs (identical Catalyst plan shape). A
+    session extends while the next event arrives strictly within
+    ``gap`` of the last; per (user, session) we report the start and
+    event count."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_sessionize_to_memory(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """Drive streaming sessionization to completion (availableNow +
+    memory sink, complete mode so final merged sessions are emitted).
+    Deterministic — the batch session_window SQL is a valid oracle."""
+    name = f"events_sessions_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        agg = sessionized_counts(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)
+
+
+def stream_to_csv_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    state_partitions: int = 8,
+) -> list[str]:
+    """foreachBatch CSV sink with idempotent per-batch output: each
+    micro-batch overwrites ``out_dir/batch=<id>``, so a replayed batch
+    (failure between sink write and checkpoint commit) lands in the
+    same directory instead of duplicating rows — overwrite-by-batch-id
+    is the standard exactly-once recipe for non-transactional sinks.
+    Returns the written batch directories.
+
+    A durable ``checkpoint_dir`` makes restarts resume from the last
+    committed offset; tests pass a temp dir and restart the query to
+    prove no batch is emitted twice.
+    """
+    written: list[str] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").options(header=True).csv(target)
+        written.append(target)
+
+    ckpt = checkpoint_dir or _checkpoint_dir(f"csv_{uuid.uuid4().hex[:8]}")
+    with _stream_tuning(spark, state_partitions):
+        agg = windowed_event_counts(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if checkpoint_dir is None:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return written
