@@ -230,3 +230,175 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- Semi-structured JSON props ---------------------------------------------
+# events.props carries a JSON payload; extraction stays JVM-side
+# (get_json_object — no UDF) and pushes only (event_type, k) into the
+# aggregate. At 100 TB prefer from_json with an explicit schema so the
+# parse happens once per row into a struct (and malformed rows are
+# observable); get_json_object re-parses per path.
+@query(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           count(k) AS n_with_k,
+           round(avg(k), 2) AS avg_k,
+           max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json("props", "k double")["k"].alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 2).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# --- Trailing time-range moving aggregate -----------------------------------
+# RANGE frame on epoch seconds: both engines order by the truncated
+# epoch so the frame boundary is identical (Spark's rangeBetween needs
+# a numeric ordering key; fractional seconds are truncated identically
+# on both sides). The sum runs in DECIMAL — the value column is exact
+# 2-decimal data, so decimal accumulation is order-independent and the
+# cross-engine result is bit-exact (a double avg differs in the last
+# ulp depending on each engine's summation order inside the frame).
+@query(
+    "q_moving_sum",
+    oracle="""
+    SELECT event_id,
+           sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_1h,
+           count(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+# --- The full curation pipeline, composed ----------------------------------
+# Everything above in ONE plan — what a real pre-training data job runs:
+# exact-dedup keepers -> quality gate -> repetition gate ->
+# decontamination against the eval split -> stratified per-(lang,source)
+# cap. Each stage is the already-oracle-checked operator; the value of
+# this query is proving the COMPOSITION stays correct and plannable
+# (Catalyst fuses the projections; the explode/join stages pipeline).
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, lang, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(text) AS n_chars,
+             len(text) - len(regexp_replace(text, '[\\.,;:!\\?"''()\\[\\]{{}}]', '', 'g'))
+               AS n_punct,
+             {_WORDS_SQL} AS toks
+      FROM documents),
+    keepers AS (SELECT fp, min(doc_id) AS keeper_id FROM prof GROUP BY fp),
+    quality AS (
+      SELECT p.doc_id, p.lang, p.source, p.toks,
+             round(((CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN p.n_chars = 0 OR CAST(p.n_punct AS DOUBLE) / p.n_chars <= 0.2
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(p.toks) > 0
+                     AND CAST(len(list_filter(p.toks,
+                           t -> list_contains(['the','and','of','to','is','with'], t)))
+                         AS DOUBLE) / len(p.toks) >= 0.01
+                    THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+      FROM prof p JOIN keepers k ON p.fp = k.fp AND p.doc_id = k.keeper_id),
+    rep AS (
+      SELECT q.doc_id FROM quality q
+      WHERE len(q.toks) >= 2
+        AND round(1 - len(list_distinct(list_transform(range(1, len(q.toks)),
+              i -> q.toks[i] || ' ' || q.toks[i+1]))) /
+              CAST(len(q.toks) - 1 AS DOUBLE), 4) <= 0.2),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')) END)) AS gram
+      FROM prof WHERE len(toks) > 0),
+    dirty AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0) c
+      JOIN (SELECT gram FROM grams WHERE doc_id % 97 = 0) e USING (gram)),
+    kept AS (
+      SELECT q.doc_id, q.lang, q.source FROM quality q
+      JOIN rep USING (doc_id)
+      WHERE q.quality >= 0.6
+        AND q.doc_id % 97 <> 0
+        AND q.doc_id NOT IN (SELECT doc_id FROM dirty))
+    SELECT doc_id, lang, source, sample_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM kept) WHERE sample_rank <= 20
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import word_shingles
+    from magicxml_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+
+    prof = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+        ).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    keepers = prof.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    quality = (
+        prof.join(
+            keepers,
+            (prof["fp"] == keepers["fp"]) & (prof["doc_id"] == keepers["keeper_id"]),
+        )
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id", "lang", "source", "text")
+    )
+
+    rep = repetition_profile(quality.select("doc_id", "text")).filter(
+        F.col("dup_bigram_share") <= 0.2
+    ).select("doc_id")
+    gated = quality.join(rep, "doc_id").select("doc_id", "lang", "source", "text")
+
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus_side = gated.filter(F.col("doc_id") % 97 != 0)
+    ev_grams = eval_set.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("gram")
+    ).distinct()
+    corp_grams = corpus_side.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram")
+    )
+    dirty = corp_grams.join(ev_grams, "gram").select("doc_id").distinct()
+    clean = corpus_side.join(dirty, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+    out = stratified_sample(clean, ["lang", "source"], "doc_id", 20)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
