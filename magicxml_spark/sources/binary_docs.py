@@ -589,3 +589,67 @@ def sample_video_frames(
     return binary_df.select("path", "content").mapInPandas(
         batches, schema="path string, frame_index int, frame binary"
     )
+
+
+def chunk_audio(
+    binary_df: DataFrame,
+    chunk_seconds: float = 10.0,
+    sample_rate: int = 16_000,
+    max_chunks: int = 16,
+    deterministic_stub: bool = False,
+) -> DataFrame:
+    """Multimodal audio chunking: one row per fixed-duration chunk with
+    (chunk_index, start_s, end_s, pcm) lineage — the shard shape an
+    ASR/audio-training pipeline feeds downstream. Audio codecs are
+    absent from this image (librosa/soundfile/pydub), so the stub
+    derives per-chunk bytes from md5(content, index) and a duration
+    from the byte length; the explode shape, ordering, and typed
+    metadata columns are real and tested.
+
+    Scale shape: mapInPandas over the binaryFile source — Arrow batches
+    of (path, content), each task emits its own chunk rows; no shuffle
+    until a downstream groupBy. Partition sizing is the binaryFile
+    source's maxPartitionBytes, so giant audio files spread across
+    tasks by file boundary (split-by-time inside one file happens here,
+    per row).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = _have("soundfile") or _have("librosa") or _have("pydub")
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if use_real:  # pragma: no cover - codec not in image
+                    raise NotImplementedError("wire soundfile/librosa decode here")
+                if not deterministic_stub:
+                    raise NotImplementedError(
+                        "no audio codec installed; pass deterministic_stub=True"
+                    )
+                # stub duration: pretend 1 byte = 1 sample at sample_rate
+                total_s = len(content) / float(sample_rate)
+                n = min(max_chunks, max(1, int(total_s // chunk_seconds) + 1))
+                for k in range(n):
+                    start = k * chunk_seconds
+                    end = min(total_s, start + chunk_seconds)
+                    rows.append(
+                        (
+                            path,
+                            k,
+                            round(start, 3),
+                            round(end, 3),
+                            sample_rate,
+                            hashlib.md5(bytes(content) + str(k).encode()).digest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "chunk_index", "start_s", "end_s", "sample_rate", "pcm"],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches,
+        schema=(
+            "path string, chunk_index int, start_s double, end_s double, "
+            "sample_rate int, pcm binary"
+        ),
+    )

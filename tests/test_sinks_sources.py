@@ -145,6 +145,35 @@ def test_multimodal_resize_and_frames(binary_df):
     assert len({bytes(r["frame"]) for r in one}) == 3
 
 
+def test_multimodal_audio_chunking(binary_df):
+    from magicxml_spark.sources.binary_docs import chunk_audio
+
+    # stub treats 1 byte = 1 sample @16k; chunk 0.001s -> multiple chunks
+    chunks = chunk_audio(
+        binary_df, chunk_seconds=0.001, sample_rate=16_000,
+        max_chunks=3, deterministic_stub=True,
+    ).collect()
+    by_path: dict[str, list] = {}
+    for r in chunks:
+        by_path.setdefault(r["path"], []).append(r)
+    for path, rows in by_path.items():
+        rows.sort(key=lambda r: r["chunk_index"])
+        assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+        assert all(r["sample_rate"] == 16_000 for r in rows)
+        # chunk boundaries tile [0, total) without overlap
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_s"] == round(a["start_s"] + 0.001, 3)
+        # per-chunk bytes deterministic and distinct per index
+        assert len({bytes(r["pcm"]) for r in rows}) == len(rows)
+    # determinism across invocations
+    again = chunk_audio(
+        binary_df, chunk_seconds=0.001, sample_rate=16_000,
+        max_chunks=3, deterministic_stub=True,
+    ).collect()
+    assert sorted((r["path"], r["chunk_index"], bytes(r["pcm"])) for r in again) == \
+        sorted((r["path"], r["chunk_index"], bytes(r["pcm"])) for r in chunks)
+
+
 def test_presplit_ignores_comments_and_selfclose(tmp_path):
     from magicxml_spark.sources.xml_split import presplit_xml
 

@@ -271,3 +271,46 @@ def test_russian_stock_empty_rows_and_unparseable(spark, tmp_path):
     assert e10["available"] == "0"
     assert e10["stock_total"] == "0"
     assert e10["stock_details"] == "W: N/A"
+
+
+def test_pinned_divergence_deep_repeated_struct_first_element(spark, tmp_path):
+    """PINNED APPROXIMATION (flatten.py module docstring): a repeated
+    nested STRUCT uses its FIRST element's subtree for deep first-wins
+    fill. The reference's iter() walks every occurrence, so a field
+    appearing only in the SECOND <block> would be picked up there —
+    here it is not. Divergence is reachable only for repeated deep
+    containers with heterogeneous children (none of the four dialects'
+    real feeds do this)."""
+    doc = (
+        "<offers><offer id='D1'><name>n</name>"
+        "<specs><block><xdepth>1</xdepth></block>"
+        "<block><ydepth>2</ydepth></block></specs>"
+        "</offer></offers>"
+    )
+    p = tmp_path / "deep.xml"
+    p.write_text(doc, encoding="utf-8")
+    df, dialect = read_xml_records(spark, str(p))
+    rows = _rows(flatten_offer_records(df, dialect), "attr_id")
+    d1 = rows["D1"]
+    assert d1["xdepth"] == "1"  # first block's subtree fills
+    assert "ydepth" not in d1  # second block's subtree is NOT walked
+
+
+def test_pinned_divergence_param_name_reappend_top_level_only(spark, tmp_path):
+    """PINNED APPROXIMATION: the P15 'V, V' re-append quirk
+    (main.py:268-282) fires for TOP-LEVEL param_name_* tags only. A
+    nested one is still flattened (deep first-wins) but without the
+    re-append doubling."""
+    doc = (
+        "<offers><offer id='Q1'><name>n</name>"
+        "<param_name_size>42?</param_name_size>"
+        "<wrap><param_name_color>red</param_name_color></wrap>"
+        "</offer></offers>"
+    )
+    p = tmp_path / "pn.xml"
+    p.write_text(doc, encoding="utf-8")
+    df, dialect = read_xml_records(spark, str(p))
+    rows = _rows(flatten_offer_records(df, dialect), "attr_id")
+    q1 = rows["Q1"]
+    assert q1["param_name_size"] == "42?, 42"  # top-level: quirk applies
+    assert q1["param_name_color"] == "red"  # nested: plain fill, no quirk
