@@ -286,3 +286,59 @@ def contamination_check(
             F.count(F.lit(1)).alias("n_shared_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4-style: drop boilerplate lines shared across docs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    pos_col: str = "pos",
+    max_doc_frequency: int = 1,
+    out_col: str = "text_dedup",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove lines whose document frequency exceeds
+    ``max_doc_frequency`` (boilerplate/nav/footer removal a la C4),
+    preserving each document's remaining line order. Input is the
+    exploded (id, pos, line) table; output is one row per doc with the
+    reassembled text plus n_lines/n_kept lineage.
+
+    Shape: one aggregate for global line doc-frequency (map-side
+    partial on (line, id) distinct), an anti-join of the exploded lines
+    against the over-frequent ones (broadcast when the boilerplate set
+    is small — it is, by Zipf), and one groupBy to reassemble. Three
+    shuffles total, all on line or id — never all-pairs. Hot lines
+    ("home", "") are exactly the rows the anti-join removes, so the
+    reassembly shuffle sees the cleaned distribution.
+    """
+    common = (
+        df.groupBy(line_col)
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_doc_frequency)
+        .select(line_col)
+    )
+    kept = df.join(common, line_col, "left_anti")
+    total = df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(pos_col), F.col(line_col)))
+                ),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias(out_col),
+    )
+    return total.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(out_col, F.lit("")).alias(out_col),
+    )

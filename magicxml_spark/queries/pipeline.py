@@ -402,3 +402,59 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = stratified_sample(clean, ["lang", "source"], "doc_id", 20)
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+# --- C4-style line-level dedup ----------------------------------------------
+# documents.text is single-line word salad, so "lines" are synthesized
+# as 3-word chunks IDENTICALLY in both engines (like the PII injection:
+# the point is exercising the operator semantics on non-trivial data —
+# 3-word chunks collide across docs at the same rate as 3-grams).
+# Boilerplate = a line appearing in >= 2 distinct docs.
+@query(
+    "q_line_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1),
+                            i -> array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')) AS ls
+      FROM w WHERE len(w) > 0),
+    expl AS (SELECT doc_id, unnest(ls) AS line,
+                    unnest(range(1, len(ls) + 1)) AS pos
+             FROM lines),
+    common AS (SELECT line FROM expl GROUP BY line
+               HAVING count(DISTINCT doc_id) > 1),
+    kept AS (SELECT e.* FROM expl e ANTI JOIN common c ON e.line = c.line),
+    total AS (SELECT doc_id, count(*) AS n_lines FROM expl GROUP BY doc_id),
+    rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_fp
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.dedup_fp, md5('')) AS dedup_fp
+    FROM total t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import dedup_lines
+    from magicxml_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") > 0)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(3.0)).cast("int")),
+                lambda i: F.array_join(F.slice("w", (i - 1) * 3 + 1, 3), " "),
+            )
+        ).alias("pos", "line"),
+    )
+    out = dedup_lines(lines, "doc_id", "line", "pos", max_doc_frequency=1)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_fp"),
+    )

@@ -137,3 +137,33 @@ def test_hash_split_fractions_and_stability(spark):
     # same rows -> same assignment regardless of partitioning
     again = hash_split(df.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_asof_join_fuzz_vs_bruteforce(spark):
+    """Seeded fuzz: asof_join_backward vs a Python brute force over
+    random keys/timestamps with deliberate collisions (same-ts left and
+    right rows, duplicate right timestamps, keys on one side only)."""
+    import random
+
+    rng = random.Random(7)
+    left = [
+        (i, rng.randrange(0, 8), rng.randrange(0, 50)) for i in range(300)
+    ]  # (id, key, t)
+    right = [
+        (j, rng.randrange(0, 10), rng.randrange(0, 50), f"p{j}")
+        for j in range(200)
+    ]  # (rid, key, t, payload)
+
+    ldf = spark.createDataFrame(left, "id long, k long, t long")
+    rdf = spark.createDataFrame(right, "rid long, rk long, rt long, v string")
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join_backward(
+            ldf, rdf, "k", "rk", "t", "rt", payload=["v"], tie_break="rid"
+        ).collect()
+    }
+
+    for i, k, t in left:
+        cands = [(rt, rid, v) for rid, rk, rt, v in right if rk == k and rt <= t]
+        want = max(cands)[2] if cands else None  # latest ts, then max rid
+        assert got[i] == want, (i, k, t, got[i], want)
