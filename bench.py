@@ -54,13 +54,22 @@ def main() -> None:
                 # a silently-cold measurement is not comparable — say so
                 print(f"warm-up failed for {name}: {exc}", file=sys.stderr)
 
+    # Two timed runs per query, min taken: this box runs noisy
+    # neighbors (observed 3x wall-clock swings on identical plans), and
+    # min-of-n is the standard way to report the machine-independent
+    # cost. Both runs execute the full plan (no Spark-level result
+    # caching between calls — each call rebuilds the DataFrame).
     timings: dict[str, float] = {}
     for name in headline:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

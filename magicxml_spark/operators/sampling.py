@@ -71,3 +71,61 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def pack_shards(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    budget: float,
+    shard_col: str = "shard",
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows (ordered by ``key``) to fixed-budget shards: row i
+    lands in shard floor(prefix_weight_i / budget) where prefix_weight
+    excludes the row itself — the deterministic streaming equivalent of
+    packing training shards to ~budget tokens each.
+
+    A naive global-window cumulative sum is a SINGLE sorted task. The
+    scale shape here is the classic two-phase scan: range-partition by
+    key, per-partition window cumsum (parallel), then add per-partition
+    offsets (one tiny driver collect of partition totals — rows =
+    partitions, not data). Result is identical to the global window at
+    any partition count.
+    """
+    from pyspark.sql import Window
+
+    n = n_range_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum_in", F.sum(weight_col).over(w))
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum_in").alias("_total"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets = {}
+    acc = 0.0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_total"]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            shard_col,
+            F.floor(
+                (F.col("_off") + F.col("_cum_in") - F.col(weight_col)) / F.lit(budget)
+            ),
+        )
+        .drop("_pid", "_cum_in", "_off")
+    )

@@ -458,3 +458,40 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("text_dedup").alias("dedup_fp"),
     )
+
+
+# --- Token-budget shard packing ---------------------------------------------
+# The last step of a curation pipeline: write ~budget-token shards in a
+# deterministic order. Shard id = floor(prefix_tokens / budget) over
+# doc_id order — computed with the two-phase parallel prefix sum in
+# pack_shards (a plain global window would be one sorted task).
+@query(
+    "q_token_shards",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents),
+    pre AS (SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+            FROM w)
+    SELECT CAST(floor(p / 2000.0) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens
+    FROM pre GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import pack_shards
+    from magicxml_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_shards(docs, "doc_id", "n_tokens", budget=2000.0)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

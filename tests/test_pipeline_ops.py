@@ -167,3 +167,31 @@ def test_asof_join_fuzz_vs_bruteforce(spark):
         cands = [(rt, rid, v) for rid, rk, rt, v in right if rk == k and rt <= t]
         want = max(cands)[2] if cands else None  # latest ts, then max rid
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+def test_pack_shards_matches_global_prefix_and_partition_independent(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    from magicxml_spark.operators.sampling import pack_shards
+
+    got = {
+        r["id"]: r["shard"]
+        for r in pack_shards(df, "id", "w", budget=250.0).collect()
+    }
+    # python brute force: prefix-exclusive cumulative sum
+    acc = 0
+    for i, w in sorted(rows):
+        assert got[i] == acc // 250, (i, got[i], acc)
+        acc += w
+    # same result at a different partition count
+    got4 = {
+        r["id"]: r["shard"]
+        for r in pack_shards(
+            df.repartition(3), "id", "w", budget=250.0, n_range_partitions=4
+        ).collect()
+    }
+    assert got4 == got
