@@ -363,29 +363,53 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.dedup import word_shingles
     from magicxml_spark.operators.text import quality_score
 
+    from pyspark.sql import Window
+
+    from magicxml_spark.operators.text import tokens
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
 
-    prof = docs.select(
-        "doc_id", "lang", "source", "text",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-        ).alias("fp"),
-        quality_score(F.col("text")).alias("quality"),
+    # One projection carries every per-doc gate input. The dedup keeper
+    # is a row_number over fp (NOT an agg + self-join: a DataFrame
+    # branch re-executes its whole subtree per consumer, and this query
+    # consumes the gated set three times) and the repetition gate is a
+    # pure bigram-array expression (no explode + join — only the
+    # dup-bigram share is needed here, not the full repetition profile).
+    t = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+        ),
     )
-    keepers = prof.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
-    quality = (
-        prof.join(
-            keepers,
-            (prof["fp"] == keepers["fp"]) & (prof["doc_id"] == keepers["keeper_id"]),
+    enriched = (
+        docs.select(
+            "doc_id", "lang", "source", "text",
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+            ).alias("fp"),
+            quality_score(F.col("text")).alias("quality"),
+            t.alias("_t"),
         )
-        .filter(F.col("quality") >= 0.6)
+        .withColumn("_bg", bigrams)
+        .withColumn(
+            "dup_bg",
+            F.round(
+                1 - F.size(F.array_distinct("_bg")) / F.size("_bg").cast("double"), 4
+            ),
+        )
+    )
+    keeper_rank = Window.partitionBy("fp").orderBy("doc_id")
+    gated = (
+        enriched.withColumn("_rn", F.row_number().over(keeper_rank))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("quality") >= 0.6)
+            & (F.size("_t") >= 2)
+            & (F.col("dup_bg") <= 0.2)
+        )
         .select("doc_id", "lang", "source", "text")
     )
-
-    rep = repetition_profile(quality.select("doc_id", "text")).filter(
-        F.col("dup_bigram_share") <= 0.2
-    ).select("doc_id")
-    gated = quality.join(rep, "doc_id").select("doc_id", "lang", "source", "text")
 
     eval_set = docs.filter(F.col("doc_id") % 97 == 0)
     corpus_side = gated.filter(F.col("doc_id") % 97 != 0)
