@@ -411,6 +411,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    fit_sample_rows: int = 200_000,
 ) -> DataFrame:
     """IVF variant of approximate top-k: KMeans partitions the corpus
     into cells; each query searches only its n_probe nearest cells.
@@ -420,13 +421,28 @@ def cosine_topk_ivf(
     index-side (id, cell) — an equi-join on the cell id, quadratic only
     within cells. Recall rises with n_probe (n_probe = n_cells is exact
     brute force).
+
+    The centroid fit trains on at most ``fit_sample_rows`` vectors
+    (hash-deterministic sample) — centroid quality converges long
+    before corpus size, so an O(corpus) iterative fit would be pure
+    waste at 100 TB. Below the cap the full table trains, keeping the
+    recorded small-SF recall values reproducible.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = _with_norm(df, id_col, vec_col)
     ml = base.withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(ml)
+    fit_on = ml
+    n_rows = ml.count()
+    if n_rows > fit_sample_rows:
+        # deterministic subset (hash order), independent of partitioning
+        frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
+        fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(fit_on)
     assigned = model.transform(ml).select("id", "v", "n", "cell")
 
     # query-side probe cells: distance to every centroid (tiny loop over

@@ -90,6 +90,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall > 0.45, recall
 
 
+def test_ivf_sampled_fit_path(spark):
+    # fit_sample_rows below the table size forces the deterministic
+    # hash-sample branch (the 100 TB path: centroids train on a subset,
+    # assignment still covers every row).
+    from magicxml_spark.operators.similarity import cosine_topk_ivf
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    out = cosine_topk_ivf(
+        emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=8,
+        fit_sample_rows=max(32, n // 4),
+    )
+    rows = out.collect()
+    # n_probe == n_cells makes the search exact regardless of centroid
+    # quality: every query must still get its full k neighbors
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["vec_id"], 0)
+        per_query[r["vec_id"]] += 1
+    assert len(per_query) == n
+    assert set(per_query.values()) == {5}
+
+
 def test_pdf_document_stub(spark, tmp_path):
     from magicxml_spark.sources.binary_docs import extract_pdf_documents, read_binary
 
