@@ -42,6 +42,36 @@ def stratified_sample(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    quotas: dict[str, int],
+    default_quota: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Per-stratum QUOTA sample: like ``stratified_sample`` but each
+    stratum gets its own cap (language-balanced corpus mixes: cap 'en'
+    at N, boost low-resource languages, default for the tail). Rows
+    rank deterministically by md5(key) inside their stratum; a stratum
+    keeps its first ``quotas.get(stratum, default_quota)`` rows.
+
+    The quota lookup is a literal CASE chain (quota maps are
+    config-sized), so the whole operator stays one window over one
+    shuffle on the stratum key — Spark pushes the row_number filter
+    down as WindowGroupLimit exactly like the uniform version.
+    """
+    w = Window.partitionBy(strata_col).orderBy(hash_order(key), F.col(key))
+    quota: Column | None = None
+    for name, cap in quotas.items():
+        cond = F.col(strata_col) == name
+        quota = F.when(cond, cap) if quota is None else quota.when(cond, cap)
+    quota_col = F.lit(default_quota) if quota is None else quota.otherwise(default_quota)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= quota_col
+    )
+
+
 def hash_split(
     df: DataFrame,
     key: str,

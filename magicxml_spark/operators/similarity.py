@@ -381,6 +381,47 @@ def embedding_near_dup_blocked(
     )
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (4x memory off the ANN working set)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column, Column]:
+    """Per-vector affine int8 quantization: returns ``(offset, scale,
+    codes)`` where ``codes[i] = round((v[i] - offset) / scale)`` in
+    0..255, ``offset = min(v)``, ``scale = (max - min) / 255``.
+
+    Everything is a Column expression (JVM-side, one projection) and
+    deterministic: round-half-up on a nonnegative float64 quotient is
+    identical in Spark (BigDecimal HALF_UP) and DuckDB (round-half-away)
+    because the quotient is computed by the same IEEE ops on both
+    engines. Constant vectors (scale 0) quantize to all-zero codes.
+
+    At 100 TB this is the memory knob for the ANN working set: an
+    int8-coded corpus is 4x smaller than float32 on the shuffle wire
+    and in the cogroup GEMM cells; ``dequantize_int8`` restores
+    float64 (max abs error scale/2 ~= range/510 per dimension).
+    """
+    v = _as_double(vec)
+    offset = F.array_min(v)
+    scale = (F.array_max(v) - offset) / F.lit(255.0)
+    codes = (
+        F.when(scale == 0, F.transform(v, lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(v, lambda x: F.round((x - offset) / scale, 0).cast("int"))
+        )
+        .cast("array<int>")
+    )
+    return offset, scale, codes
+
+
+def dequantize_int8(codes: Column, offset: Column, scale: Column) -> Column:
+    """Inverse of ``quantize_int8``: v'[i] = offset + codes[i] * scale
+    (array<double>). Used inline in the quantized ANN path so the GEMM
+    kernels stay float64 while storage/shuffle stay int8."""
+    return F.transform(codes, lambda q: offset + q.cast("double") * scale)
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """recall@k of an approximate neighbor list against the exact one:
     one row (n_queries, n_exact_pairs, n_hits, recall). Both inputs are

@@ -326,6 +326,99 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 embedding quantization profile -------------------------------------
+# Affine per-vector int8 codes + reconstruction error. The rounding is
+# bit-reproducible across engines (same IEEE quotient, half-up on a
+# nonnegative value), so codes and error stats hash-match exactly.
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v, list_min(v) AS mn,
+                 (list_max(v) - list_min(v)) / 255.0 AS scale
+          FROM v),
+    c AS (SELECT vec_id, v, mn, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v, x -> CAST(round((x - mn) / scale) AS INTEGER))
+                 END AS codes
+          FROM q)
+    SELECT vec_id,
+           CAST(len(codes) AS INTEGER) AS n_dims,
+           round(scale, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - (mn + codes[i] * scale)))), 6) AS max_abs_err
+    FROM c
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    offset, scale, codes = quantize_int8(F.col("embedding"))
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        offset.alias("mn"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+    deq = dequantize_int8(F.col("codes"), F.col("mn"), F.col("scale"))
+    err = F.array_max(F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a - b)))
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda s, x: s + x).alias(
+            "sum_codes"
+        ),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+# --- Exact cosine top-k over int8-quantized embeddings ------------------------
+# The quantized ANN path: codes travel int8-sized, the GEMM runs on the
+# dequantized float64 — proving the 4x-smaller working set preserves
+# ranking semantics end-to-end. Oracle replicates quantize->dequantize->
+# exact top-k in SQL, so this is hash-checked, not rows-only.
+@query(
+    "q_cosine_topk_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v, list_min(v) AS mn,
+                 (list_max(v) - list_min(v)) / 255.0 AS scale
+          FROM v),
+    d AS (SELECT vec_id,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> mn)
+                      ELSE list_transform(v, x -> mn + round((x - mn) / scale) * scale)
+                 END AS v
+          FROM q),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+               AS sim
+      FROM d a JOIN d b ON a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor_id, rank, round(sim, 4) AS sim
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    offset, scale, codes = quantize_int8(F.col("embedding"))
+    coded = emb.select("vec_id", offset.alias("mn"), scale.alias("scale"), codes.alias("codes"))
+    deq = coded.select(
+        "vec_id",
+        dequantize_int8(F.col("codes"), F.col("mn"), F.col("scale")).alias("v"),
+    )
+    return cosine_topk_blocked(deq, "vec_id", "v", k=5)
+
+
 # --- Composed corpus-curation pipeline (the LLM-data end-to-end) ------------
 # keep a document iff: it is its exact-dup cluster's keeper (min doc_id
 # per fingerprint), its heuristic quality passes, and language ID is

@@ -192,6 +192,76 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, eval_set, "doc_id", "text", k=3)
 
 
+# --- Incremental (re-ingest) dedup vs a prior corpus snapshot ----------------
+# The corpus is deduped once; each re-ingest classifies only its delta
+# against the stored fingerprint/signature snapshot. Split here is
+# doc_id % 10: 8/10 prior corpus, 2/10 new batch — both engines derive
+# the snapshot inline from the same rows.
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               FROM documents),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> substr(md5(s), 1 + b.band * 8, 8)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+    prior_fp AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+    prior_sig AS (SELECT DISTINCT band, signature FROM sig WHERE doc_id % 10 < 8),
+    ranked AS (SELECT doc_id, fp,
+                      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM d WHERE doc_id % 10 >= 8),
+    near AS (SELECT DISTINCT s.doc_id FROM sig s
+             JOIN prior_sig p USING (band, signature)
+             WHERE s.doc_id % 10 >= 8)
+    SELECT r.doc_id,
+           CAST(CASE WHEN pf.fp IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS exact_dup_prior,
+           CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS near_dup_prior,
+           CAST(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END AS INTEGER) AS exact_dup_batch,
+           CAST(CASE WHEN pf.fp IS NULL AND n.doc_id IS NULL AND r.rn = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM ranked r
+    LEFT JOIN prior_fp pf ON r.fp = pf.fp
+    LEFT JOIN near n ON r.doc_id = n.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return incremental_dedup(batch, prior, "doc_id", "text", n_bands=4, shingle_k=3)
+
+
+# --- Language quota sample ---------------------------------------------------
+# Per-language caps (cap the head language, keep the long tail whole) —
+# the corpus-mix knob of a multilingual training set.
+@query(
+    "q_quota_sample",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= (CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 10 ELSE 8 END)
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import quota_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = quota_sample(docs, "lang", "doc_id", {"en": 25, "de": 10}, default_quota=8)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
 # --- Deterministic stratified sample ----------------------------------------
 @query(
     "q_stratified_sample",
