@@ -356,19 +356,23 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     offset, scale, codes = quantize_int8(F.col("embedding"))
+    # the raw scale keeps a distinct name: aliasing round(scale) AS scale
+    # in the final select would lateral-shadow the input column, making
+    # dequantize reconstruct with the ROUNDED scale (observed live —
+    # max_abs_err drifted 0.000845 vs the oracle's 0.000856)
     q = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         offset.alias("mn"),
-        scale.alias("scale"),
+        scale.alias("scale_raw"),
         codes.alias("codes"),
     )
-    deq = dequantize_int8(F.col("codes"), F.col("mn"), F.col("scale"))
+    deq = dequantize_int8(F.col("codes"), F.col("mn"), F.col("scale_raw"))
     err = F.array_max(F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a - b)))
     return q.select(
         "vec_id",
         F.size("codes").alias("n_dims"),
-        F.round("scale", 6).alias("scale"),
+        F.round("scale_raw", 6).alias("scale"),
         F.aggregate("codes", F.lit(0).cast("long"), lambda s, x: s + x).alias(
             "sum_codes"
         ),

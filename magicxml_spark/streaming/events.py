@@ -23,30 +23,44 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ts arrives as nanos-long,
-    normalized exactly like tables.table).
+    """readStream over the events parquet, ts normalized to TimestampType
+    exactly like tables.table.
+
+    The testdata generator has shipped ts as both TIMESTAMP(NANOS)
+    (which nanosAsLong surfaces as a raw long) and plain TIMESTAMP
+    micros, so the unit is probed from the batch schema (footer
+    metadata only — no data read) instead of hardcoded: forcing a
+    bigint schema onto a micros column would silently misread micros
+    as millis and bucket everything into 1970 windows.
 
     Adopts the required session confs like the batch path does — the
     verification driver's own SparkSession must work here too."""
+    import os
+
     from magicxml_spark.tables import ensure_session_confs
 
     ensure_session_confs(spark)
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_is_long = probe["ts"].dataType.simpleString() == "bigint"
+    schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type="bigint" if ts_is_long else "timestamp")
     # the file source wants a directory: stream the SF dir, globbed to
     # the events table
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def windowed_event_counts(

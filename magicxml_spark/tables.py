@@ -52,18 +52,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan: column pruning and filter
     pushdown come for free once downstream operators project/filter.
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as a long
-    (nanosAsLong, see session.py) — normalize it to a microsecond
-    timestamp here so every operator sees TimestampType.
+    events.ts has shipped as TIMESTAMP(NANOS) (read as a long under
+    nanosAsLong, see session.py) and as plain TIMESTAMP micros (which
+    Spark surfaces as TIMESTAMP_NTZ) — normalize both to TimestampType
+    (LTZ) here so every operator sees one type. Session timezone is
+    pinned to UTC, so the NTZ->LTZ cast is value-preserving and matches
+    DuckDB's treatment of naive timestamps as UTC.
 
     Works on ANY session (confs are adopted at read time), so the
     verification driver's own SparkSession needs no special setup."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
