@@ -521,3 +521,95 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-based dispatch: one entry point that picks the right ANN plan
+# ---------------------------------------------------------------------------
+
+# Exact-vs-approximate crossover. Below this corpus size the blocked
+# exact GEMM wins outright: the BASELINE.md sweep measured exact at
+# 7.2 s vs IVF 9.2-33 s at 2,000 vectors (the KMeans fit dominates),
+# and exact work grows ~n^2 dot products, which a block grid spreads
+# over ~ (n/block_rows)^2 cells — ~2.4k cells at 100k rows, still well
+# under a 1000-executor cluster's task budget. Past it, IVF's
+# n_probe/n_cells fraction of the quadratic work takes over while the
+# sampled centroid fit stays O(fit_sample_rows).
+ANN_EXACT_MAX_ROWS = 100_000
+
+
+def choose_ann_strategy(
+    n_rows: int,
+    k: int = 5,
+    exact_max_rows: int = ANN_EXACT_MAX_ROWS,
+) -> dict:
+    """Pure cost model behind ``cosine_topk`` — separated so the
+    dispatch decision is unit-testable without building DataFrames.
+
+    Returns ``{"algo": ..., **params}``:
+
+    * n <= exact_max_rows      -> blocked exact (no recall loss, and the
+                                  measured regime where exact is fastest)
+    * n  > exact_max_rows      -> IVF with n_cells ~ sqrt(n) (cells of
+                                  ~sqrt(n) vectors balance the per-cell
+                                  quadratic search against probe fan-out)
+                                  and n_probe=8 (the smallest probe count
+                                  that cleared 0.85 recall@5 in the
+                                  BASELINE.md sweep on worst-case
+                                  near-uniform embeddings).
+
+    LSH stays an explicit opt-in (``mode="lsh"``): it is the fit-free
+    path — no ML training job — which matters when the corpus is seen
+    once (streaming, single-pass curation), but at equal candidate
+    volume its recall on weakly-clustered embeddings measured below
+    multi-probe IVF, so auto mode never silently picks it.
+    """
+    if n_rows <= exact_max_rows:
+        return {"algo": "exact", "block_rows": 2048}
+    n_cells = max(16, min(32768, int(n_rows**0.5)))
+    return {"algo": "ivf", "n_cells": n_cells, "n_probe": 8}
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    mode: str = "auto",
+    exact_max_rows: int = ANN_EXACT_MAX_ROWS,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors with cost-based plan selection — the one
+    entry point a user should call.
+
+    ``mode="auto"`` counts the corpus (parquet metadata count — no scan)
+    and dispatches per ``choose_ann_strategy``; ``mode="exact"|"ivf"|
+    "lsh"`` forces a plan. All three backends emit the same
+    (vec_id, neighbor_id, rank, sim) schema with the same deterministic
+    (sim DESC, neighbor_id ASC) tie-break, so callers can switch modes
+    without downstream changes. ``dim`` is only needed for the LSH
+    backend (hyperplane width); it defaults to probing one row.
+    """
+    if mode == "auto":
+        strategy = choose_ann_strategy(df.count(), k, exact_max_rows)
+    else:
+        strategy = {"algo": mode}
+    algo = strategy["algo"]
+    if algo == "exact":
+        return cosine_topk_blocked(
+            df, id_col, vec_col, k, block_rows=strategy.get("block_rows", 2048)
+        )
+    if algo == "ivf":
+        return cosine_topk_ivf(
+            df,
+            id_col,
+            vec_col,
+            k,
+            n_cells=strategy.get("n_cells", 16),
+            n_probe=strategy.get("n_probe", 8),
+        )
+    if algo == "lsh":
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        return cosine_topk_lsh(df, id_col, vec_col, k, dim=dim)
+    raise ValueError(f"unknown ANN mode: {mode!r}")

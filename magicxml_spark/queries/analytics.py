@@ -269,6 +269,35 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cosine top-k through the cost-based dispatch facade -----------------------
+# Same oracle as q_cosine_topk: at correctness SF the corpus is far
+# below ANN_EXACT_MAX_ROWS, so auto mode must pick the blocked-exact
+# backend and hash-match the exact answer — proving the facade wiring
+# (count -> choose_ann_strategy -> backend) end-to-end. The dispatch
+# boundaries themselves are unit-tested in test_similarity.
+@query(
+    "q_cosine_topk_auto",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+               AS sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor_id, rank, round(sim, 4) AS sim
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+
+
 # --- ANN hard gate: recall@5 of the approximate paths vs blocked exact ---------
 # The LSH planes are md5-derived (no RNG) and KMeans is seeded, so at a
 # fixed SF the recall is a reproducible scalar — pinned below at the

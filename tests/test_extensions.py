@@ -253,3 +253,53 @@ def test_lsh_recall_floor(spark):
     r = topk_recall(lsh, exact).collect()[0]
     assert r["n_exact_pairs"] == r["n_queries"] * 5
     assert r["recall"] > 0.75, r["recall"]
+
+
+def test_ann_dispatch_cost_model():
+    """choose_ann_strategy boundaries: exact below the measured
+    crossover, IVF with sqrt-scaled clamped cells above it."""
+    from magicxml_spark.operators.similarity import (
+        ANN_EXACT_MAX_ROWS,
+        choose_ann_strategy,
+    )
+
+    assert choose_ann_strategy(2_000)["algo"] == "exact"
+    assert choose_ann_strategy(ANN_EXACT_MAX_ROWS)["algo"] == "exact"
+    big = choose_ann_strategy(ANN_EXACT_MAX_ROWS + 1)
+    assert big["algo"] == "ivf"
+    assert big["n_probe"] >= 1
+    # sqrt scaling with floor and ceiling
+    assert choose_ann_strategy(1_000_000)["n_cells"] == 1000
+    assert choose_ann_strategy(200_000)["n_cells"] >= 16
+    assert choose_ann_strategy(10**12)["n_cells"] == 32768
+    # the boundary is a knob: forcing it low flips small corpora to IVF
+    assert choose_ann_strategy(2_000, exact_max_rows=100)["algo"] == "ivf"
+
+
+def test_ann_dispatch_facade_backends(spark):
+    """cosine_topk in auto mode must equal the blocked-exact backend at
+    smoke scale (it is below the crossover), and every forced mode must
+    emit the same schema so callers can switch without changes."""
+    from magicxml_spark.operators.similarity import cosine_topk, cosine_topk_blocked
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in cosine_topk_blocked(emb, "vec_id", "embedding", k=5).collect()
+    }
+    auto = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    assert auto == exact
+
+    schemas = {
+        mode: cosine_topk(emb, "vec_id", "embedding", k=5, mode=mode).schema.simpleString()
+        for mode in ("exact", "ivf", "lsh")
+    }
+    assert len(set(schemas.values())) == 1, schemas
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cosine_topk(emb, "vec_id", "embedding", mode="bogus")
