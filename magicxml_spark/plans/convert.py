@@ -97,15 +97,22 @@ def xml_to_csv(
     single_file: bool = True,
 ) -> str:
     """§3.1 flagship: XML catalog -> pruned ';'-CSV (BOM single-file
-    mode mirrors the reference byte format; multi-part for scale)."""
+    mode mirrors the reference byte format; multi-part for scale).
+
+    Shuffle partitions are sized from the source bytes for the duration
+    of the conversion (plans/partitioning.py): a 100 GB export and a
+    100 KB fixture run the same code and each get a sane stage width."""
+    from magicxml_spark.plans.partitioning import scoped_shuffle_partitions
+
     flat = flatten_xml(spark, src, dialect)
     try:
-        return write_csv(
-            flat,
-            dst,
-            single_file=single_file,
-            meta_key=getattr(flat, "_mxs_content_key", None),
-        )
+        with scoped_shuffle_partitions(spark, flat):
+            return write_csv(
+                flat,
+                dst,
+                single_file=single_file,
+                meta_key=getattr(flat, "_mxs_content_key", None),
+            )
     finally:
         cached = getattr(flat, "_mxs_cached", None)
         if cached is not None:
