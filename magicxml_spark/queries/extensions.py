@@ -64,6 +64,49 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_to_memory(spark, sf_dir)
 
 
+# --- Streaming exact dedup (dropDuplicatesWithinWatermark) -------------------
+# First-occurrence-wins on the key set; output carries only the keys,
+# so the result is the exact distinct key set and the batch DISTINCT
+# is its oracle (see streaming/dedup.py for the determinism argument).
+@query(
+    "q_events_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.dedup import run_stream_dedup_to_memory
+
+    return run_stream_dedup_to_memory(spark, sf_dir)
+
+
+# --- Streaming minhash candidate emission (applyInPandasWithState) -----------
+# The state store remembers each (band, signature) bucket's members;
+# arriving docs emit pairs against remembered members only. The output
+# is the pair MULTISET (one row per shared band), so the oracle is the
+# batch band self-join WITHOUT DISTINCT — same signature convention as
+# q_minhash_lsh_pairs.
+@query(
+    "q_stream_minhash_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                 i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> substr(md5(s), 1 + b.band * 8, 8)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM sig a JOIN sig b2
+      ON a.band = b2.band AND a.signature = b2.signature AND a.doc_id < b2.doc_id
+    """,
+)
+def q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.dedup import run_stream_minhash_to_memory
+
+    return run_stream_minhash_to_memory(spark, sf_dir)
+
+
 # --- Dedup clustering: connected components over LSH candidate pairs --------
 @query(
     "q_dedup_clusters",

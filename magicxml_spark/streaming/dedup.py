@@ -1,0 +1,211 @@
+"""Streaming deduplication: the ingest-time twin of operators/dedup.
+
+Two shapes, matching how a 100 TB pipeline actually dedups a live feed:
+
+* ``dedup_stream_within_watermark`` — exact dedup on arrival via
+  ``dropDuplicatesWithinWatermark``: first occurrence of a key passes,
+  repeats within the watermark horizon are dropped, and state for keys
+  older than the horizon is evicted (bounded state — the property that
+  makes exact streaming dedup feasible at all; an unbounded
+  ``dropDuplicates`` would grow state forever on an infinite feed).
+* ``minhash_pairs_stateful`` — near-dup candidate emission via
+  ``applyInPandasWithState`` keyed by (band, signature): the state
+  store remembers which documents own each minhash band signature, and
+  every arriving document emits candidate pairs against exactly the
+  remembered bucket members — the incremental version of the batch
+  band self-join (operators/dedup.lsh_candidate_pairs), O(new x bucket)
+  per micro-batch instead of O(corpus x corpus) per re-run.
+
+Determinism for the correctness gate: both queries are driven with
+availableNow + memory sink, and both project ONLY order-independent
+outputs (the key set / the pair multiset), so the batch SQL over the
+same data is a valid oracle even though intra-batch processing order
+is partition-dependent.
+
+The documents stream derives its event time from doc_id (ingest order
+in the testdata); a production feed carries a real ingest timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.dedup import minhash_band_signature, word_shingles
+from magicxml_spark.streaming.events import (
+    _checkpoint_dir,
+    _stream_tuning,
+    read_events_stream,
+)
+
+DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet with a synthetic ingest
+    timestamp (doc_id seconds since epoch): the testdata has no ingest
+    time, and stateful operators need an event-time column to bound
+    their state. Monotonic in doc_id, so watermarks behave like a real
+    ordered feed."""
+    from magicxml_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """First-occurrence-wins streaming dedup on ``keys``. The output
+    carries only the key columns: the surviving row per key is whichever
+    arrived first in processing order, so projecting anything else would
+    be nondeterministic under re-partitioning — the key set itself is
+    exact and stable.
+
+    State = one entry per distinct key seen within the watermark
+    horizon, evicted as event time advances — at 100 TB/day this is the
+    difference between a dedup that runs forever and one that OOMs."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_stream_dedup_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive exact streaming dedup of the events feed to completion:
+    append mode emits each first-seen key immediately (dedup operators
+    do not gate output on the watermark)."""
+    keys = keys or ["user_id", "event_type"]
+    name = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        deduped = dedup_stream_within_watermark(
+            read_events_stream(spark, sf_dir), keys
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)
+
+
+def minhash_pairs_stateful(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming LSH candidate emission (applyInPandasWithState).
+
+    The signature projection is the SAME Column expression the batch
+    path uses (minhash_band_signature), so stream and batch bucket
+    identically. Grouping by (band, signature) puts each bucket's
+    membership list in the state store; an arriving doc emits one
+    (id_a, id_b) row per remembered member, then joins the membership.
+    Across micro-batches this is incremental dedup: only new-vs-seen
+    work, never a corpus re-scan. Null signatures (blank docs — no
+    shingles) are filtered exactly like the batch equi-join drops them.
+
+    Output is the candidate-pair MULTISET (a pair sharing several band
+    signatures appears once per shared band) — order-independent, so
+    the batch band-join without DISTINCT is its oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sig_rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("_ts"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_signature(sh, b).alias("signature"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "_ts", F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
+    sig_rows = sig_rows.filter(F.col("signature").isNotNull()).withWatermark(
+        "_ts", watermark
+    )
+
+    def emit_pairs(key, pdfs, state):
+        stored = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for raw in pdf["id"]:
+                did = int(raw)
+                for other in stored:
+                    lo, hi = (did, other) if did < other else (other, did)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                stored.append(did)
+        state.update((stored,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return sig_rows.groupBy("band", "signature").applyInPandasWithState(
+        emit_pairs,
+        outputStructType="id_a bigint, id_b bigint",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_minhash_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    state_partitions: int = 8,
+) -> DataFrame:
+    name = f"stream_minhash_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        pairs = minhash_pairs_stateful(
+            read_documents_stream(spark, sf_dir),
+            n_bands=n_bands,
+            shingle_k=shingle_k,
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)

@@ -45,3 +45,93 @@ def test_foreach_batch_csv_exactly_once(spark, tmp_path):
     # directory contents identical rather than appending duplicates
     stream_to_csv_exactly_once(spark, SF_SMOKE, out, checkpoint_dir=ckpt)
     assert rows() == first
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over the events feed must emit
+    exactly the batch DISTINCT key set."""
+    from magicxml_spark.streaming.dedup import run_stream_dedup_to_memory
+    from magicxml_spark.tables import table
+
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in run_stream_dedup_to_memory(spark, SF_SMOKE).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_type"])
+        for r in table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stream_minhash_pairs_incremental_across_batches(spark, tmp_path):
+    """The stateful band-bucket operator must (a) reproduce the batch
+    candidate multiset and (b) do it INCREMENTALLY: with the corpus
+    split across two micro-batches (maxFilesPerTrigger=1), batch-2 docs
+    pair against batch-1 bucket members remembered in the state store —
+    the union still equals the full batch join's multiset."""
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.dedup import minhash_signatures
+    from magicxml_spark.streaming.dedup import minhash_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+    from magicxml_spark.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    half = docs.count() // 2
+    feed = str(tmp_path / "feed")
+    # two separate files -> two micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        os.path.join(feed, "b0")
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        os.path.join(feed, "b1")
+    )
+
+    name = f"mh_inc_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 8):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+        )
+        q = (
+            minhash_pairs_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    assert n_batches >= 2, "corpus must span several micro-batches"
+
+    got = Counter(
+        (r["id_a"], r["id_b"]) for r in spark.table(name).collect()
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", 4, 3)
+    a, b = sig.alias("a"), sig.alias("b")
+    exp = Counter(
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
