@@ -270,26 +270,43 @@ def incremental_dedup(
 
     Scale shape: the prior side collapses to two snapshot tables — the
     distinct fingerprint set and the distinct (band, signature) set —
-    both tiny relative to the corpus text and in production stored as
-    parquet alongside the corpus (no re-hash of prior text per ingest;
-    here they are derived inline because the testdata has no snapshot).
-    All three checks are equi-joins on hash keys: fingerprint,
+    both tiny relative to the corpus text. Here they are derived inline
+    from ``prior``; production stores them as parquet via
+    ``write_dedup_snapshot`` and re-ingests classify against the files
+    (``incremental_dedup_against_snapshot``) with no re-hash of prior
+    text. All three checks are equi-joins on hash keys: fingerprint,
     (band, signature), fingerprint again for the in-batch keeper
     window. Never all-pairs; skewed boilerplate buckets inherit AQE
     skew splitting like ``lsh_candidate_pairs``.
     """
-    from pyspark.sql import Window
-
     normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
-    newb = new_batch.select(
-        F.col(id_col).alias("id"), F.md5(normed).alias("fp")
-    )
     prior_fp = prior.select(F.md5(normed).alias("fp")).distinct()
     prior_sig = (
         minhash_signatures(prior, id_col, text_col, n_bands, shingle_k)
         .select("band", "signature")
         .distinct()
     )
+    return _classify_against_prior(
+        new_batch, prior_fp, prior_sig, id_col, text_col, n_bands, shingle_k
+    )
+
+
+def _classify_against_prior(
+    new_batch: DataFrame,
+    prior_fp: DataFrame,
+    prior_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared classify core: new batch vs (fingerprint set, signature
+    set) — however those two tables were obtained (inline or parquet
+    snapshot)."""
+    from pyspark.sql import Window
+
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    newb = new_batch.select(F.col(id_col).alias("id"), F.md5(normed).alias("fp"))
     new_sig = minhash_signatures(new_batch, id_col, text_col, n_bands, shingle_k)
     near = new_sig.join(prior_sig, ["band", "signature"]).select("id").distinct()
 
@@ -308,6 +325,64 @@ def incremental_dedup(
         near_prior.cast("int").alias("near_dup_prior"),
         batch_dup.cast("int").alias("exact_dup_batch"),
         (~exact_prior & ~near_prior & ~batch_dup).cast("int").alias("keep"),
+    )
+
+
+def write_dedup_snapshot(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the dedup state of a curated corpus: the distinct
+    fingerprint set (``{path}/fingerprints``) and the distinct
+    (band, signature) set (``{path}/signatures``) as parquet.
+
+    This is what makes re-ingest O(delta): the snapshot is the ONLY
+    thing a future ingest needs from the corpus — hash keys, not text —
+    and both tables are bounded by the corpus's distinct content, a few
+    bytes per document regardless of document size. Appending a kept
+    delta's own fingerprints/signatures back into the snapshot
+    (mode="append") keeps it current without ever re-reading corpus
+    text."""
+    import os
+
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    corpus.select(F.md5(normed).alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "fingerprints"))
+    (
+        minhash_signatures(corpus, id_col, text_col, n_bands, shingle_k)
+        .select("band", "signature")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "signatures"))
+    )
+
+
+def incremental_dedup_against_snapshot(
+    new_batch: DataFrame,
+    snapshot_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``incremental_dedup`` with the prior side read from a
+    ``write_dedup_snapshot`` directory instead of derived from prior
+    text — the production re-ingest path. The tiny snapshot tables
+    broadcast under the default 10 MB threshold for corpora up to
+    ~hundreds of thousands of documents; beyond that the joins shuffle
+    on the hash key like any other equi-join."""
+    import os
+
+    spark = new_batch.sparkSession
+    prior_fp = spark.read.parquet(os.path.join(snapshot_path, "fingerprints"))
+    prior_sig = spark.read.parquet(os.path.join(snapshot_path, "signatures"))
+    return _classify_against_prior(
+        new_batch, prior_fp, prior_sig, id_col, text_col, n_bands, shingle_k
     )
 
 

@@ -404,3 +404,29 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- Join-key skew profile (the measurement behind the salting decision) -----
+# Top-10 heaviest event keys with share and skew ratio — what an
+# operator runs BEFORE q_salted_agg-style mitigation to see whether a
+# key's share justifies it. Distributed top-k (TakeOrdered), never a
+# global sort/window over the distinct-key table.
+@query(
+    "q_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY user_id),
+    t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+    ranked AS (SELECT key, n_rows,
+                      CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INTEGER) AS rank
+               FROM c)
+    SELECT key, n_rows, rank,
+           round(n_rows * 100.0 / total, 4) AS pct_of_total,
+           round(CAST(n_rows * n_keys AS DOUBLE) / total, 4) AS skew_ratio
+    FROM ranked, t
+    WHERE rank <= 10
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(table(spark, sf_dir, "events"), "user_id", top_n=10)

@@ -195,3 +195,59 @@ def test_pack_shards_matches_global_prefix_and_partition_independent(spark):
         ).collect()
     }
     assert got4 == got
+
+
+def test_snapshot_dedup_equals_inline(spark, tmp_path):
+    """Classifying a delta against a written snapshot must equal the
+    inline (derive-from-prior-text) classification, and the snapshot
+    must store only hash keys — no text column anywhere."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_against_snapshot,
+        write_dedup_snapshot,
+    )
+    from magicxml_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    snap = str(tmp_path / "snap")
+    write_dedup_snapshot(prior, snap)
+
+    fp = spark.read.parquet(f"{snap}/fingerprints")
+    sig = spark.read.parquet(f"{snap}/signatures")
+    assert fp.columns == ["fp"] and set(sig.columns) == {"band", "signature"}
+    # distinct sets: the snapshot is bounded by content, not corpus rows
+    assert fp.count() == fp.distinct().count()
+
+    expected = {
+        tuple(r) for r in incremental_dedup(batch, prior, "doc_id", "text").collect()
+    }
+    got = {
+        tuple(r)
+        for r in incremental_dedup_against_snapshot(batch, snap).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_key_skew_profile_values_and_plan(spark):
+    """Known tiny distribution -> exact stats; and the physical plan
+    must use TakeOrderedAndProject (distributed top-k), not a global
+    sort or single-partition window over all distinct keys."""
+    from magicxml_spark.operators.profiling import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = {r["key"]: r for r in key_skew_profile(df, "k", top_n=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_rows"] == 6 and rows["a"]["rank"] == 1
+    assert rows["a"]["pct_of_total"] == 60.0
+    assert rows["a"]["skew_ratio"] == 1.8  # 6 / (10/3 keys)
+    assert rows["b"]["pct_of_total"] == 30.0
+
+    plan = key_skew_profile(df, "k", top_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
