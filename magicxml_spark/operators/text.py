@@ -239,3 +239,48 @@ def repetition_profile(
         F.round(F.col("_top") / F.col("_total"), 4).alias("top_word_share"),
         F.round(1 - F.col("_n_bg_uniq") / F.col("_n_bg"), 4).alias("dup_bigram_share"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-token-budget chunks with overlap —
+    the standard pre-training/embedding window op (a context-length-
+    bounded model consumes chunks, and the overlap keeps boundary
+    sentences represented in both neighbors).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final partial chunk is kept
+    (its tail would otherwise be lost). Empty documents emit no rows.
+    Output: (id, chunk_id, n_tokens, chunk_text).
+
+    Shape: one projection (tokenize -> per-row chunk array) + one
+    explode — no shuffle at all, so it pipelines into whatever consumes
+    the chunks. Everything is Column expressions on the token array;
+    chunk_text re-joins with single spaces (tokenization already
+    collapsed whitespace, the same convention as token_count)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunk = F.explode(
+        F.when(n == 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), n_chunks - 1)
+        )
+    )
+    out = df.select(F.col(id_col).alias("id"), w.alias("_w"), chunk.alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    return out.select(
+        "id",
+        "chunk_id",
+        F.least(F.size("_w") - start, F.lit(chunk_tokens)).alias("n_tokens"),
+        F.concat_ws(" ", F.slice("_w", start + 1, chunk_tokens)).alias("chunk_text"),
+    )

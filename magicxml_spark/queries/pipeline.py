@@ -589,3 +589,33 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# --- Overlapping token-window chunking ---------------------------------------
+# Context-length-bounded chunks with overlap: chunk i of a doc covers
+# tokens [i*112, i*112+128) (stride = 128-16); the partial tail chunk
+# is kept, empty docs emit nothing. Pure projection + explode — no
+# shuffle (see operators/text.chunk_text).
+@query(
+    "q_chunk_text",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) = 0 THEN 0
+                      ELSE greatest(1, CAST(ceil((len(w) - 16) / 112.0) AS INTEGER))
+                 END AS nc
+          FROM w)
+    SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_id,
+           CAST(least(n - u.i * 112, 128) AS INTEGER) AS n_tokens,
+           array_to_string(w[u.i * 112 + 1 : u.i * 112 + 128], ' ') AS chunk_text
+    FROM c, unnest(range(0, nc)) AS u(i)
+    """,
+)
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import chunk_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=128, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "n_tokens", "chunk_text"
+    )

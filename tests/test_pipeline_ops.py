@@ -251,3 +251,34 @@ def test_key_skew_profile_values_and_plan(spark):
 
     plan = key_skew_profile(df, "k", top_n=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_text_boundaries_and_no_shuffle(spark):
+    from magicxml_spark.operators.text import chunk_text
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(5))),   # single partial chunk
+            (2, " ".join(f"t{i}" for i in range(8))),   # exactly one full chunk
+            (3, " ".join(f"t{i}" for i in range(9))),   # spills into chunk 2
+            (4, ""),                                    # empty -> no rows
+            (5, "   "),                                 # whitespace-only -> no rows
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=8, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert rows[(1, 0)]["n_tokens"] == 5
+    assert rows[(2, 0)]["n_tokens"] == 8 and (2, 1) not in rows
+    # stride 6: chunk 1 = tokens[6:9), 3 tokens, overlapping t6 t7
+    assert rows[(3, 1)]["chunk_text"] == "t6 t7 t8"
+    assert rows[(3, 0)]["chunk_text"].endswith("t6 t7")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection + explode
+
+    with _pytest.raises(ValueError):
+        chunk_text(df, chunk_tokens=8, overlap=8)
