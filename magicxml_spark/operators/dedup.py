@@ -302,9 +302,14 @@ def _classify_against_prior(
 ) -> DataFrame:
     """Shared classify core: new batch vs (fingerprint set, signature
     set) — however those two tables were obtained (inline or parquet
-    snapshot)."""
+    snapshot). Both prior tables are defensively made distinct: an
+    appended-to snapshot (``append_dedup_snapshot``) legitimately holds
+    duplicate keys across ingest files, and a duplicate key on the left
+    join's build side would FAN OUT the new-batch rows."""
     from pyspark.sql import Window
 
+    prior_fp = prior_fp.distinct()
+    prior_sig = prior_sig.distinct()
     normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
     newb = new_batch.select(F.col(id_col).alias("id"), F.md5(normed).alias("fp"))
     new_sig = minhash_signatures(new_batch, id_col, text_col, n_bands, shingle_k)
@@ -484,3 +489,52 @@ def dedup_lines(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce(out_col, F.lit("")).alias(out_col),
     )
+
+
+def append_dedup_snapshot(
+    kept_delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Fold a kept (post-classification) delta's dedup keys into an
+    existing snapshot — parquet append of the delta's distinct
+    fingerprints and band signatures. Keys already present end up
+    duplicated ACROSS files (append cannot dedup against what it
+    appends to without a read-modify-write); the classify core
+    tolerates that by re-distincting, and ``compact_dedup_snapshot``
+    rewrites the snapshot minimal when the duplication ratio warrants
+    a pass. This keeps each ingest O(delta) writes — never a corpus
+    or snapshot rewrite on the ingest path."""
+    import os
+
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    kept_delta.select(F.md5(normed).alias("fp")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, "fingerprints"))
+    (
+        minhash_signatures(kept_delta, id_col, text_col, n_bands, shingle_k)
+        .select("band", "signature")
+        .distinct()
+        .write.mode("append")
+        .parquet(os.path.join(path, "signatures"))
+    )
+
+
+def compact_dedup_snapshot(spark, path: str) -> None:
+    """Rewrite an appended-to snapshot to its distinct minimum. Writes
+    each table to a sibling temp dir then swaps directories — parquet
+    cannot overwrite a path it is lazily reading. Local-FS rename here;
+    on HDFS/S3 the same shape is FileSystem.rename / a manifest swap.
+    Run out-of-band (compaction job), not on the ingest path."""
+    import os
+    import shutil
+
+    for sub in ("fingerprints", "signatures"):
+        src = os.path.join(path, sub)
+        tmp = src + ".compact"
+        spark.read.parquet(src).distinct().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(src)
+        os.rename(tmp, src)

@@ -489,24 +489,11 @@ def cosine_topk_ivf(
     # query-side probe cells: distance to every centroid (tiny loop over
     # broadcast centroid literals), keep the n_probe closest
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    dists = F.array(
-        *[
-            F.struct(
-                dot(
-                    F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
-                    F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
-                ).alias("d2"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = F.slice(F.array_sort(dists), 1, n_probe)
     queries = assigned.select(
         F.col("id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("n").alias("q_n"),
-        F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"),
+        F.explode(probe_cells(F.col("v"), centroids, n_probe)).alias("cell"),
     )
 
     sim = dot(F.col("q_v"), F.col("v")) / (F.col("q_n") * F.col("n"))
@@ -613,3 +600,124 @@ def cosine_topk(
             dim = len(df.select(vec_col).first()[0])
         return cosine_topk_lsh(df, id_col, vec_col, k, dim=dim)
     raise ValueError(f"unknown ANN mode: {mode!r}")
+
+
+def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """array<int> of the ``n_probe`` nearest cell ids for ``vec`` —
+    squared distance to every centroid as a literal-array struct sort.
+    Centroids are a driver-side list (tiny: n_cells rows) compiled into
+    the projection, so cell assignment is pure JVM column work with no
+    join."""
+    dists = F.array(
+        *[
+            F.struct(
+                dot(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                ).alias("d2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda p: p["cell"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: search new embeddings against a persisted IVF snapshot
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_snapshot(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 200_000,
+) -> None:
+    """Persist an IVF index of a corpus: ``{path}/centroids`` (cell,
+    centroid) and ``{path}/cells`` (id, v, n, cell) as parquet — the
+    embedding twin of ``write_dedup_snapshot``. The corpus is indexed
+    ONCE; every later delta searches only its probe cells
+    (``search_ivf_snapshot``) instead of re-fitting or re-scanning.
+
+    The KMeans fit samples at most ``fit_sample_rows`` vectors
+    (hash-deterministic, same rule as ``cosine_topk_ivf``); the cell
+    table stores normalized-input vectors so searches skip re-norming.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = _with_norm(emb, id_col, vec_col)
+    ml = base.withColumn("features", array_to_vector(F.col("v")))
+    fit_on = ml
+    n_rows = ml.count()
+    if n_rows > fit_sample_rows:
+        frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
+        fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(fit_on)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    model.transform(ml).select("id", "v", "n", "cell").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "cells"))
+
+
+def search_ivf_snapshot(
+    new_emb: DataFrame,
+    snapshot_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k neighbors of each NEW vector among the snapshot corpus —
+    the re-ingest ANN path (near-dup gate for a delta against the
+    curated corpus, O(delta x probed cells), no re-fit, no re-scan).
+
+    Centroids collect to the driver (n_cells rows — tiny by
+    construction) and compile into the probe projection; the search is
+    an equi-join of (new vec, probe cell) against the stored cell
+    table, exact cosine ranking within probed cells, deterministic
+    (sim DESC, neighbor_id ASC) tie-break — the same output contract
+    as every other top-k in this module. ``n_probe = n_cells`` makes
+    the search exact."""
+    import os
+
+    spark = new_emb.sparkSession
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(os.path.join(snapshot_path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in range(len(cents))]
+    index = spark.read.parquet(os.path.join(snapshot_path, "cells")).select(
+        F.col("id").alias("n_id"), F.col("v").alias("n_v"), F.col("n").alias("n_n"), "cell"
+    )
+    queries = _with_norm(new_emb, id_col, vec_col).select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("n").alias("q_n"),
+        F.explode(probe_cells(F.col("v"), centroids, n_probe)).alias("cell"),
+    )
+    sim = dot(F.col("q_v"), F.col("n_v")) / (F.col("q_n") * F.col("n_n"))
+    pairs = queries.join(index, "cell").select(
+        F.col("q_id").alias("vec_id"),
+        F.col("n_id").alias("neighbor_id"),
+        sim.alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

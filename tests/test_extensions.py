@@ -303,3 +303,53 @@ def test_ann_dispatch_facade_backends(spark):
 
     with _pytest.raises(ValueError):
         cosine_topk(emb, "vec_id", "embedding", mode="bogus")
+
+
+def test_ivf_snapshot_search_exact_at_full_probe(spark, tmp_path):
+    """Incremental ANN: index prior corpus once, search the delta
+    against the snapshot. With n_probe = n_cells the search is exact —
+    must equal the numpy cross brute-force including tie-break — and a
+    partial probe keeps a sane recall floor."""
+    import numpy as np
+
+    from magicxml_spark.operators.similarity import (
+        search_ivf_snapshot,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    prior = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+
+    snap = str(tmp_path / "ivf")
+    write_ivf_snapshot(prior, snap, n_cells=8)
+
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in search_ivf_snapshot(delta, snap, k=5, n_probe=8).collect()
+    }
+
+    def mat(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    pid, pm = mat(prior)
+    did, dm = mat(delta)
+    sims = dm @ pm.T
+    expected = {}
+    for i, qid in enumerate(did):
+        order = np.lexsort((pid, -sims[i]))[:5]
+        for rank, j in enumerate(order, 1):
+            expected[(qid, rank)] = pid[j]
+    assert got == expected
+
+    # partial probe: approximate but useful (same gate shape as q_ann_recall)
+    part = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in search_ivf_snapshot(delta, snap, k=5, n_probe=2).collect()
+    }
+    exact_pairs = {(q, n) for (q, _), n in expected.items()}
+    recall = len(part & exact_pairs) / len(exact_pairs)
+    assert recall > 0.3, recall

@@ -282,3 +282,53 @@ def test_chunk_text_boundaries_and_no_shuffle(spark):
 
     with _pytest.raises(ValueError):
         chunk_text(df, chunk_tokens=8, overlap=8)
+
+
+def test_snapshot_append_compact_lifecycle(spark, tmp_path):
+    """Two consecutive ingests: classify batch1 vs snapshot(prior),
+    fold batch1's keepers in via append, classify batch2 — must equal
+    the inline classification against (prior UNION kept1). Compaction
+    shrinks the appended snapshot without changing answers."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.dedup import (
+        append_dedup_snapshot,
+        compact_dedup_snapshot,
+        incremental_dedup,
+        incremental_dedup_against_snapshot,
+        write_dedup_snapshot,
+    )
+    from magicxml_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 10 < 6)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 6)
+    batch2 = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    snap = str(tmp_path / "snap")
+    write_dedup_snapshot(prior, snap)
+
+    cls1 = incremental_dedup_against_snapshot(batch1, snap)
+    kept1 = batch1.join(
+        cls1.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    append_dedup_snapshot(kept1, snap)
+
+    expected = {
+        tuple(r)
+        for r in incremental_dedup(batch2, prior.unionByName(kept1)).collect()
+    }
+    got = {
+        tuple(r) for r in incremental_dedup_against_snapshot(batch2, snap).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    fp_before = spark.read.parquet(f"{snap}/fingerprints").count()
+    compact_dedup_snapshot(spark, snap)
+    fp_after = spark.read.parquet(f"{snap}/fingerprints").count()
+    assert fp_after <= fp_before
+    assert fp_after == spark.read.parquet(f"{snap}/fingerprints").distinct().count()
+    got2 = {
+        tuple(r) for r in incremental_dedup_against_snapshot(batch2, snap).collect()
+    }
+    assert got2 == expected
