@@ -121,6 +121,7 @@ def minhash_pairs_stateful(
     n_bands: int = 4,
     shingle_k: int = 3,
     watermark: str = "30 days",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Streaming LSH candidate emission (applyInPandasWithState).
 
@@ -136,6 +137,16 @@ def minhash_pairs_stateful(
     Output is the candidate-pair MULTISET (a pair sharing several band
     signatures appears once per shared band) — order-independent, so
     the batch band-join without DISTINCT is its oracle.
+
+    ``max_bucket_size`` is the boilerplate mega-bucket guard
+    (emit-and-freeze): once a bucket's remembered membership reaches
+    the cap, later arrivals still emit pairs against the first
+    ``max_bucket_size`` members — so every doc in a giant
+    near-identical cluster is still FLAGGED against the cluster's
+    representatives — but are not added to state. Per-arrival work and
+    state are then O(cap) instead of O(bucket), which is the difference
+    between a hot boilerplate signature costing quadratic pairs and a
+    bounded pair budget. None = unbounded (exact batch-join multiset).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -171,7 +182,8 @@ def minhash_pairs_stateful(
                     lo, hi = (did, other) if did < other else (other, did)
                     out_a.append(lo)
                     out_b.append(hi)
-                stored.append(did)
+                if max_bucket_size is None or len(stored) < max_bucket_size:
+                    stored.append(did)
         state.update((stored,))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 

@@ -332,3 +332,54 @@ def test_snapshot_append_compact_lifecycle(spark, tmp_path):
         tuple(r) for r in incremental_dedup_against_snapshot(batch2, snap).collect()
     }
     assert got2 == expected
+
+
+def test_salt_advisor_and_salted_agg_equivalence(spark):
+    from magicxml_spark.operators.profiling import (
+        recommend_salt_factor,
+        salted_agg,
+    )
+
+    # advisor boundaries: uniform -> 1; hot key spanning 8 avg
+    # partitions -> 8; clamp respected
+    assert recommend_salt_factor(100, 3200, 32) == 1       # avg share
+    assert recommend_salt_factor(800, 3200, 32) == 8       # 8x avg
+    assert recommend_salt_factor(10**9, 10**9, 1000, max_salt=256) == 256
+    assert recommend_salt_factor(0, 0, 0) == 1
+
+    # salted two-phase == plain groupBy, including on a skewed input
+    import pytest as _pytest
+
+    from magicxml_spark.tables import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    aggs = {
+        "n_items": ("l_quantity", "count"),
+        "sum_qty": ("l_quantity", "sum"),
+        "max_qty": ("l_quantity", "max"),
+        "min_qty": ("l_quantity", "min"),
+    }
+    plain = {
+        r["l_returnflag"]: (r["n_items"], round(r["sum_qty"], 2), r["max_qty"], r["min_qty"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_quantity").alias("min_qty"),
+        )
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: (r["n_items"], round(r["sum_qty"], 2), r["max_qty"], r["min_qty"])
+        for r in salted_agg(li, "l_returnflag", aggs, salt_factor=16).collect()
+    }
+    assert got == plain
+
+    # the salt really spreads a hot key: partial phase sees >1 salt
+    salted = li.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(16)))
+    n_salts = salted.filter(F.col("l_returnflag") == "N").select("_salt").distinct().count()
+    assert n_salts > 1
+
+    with _pytest.raises(ValueError):
+        salted_agg(li, "l_returnflag", {"bad": ("l_quantity", "avg")}, 4)

@@ -135,3 +135,59 @@ def test_stream_minhash_pairs_incremental_across_batches(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_stream_minhash_bucket_cap_bounds_pairs(spark, tmp_path):
+    """emit-and-freeze: identical docs all land in one bucket per band;
+    with cap c the pair count per band is C(c,2) + (n-c)*c instead of
+    C(n,2), and every doc is still flagged against the frozen
+    representatives."""
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.streaming.dedup import minhash_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    n, cap, bands = 12, 3, 4
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    feed = str(tmp_path / "capfeed")
+    docs.coalesce(1).write.parquet(feed)
+
+    name = f"mh_cap_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(feed)
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+        )
+        q = (
+            minhash_pairs_stateful(stream, max_bucket_size=cap)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+
+    rows = spark.table(name).collect()
+    expected_per_band = cap * (cap - 1) // 2 + (n - cap) * cap
+    assert len(rows) == bands * expected_per_band
+    # every emitted pair involves a frozen representative set member:
+    # per band, one side of each pair is one of exactly `cap` doc ids
+    reps = Counter()
+    for r in rows:
+        assert 0 <= r["id_a"] < r["id_b"] < n
+        reps[r["id_a"]] += 1
+    # the n-cap late arrivals each flagged against cap reps -> each rep
+    # participates heavily; the distinct left-side ids stay small
+    assert len({a for a, _ in ((r["id_a"], r["id_b"]) for r in rows)}) <= n
