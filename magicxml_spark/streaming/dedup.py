@@ -77,7 +77,15 @@ def dedup_stream_within_watermark(
 
     State = one entry per distinct key seen within the watermark
     horizon, evicted as event time advances — at 100 TB/day this is the
-    difference between a dedup that runs forever and one that OOMs."""
+    difference between a dedup that runs forever and one that OOMs.
+
+    Eviction nuance (pinned by test_stream_dedup_state_evicts_past_
+    watermark): Spark checks arrivals against PRE-eviction state and
+    evicts at batch end, so a key re-appearing exactly one batch after
+    its horizon passed may still be suppressed — the engine guarantees
+    dedup WITHIN the delay and bounded state, not exact re-admission
+    timing beyond it. Size the watermark as 'the longest gap after
+    which a repeat should count as new', not as a precision knob."""
     return (
         events.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)

@@ -191,3 +191,82 @@ def test_stream_minhash_bucket_cap_bounds_pairs(spark, tmp_path):
     # the n-cap late arrivals each flagged against cap reps -> each rep
     # participates heavily; the distinct left-side ids stay small
     assert len({a for a, _ in ((r["id_a"], r["id_b"]) for r in rows)}) <= n
+
+
+def test_stream_dedup_state_evicts_past_watermark(spark, tmp_path):
+    """The 100 TB-feasibility property of dropDuplicatesWithinWatermark:
+    state is BOUNDED by the watermark horizon — entries leave the store
+    as the watermark passes them, and a key re-appearing well after the
+    horizon is eventually re-emitted as a fresh first-occurrence.
+
+    Spark checks duplicates against PRE-eviction state within a batch
+    (eviction runs at batch end), so a key arriving exactly one batch
+    after its horizon passed may still be suppressed — the documented
+    'may or may not dedup beyond the delay'. The guaranteed properties
+    this pins: (a) in-horizon repeats always suppressed, (b) state row
+    count returns to ~0 as the watermark advances (never accumulates
+    one row per distinct key forever), (c) a later re-arrival IS
+    re-emitted once eviction has run."""
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from magicxml_spark.streaming.dedup import dedup_stream_within_watermark
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    feed = str(tmp_path / "evict")
+    schema = "ts timestamp, user_id bigint"
+    batches = [
+        [(ts(0), 1), (ts(5), 1)],   # in-horizon repeat -> one emission
+        [(ts(10_000), 2)],          # watermark jumps to ~9_940
+        [(ts(20_000), 3)],          # watermark ~19_940; key 1+2 evicted at end
+        [(ts(30_000), 1)],          # key 1 again, state long gone -> re-emitted
+    ]
+    import time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(feed, f"f{i}")
+        )
+        time.sleep(1.1)  # distinct modTimes keep file->batch order stable
+
+    name = f"evict_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+        )
+        out = dedup_stream_within_watermark(
+            stream, ["user_id"], ts_col="ts", watermark="60 seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+
+    assert len(progress) >= 4
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p["stateOperators"]
+    ]
+    # bounded state: eviction brings the store back down as the
+    # watermark advances — never one row per distinct key forever
+    assert max(state_rows) >= 2 and state_rows[-1] <= 1, state_rows
+
+    got = Counter(r["user_id"] for r in spark.table(name).collect())
+    # key 1 re-emitted after eviction; in-horizon repeat suppressed
+    assert got == Counter({1: 2, 2: 1, 3: 1}), got
