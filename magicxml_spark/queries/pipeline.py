@@ -619,3 +619,103 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "chunk_id", "n_tokens", "chunk_text"
     )
+
+
+def _snapshot_scratch(name: str) -> str:
+    """Scratch dir for snapshot-backed queries: tmpfs when present
+    (same policy as the streaming checkpoint helper); overwritten per
+    run, so repeated driver invocations stay deterministic."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "mxs_snapshots", name)
+
+
+# --- PRODUCTION re-ingest path on the correctness gate ------------------------
+# Same classification contract as q_incremental_dedup (identical
+# oracle), but the Spark side exercises the real lifecycle: write the
+# prior corpus's snapshot to parquet, then classify the delta AGAINST
+# THE FILES — proving write_dedup_snapshot + the snapshot reader
+# hash-match the inline derivation end-to-end.
+@query(
+    "q_snapshot_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               FROM documents),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> substr(md5(s), 1 + b.band * 8, 8)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+    prior_fp AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+    prior_sig AS (SELECT DISTINCT band, signature FROM sig WHERE doc_id % 10 < 8),
+    ranked AS (SELECT doc_id, fp,
+                      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM d WHERE doc_id % 10 >= 8),
+    near AS (SELECT DISTINCT s.doc_id FROM sig s
+             JOIN prior_sig p USING (band, signature)
+             WHERE s.doc_id % 10 >= 8)
+    SELECT r.doc_id,
+           CAST(CASE WHEN pf.fp IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS exact_dup_prior,
+           CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS near_dup_prior,
+           CAST(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END AS INTEGER) AS exact_dup_batch,
+           CAST(CASE WHEN pf.fp IS NULL AND n.doc_id IS NULL AND r.rn = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM ranked r
+    LEFT JOIN prior_fp pf ON r.fp = pf.fp
+    LEFT JOIN near n ON r.doc_id = n.doc_id
+    """,
+)
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import (
+        incremental_dedup_against_snapshot,
+        write_dedup_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    snap = _snapshot_scratch("dedup")
+    write_dedup_snapshot(prior, snap)
+    return incremental_dedup_against_snapshot(batch, snap)
+
+
+# --- Incremental ANN on the correctness gate ----------------------------------
+# Index the prior embeddings ONCE (persisted IVF snapshot), search the
+# delta against the files with n_probe = n_cells — exact by
+# construction, so the cross brute-force top-k is a hash oracle for
+# the whole write->read->probe->rank lifecycle.
+@query(
+    "q_ivf_snapshot_search",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT d.vec_id AS vec_id, p.vec_id AS neighbor_id,
+             list_inner_product(d.v, p.v)
+               / (sqrt(list_inner_product(d.v, d.v)) * sqrt(list_inner_product(p.v, p.v)))
+               AS sim
+      FROM v d JOIN v p ON d.vec_id % 10 >= 8 AND p.vec_id % 10 < 8)
+    SELECT vec_id, neighbor_id, rank, round(sim, 4) AS sim
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+    """,
+)
+def q_ivf_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import (
+        search_ivf_snapshot,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    prior = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+    snap = _snapshot_scratch("ivf")
+    write_ivf_snapshot(prior, snap, n_cells=8)
+    return search_ivf_snapshot(delta, snap, k=5, n_probe=8)
