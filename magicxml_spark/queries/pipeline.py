@@ -719,3 +719,87 @@ def q_ivf_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _snapshot_scratch("ivf")
     write_ivf_snapshot(prior, snap, n_cells=8)
     return search_ivf_snapshot(delta, snap, k=5, n_probe=8)
+
+
+# --- Corpus -> curated -> chunked -> packed shards (the full data job) --------
+# The end-to-end artifact a pre-training data run actually produces:
+# exact-dedup keepers pass the quality gate, survivors split into
+# overlapping 128-token chunks, chunks pack into ~2000-token shards by
+# a deterministic global order (two-phase parallel prefix sum — never
+# a single sorted task). Output is the shard manifest.
+@query(
+    "q_chunks_to_shards",
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(text) AS n_chars,
+             len(text) - len(regexp_replace(text, '[\\.,;:!\\?"''()\\[\\]{{}}]', '', 'g'))
+               AS n_punct,
+             {_WORDS_SQL} AS toks
+      FROM documents),
+    keepers AS (SELECT fp, min(doc_id) AS keeper_id FROM prof GROUP BY fp),
+    scored AS (
+      SELECT p.doc_id, p.fp, p.toks,
+             ((CASE WHEN p.n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN p.n_chars = 0 OR CAST(p.n_punct AS DOUBLE) / p.n_chars <= 0.2
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(p.toks) > 0
+                     AND CAST(len(list_filter(p.toks,
+                           t -> list_contains(['the','and','of','to','is','with'], t)))
+                         AS DOUBLE) / len(p.toks) >= 0.01
+                    THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM prof p),
+    kept AS (SELECT s.doc_id, s.toks FROM scored s
+             JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper_id
+             WHERE round(s.quality, 4) >= 0.6),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) = 0 THEN 0
+                      ELSE greatest(1, CAST(ceil((len(toks) - 16) / 112.0) AS INTEGER))
+                 END AS nc
+          FROM kept),
+    chunks AS (SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_id,
+                      CAST(least(n - u.i * 112, 128) AS INTEGER) AS n_tokens
+               FROM c, unnest(range(0, nc)) AS u(i)),
+    pre AS (SELECT n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id * 1000000 + chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+            FROM chunks)
+    SELECT CAST(floor(p / 2000.0) AS BIGINT) AS shard,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM pre GROUP BY 1
+    """,
+)
+def q_chunks_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import pack_shards
+    from magicxml_spark.operators.text import chunk_text, quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prof = docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))).alias(
+            "fp"
+        ),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    keepers = prof.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    kept = (
+        prof.join(
+            keepers,
+            (prof["fp"] == keepers["fp"]) & (prof["doc_id"] == keepers["keeper_id"]),
+        )
+        .filter(F.round("quality", 4) >= 0.6)
+        .select("doc_id", "text")
+    )
+    chunks = chunk_text(kept, "doc_id", "text", chunk_tokens=128, overlap=16)
+    keyed = chunks.select(
+        (F.col("id") * 1_000_000 + F.col("chunk_id")).alias("ck"), "n_tokens"
+    )
+    packed = pack_shards(keyed, "ck", "n_tokens", budget=2000.0)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

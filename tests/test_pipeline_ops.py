@@ -383,3 +383,46 @@ def test_salt_advisor_and_salted_agg_equivalence(spark):
 
     with _pytest.raises(ValueError):
         salted_agg(li, "l_returnflag", {"bad": ("l_quantity", "avg")}, 4)
+
+
+def test_chunk_text_reconstruction_property(spark):
+    """For any doc: chunk 0's tokens + each later chunk's tokens minus
+    its overlap prefix == the doc's token stream, and every chunk except
+    the last is exactly chunk_tokens long. Seeded random corpus, one
+    Spark job for all examples."""
+    import random
+
+    rnd = random.Random(42)
+    docs = []
+    for doc_id in range(40):
+        n = rnd.choice([0, 1, 7, 8, 9, 15, 16, 17, 40, 100, 101])
+        docs.append((doc_id, " ".join(f"w{rnd.randrange(50)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    from magicxml_spark.operators.text import chunk_text
+
+    chunk_tokens, overlap = 16, 4
+    stride = chunk_tokens - overlap
+    out = chunk_text(df, "doc_id", "text", chunk_tokens, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+
+    for doc_id, text in docs:
+        words = text.split()
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if not words:
+            assert rows == []
+            continue
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r["chunk_text"].split()
+            assert len(toks) == r["n_tokens"]
+            if i < len(rows) - 1:
+                assert len(toks) == chunk_tokens
+                assert rows[i + 1]["chunk_id"] == r["chunk_id"] + 1
+                # overlap region agrees with the next chunk's head
+                nxt = rows[i + 1]["chunk_text"].split()
+                assert toks[stride:] == nxt[: len(toks) - stride]
+            rebuilt.extend(toks if i == 0 else toks[overlap:])
+        assert rebuilt == words, doc_id
