@@ -721,3 +721,59 @@ def search_ivf_snapshot(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+def append_ivf_snapshot(
+    new_emb: DataFrame,
+    snapshot_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into a persisted IVF index: assign each to its
+    nearest STORED centroid (no re-fit — centroids are read back and
+    compiled into one projection) and parquet-append to the cells
+    table. O(delta) per ingest, mirroring ``append_dedup_snapshot``.
+
+    Centroids drift as the corpus grows; monitor
+    ``ivf_snapshot_balance`` and re-run ``write_ivf_snapshot``
+    (a re-fit) out-of-band when the balance ratio degrades — the
+    append path itself never pays a fit."""
+    import os
+
+    spark = new_emb.sparkSession
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(os.path.join(snapshot_path, "centroids")).collect()
+    }
+    centroids = [cents[i] for i in range(len(cents))]
+    base = _with_norm(new_emb, id_col, vec_col)
+    (
+        base.select(
+            "id",
+            "v",
+            "n",
+            F.element_at(probe_cells(F.col("v"), centroids, 1), 1).alias("cell"),
+        )
+        .write.mode("append")
+        .parquet(os.path.join(snapshot_path, "cells"))
+    )
+
+
+def ivf_snapshot_balance(spark, snapshot_path: str) -> DataFrame:
+    """One-row health summary of a (possibly appended-to) IVF index:
+    (n_cells_used, n_vectors, max_cell_rows, balance_ratio) where
+    balance_ratio = max cell size / mean cell size. A ratio creeping
+    toward n_cells means appended data concentrated in few cells —
+    probe cost approaches brute force — and a re-fit is due. One
+    aggregation over the cells table; no vector data read (column
+    pruning keeps the scan to the ``cell`` column)."""
+    import os
+
+    cells = spark.read.parquet(os.path.join(snapshot_path, "cells")).select("cell")
+    per_cell = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_cell_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("balance_ratio"),
+    )

@@ -353,3 +353,54 @@ def test_ivf_snapshot_search_exact_at_full_probe(spark, tmp_path):
     exact_pairs = {(q, n) for (q, _), n in expected.items()}
     recall = len(part & exact_pairs) / len(exact_pairs)
     assert recall > 0.3, recall
+
+
+def test_ivf_snapshot_append_and_balance(spark, tmp_path):
+    """Append-only growth: index prior, fold delta1 in via stored-
+    centroid assignment, search delta2 at full probe — must equal the
+    numpy cross brute-force against prior ∪ delta1. Balance monitor
+    reports sane stats."""
+    import numpy as np
+
+    from magicxml_spark.operators.similarity import (
+        append_ivf_snapshot,
+        ivf_snapshot_balance,
+        search_ivf_snapshot,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    prior = emb.filter(F.col("vec_id") % 10 < 6)
+    delta1 = emb.filter((F.col("vec_id") % 10 >= 6) & (F.col("vec_id") % 10 < 8))
+    delta2 = emb.filter(F.col("vec_id") % 10 >= 8)
+
+    snap = str(tmp_path / "ivf_app")
+    write_ivf_snapshot(prior, snap, n_cells=8)
+    append_ivf_snapshot(delta1, snap)
+
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in search_ivf_snapshot(delta2, snap, k=5, n_probe=8).collect()
+    }
+
+    def mat(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    pid, pm = mat(prior.unionByName(delta1))
+    did, dm = mat(delta2)
+    sims = dm @ pm.T
+    expected = {}
+    for i, qid in enumerate(did):
+        order = np.lexsort((pid, -sims[i]))[:5]
+        for rank, j in enumerate(order, 1):
+            expected[(qid, rank)] = pid[j]
+    assert got == expected
+
+    bal = ivf_snapshot_balance(spark, snap).collect()[0]
+    assert bal["n_vectors"] == prior.count() + delta1.count()
+    assert 1 <= bal["n_cells_used"] <= 8
+    assert bal["balance_ratio"] >= 1.0
+    assert bal["max_cell_rows"] <= bal["n_vectors"]
