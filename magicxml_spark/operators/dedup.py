@@ -528,13 +528,21 @@ def compact_dedup_snapshot(spark, path: str) -> None:
     each table to a sibling temp dir then swaps directories — parquet
     cannot overwrite a path it is lazily reading. Local-FS rename here;
     on HDFS/S3 the same shape is FileSystem.rename / a manifest swap.
-    Run out-of-band (compaction job), not on the ingest path."""
+    Run out-of-band (compaction job), not on the ingest path.
+
+    Swap order keeps the live table recoverable at every step: the old
+    directory is moved aside BEFORE the compacted one takes its place
+    (rmtree-then-rename would lose the snapshot entirely if the process
+    died in the window) and deleted only after the swap lands."""
     import os
     import shutil
 
     for sub in ("fingerprints", "signatures"):
         src = os.path.join(path, sub)
         tmp = src + ".compact"
+        old = src + ".old"
         spark.read.parquet(src).distinct().write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(src)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
         os.rename(tmp, src)
+        shutil.rmtree(old)

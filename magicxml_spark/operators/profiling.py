@@ -56,8 +56,10 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             F.round(F.col("n_rows") * 100.0 / F.col("_total"), 4).alias(
                 "pct_of_total"
             ),
+            # multiply in DOUBLE: n_rows * n_keys as long*long overflows
+            # at exactly the billions-of-keys scale this module targets
             F.round(
-                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 4
+                F.col("n_rows").cast("double") * F.col("_n_keys") / F.col("_total"), 4
             ).alias("skew_ratio"),
         )
     )

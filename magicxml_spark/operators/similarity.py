@@ -469,31 +469,18 @@ def cosine_topk_ivf(
     waste at 100 TB. Below the cap the full table trains, keeping the
     recorded small-SF recall values reproducible.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = _with_norm(df, id_col, vec_col)
-    ml = base.withColumn("features", array_to_vector(F.col("v")))
-    fit_on = ml
-    n_rows = ml.count()
-    if n_rows > fit_sample_rows:
-        # deterministic subset (hash order), independent of partitioning
-        frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
-        cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
-        fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
-    ).fit(fit_on)
+    model, ml = _fit_centroids(base, n_cells, seed, fit_sample_rows)
     assigned = model.transform(ml).select("id", "v", "n", "cell")
 
-    # query-side probe cells: distance to every centroid (tiny loop over
-    # broadcast centroid literals), keep the n_probe closest
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    queries = assigned.select(
+    queries = with_probe_cells(
+        assigned.select("id", "v", "n"), centroids, n_probe, id_col="id"
+    ).select(
         F.col("id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("n").alias("q_n"),
-        F.explode(probe_cells(F.col("v"), centroids, n_probe)).alias("cell"),
+        "cell",
     )
 
     sim = dot(F.col("q_v"), F.col("v")) / (F.col("q_n") * F.col("n"))
@@ -527,7 +514,6 @@ ANN_EXACT_MAX_ROWS = 100_000
 
 def choose_ann_strategy(
     n_rows: int,
-    k: int = 5,
     exact_max_rows: int = ANN_EXACT_MAX_ROWS,
 ) -> dict:
     """Pure cost model behind ``cosine_topk`` — separated so the
@@ -569,16 +555,22 @@ def cosine_topk(
     """Top-k cosine neighbors with cost-based plan selection — the one
     entry point a user should call.
 
-    ``mode="auto"`` counts the corpus (parquet metadata count — no scan)
-    and dispatches per ``choose_ann_strategy``; ``mode="exact"|"ivf"|
-    "lsh"`` forces a plan. All three backends emit the same
-    (vec_id, neighbor_id, rank, sim) schema with the same deterministic
-    (sim DESC, neighbor_id ASC) tie-break, so callers can switch modes
-    without downstream changes. ``dim`` is only needed for the LSH
-    backend (hyperplane width); it defaults to probing one row.
+    ``mode="auto"`` counts the corpus and dispatches per
+    ``choose_ann_strategy``. The count is metadata-only for a bare
+    parquet scan but a real (column-pruned) scan job for filtered or
+    projected inputs — still cheap relative to any ANN backend, and
+    both chosen backends count again anyway (the blocked grid sizes
+    its blocks, the IVF fit sizes its sample), so auto adds at most
+    one extra count, not a second data pass of the heavy work.
+    ``mode="exact"|"ivf"|"lsh"`` forces a plan. All three backends
+    emit the same (vec_id, neighbor_id, rank, sim) schema with the
+    same deterministic (sim DESC, neighbor_id ASC) tie-break, so
+    callers can switch modes without downstream changes. ``dim`` is
+    only needed for the LSH backend (hyperplane width); it defaults to
+    probing one row.
     """
     if mode == "auto":
-        strategy = choose_ann_strategy(df.count(), k, exact_max_rows)
+        strategy = choose_ann_strategy(df.count(), exact_max_rows)
     else:
         strategy = {"algo": mode}
     algo = strategy["algo"]
@@ -623,6 +615,77 @@ def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Colu
     return F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda p: p["cell"])
 
 
+# Above this cell count the literal-compiled probe becomes infeasible:
+# n_cells structs x 2 embedded centroid arrays x dim literals is
+# O(n_cells * dim) expressions built one py4j call at a time, and the
+# generated code blows past JVM method limits long before the 32768-cell
+# corpora the cost model can select. The join path below takes over.
+MAX_LITERAL_PROBE_CELLS = 64
+
+
+def with_probe_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    id_col: str = "id",
+    max_literal_cells: int | None = None,
+) -> DataFrame:
+    """Append an exploded ``cell`` column: the ``n_probe`` nearest
+    centroids per row of ``df`` (which must carry the vector as ``v``).
+
+    Two physically different plans, identical result (same
+    (distance, cell) tie-break):
+
+    * few cells — ``probe_cells`` literal expression, pure projection;
+    * many cells — broadcast join against the centroid table + per-row
+      window top-n_probe. n_rows x n_cells distance evaluations is the
+      inherent IVF assignment cost; the join spreads it across the
+      cluster instead of compiling it into one untenable expression.
+    """
+    if max_literal_cells is None:
+        max_literal_cells = MAX_LITERAL_PROBE_CELLS  # read at call time
+    if len(centroids) <= max_literal_cells:
+        return df.withColumn(
+            "cell", F.explode(probe_cells(F.col("v"), centroids, n_probe))
+        )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, _centroid array<double>",
+    )
+    diff = F.zip_with(F.col("v"), F.col("_centroid"), lambda a, b: a - b)
+    w = W.partitionBy(id_col).orderBy("_d2", "cell")
+    return (
+        df.join(F.broadcast(cdf))
+        .withColumn("_d2", dot(diff, diff))
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .drop("_centroid", "_d2", "_pr")
+    )
+
+
+def _fit_centroids(base: DataFrame, n_cells: int, seed: int, fit_sample_rows: int):
+    """Shared KMeans fit for the in-memory IVF path and the persisted
+    snapshot writer: train on at most ``fit_sample_rows`` vectors via a
+    hash-deterministic subset (centroid quality converges long before
+    corpus size), full table below the cap. Returns (model, ml) where
+    ``ml`` is ``base`` with the ML features column attached."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml = base.withColumn("features", array_to_vector(F.col("v")))
+    fit_on = ml
+    n_rows = ml.count()
+    if n_rows > fit_sample_rows:
+        frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
+        fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(fit_on)
+    return model, ml
+
+
 # ---------------------------------------------------------------------------
 # Incremental ANN: search new embeddings against a persisted IVF snapshot
 # ---------------------------------------------------------------------------
@@ -649,20 +712,8 @@ def write_ivf_snapshot(
     """
     import os
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = _with_norm(emb, id_col, vec_col)
-    ml = base.withColumn("features", array_to_vector(F.col("v")))
-    fit_on = ml
-    n_rows = ml.count()
-    if n_rows > fit_sample_rows:
-        frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
-        cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
-        fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
-    ).fit(fit_on)
+    model, ml = _fit_centroids(base, n_cells, seed, fit_sample_rows)
     spark = emb.sparkSession
     spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
@@ -686,12 +737,13 @@ def search_ivf_snapshot(
     curated corpus, O(delta x probed cells), no re-fit, no re-scan).
 
     Centroids collect to the driver (n_cells rows — tiny by
-    construction) and compile into the probe projection; the search is
-    an equi-join of (new vec, probe cell) against the stored cell
-    table, exact cosine ranking within probed cells, deterministic
-    (sim DESC, neighbor_id ASC) tie-break — the same output contract
-    as every other top-k in this module. ``n_probe = n_cells`` makes
-    the search exact."""
+    construction); the probe compiles as literals for few cells and
+    switches to the broadcast-join path past MAX_LITERAL_PROBE_CELLS
+    (see ``with_probe_cells``). The search is an equi-join of (new vec,
+    probe cell) against the stored cell table, exact cosine ranking
+    within probed cells, deterministic (sim DESC, neighbor_id ASC)
+    tie-break — the same output contract as every other top-k in this
+    module. ``n_probe = n_cells`` makes the search exact."""
     import os
 
     spark = new_emb.sparkSession
@@ -703,11 +755,13 @@ def search_ivf_snapshot(
     index = spark.read.parquet(os.path.join(snapshot_path, "cells")).select(
         F.col("id").alias("n_id"), F.col("v").alias("n_v"), F.col("n").alias("n_n"), "cell"
     )
-    queries = _with_norm(new_emb, id_col, vec_col).select(
+    queries = with_probe_cells(
+        _with_norm(new_emb, id_col, vec_col), centroids, n_probe, id_col="id"
+    ).select(
         F.col("id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("n").alias("q_n"),
-        F.explode(probe_cells(F.col("v"), centroids, n_probe)).alias("cell"),
+        "cell",
     )
     sim = dot(F.col("q_v"), F.col("n_v")) / (F.col("q_n") * F.col("n_n"))
     pairs = queries.join(index, "cell").select(
@@ -748,12 +802,8 @@ def append_ivf_snapshot(
     centroids = [cents[i] for i in range(len(cents))]
     base = _with_norm(new_emb, id_col, vec_col)
     (
-        base.select(
-            "id",
-            "v",
-            "n",
-            F.element_at(probe_cells(F.col("v"), centroids, 1), 1).alias("cell"),
-        )
+        with_probe_cells(base, centroids, 1, id_col="id")
+        .select("id", "v", "n", "cell")
         .write.mode("append")
         .parquet(os.path.join(snapshot_path, "cells"))
     )

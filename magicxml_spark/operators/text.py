@@ -255,18 +255,25 @@ def chunk_text(
 
     Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
     stride = chunk_tokens - overlap; the final partial chunk is kept
-    (its tail would otherwise be lost). Empty documents emit no rows.
-    Output: (id, chunk_id, n_tokens, chunk_text).
+    (its tail would otherwise be lost). Empty and null documents emit
+    no rows. Output: (id, chunk_id, n_tokens, chunk_text).
 
     Shape: one projection (tokenize -> per-row chunk array) + one
     explode — no shuffle at all, so it pipelines into whatever consumes
-    the chunks. Everything is Column expressions on the token array;
-    chunk_text re-joins with single spaces (tokenization already
-    collapsed whitespace, the same convention as token_count)."""
+    the chunks. Whitespace runs collapse to single spaces in the
+    reassembled chunk, but case is PRESERVED — this operator emits
+    model input, not counting features, so it splits the original text
+    rather than reusing the lowercasing ``tokens()`` helper."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    w = tokens(F.col(text_col))
+    # case-preserving whitespace split; coalesce guards null text
+    # (split(NULL) is NULL and the size() sentinel would fabricate a
+    # chunk with n_tokens < 0)
+    w = F.coalesce(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
     n = F.size(w)
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")

@@ -421,7 +421,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM c)
     SELECT key, n_rows, rank,
            round(n_rows * 100.0 / total, 4) AS pct_of_total,
-           round(CAST(n_rows * n_keys AS DOUBLE) / total, 4) AS skew_ratio
+           round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_ratio
     FROM ranked, t
     WHERE rank <= 10
     """,

@@ -598,8 +598,12 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle (see operators/text.chunk_text).
 @query(
     "q_chunk_text",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    # case-PRESERVING split (no lower()): chunk_text emits model input,
+    # unlike the lowercasing _WORDS_SQL counting convention
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+               FROM documents),
     c AS (SELECT doc_id, w, len(w) AS n,
                  CASE WHEN len(w) = 0 THEN 0
                       ELSE greatest(1, CAST(ceil((len(w) - 16) / 112.0) AS INTEGER))
@@ -623,13 +627,17 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _snapshot_scratch(name: str) -> str:
     """Scratch dir for snapshot-backed queries: tmpfs when present
-    (same policy as the streaming checkpoint helper); overwritten per
-    run, so repeated driver invocations stay deterministic."""
+    (same policy as the streaming checkpoint helper), unique per
+    invocation — concurrent runs (pytest gate alongside the driver or
+    bench) must not overwrite each other's files mid-scan. Dirs are
+    process-lifetime scratch; each is a few hundred KB of hash keys on
+    tmpfs, cleared with the machine."""
     import os
     import tempfile
+    import uuid
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "mxs_snapshots", name)
+    return os.path.join(base, "mxs_snapshots", f"{name}_{uuid.uuid4().hex[:8]}")
 
 
 # --- PRODUCTION re-ingest path on the correctness gate ------------------------

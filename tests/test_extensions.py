@@ -404,3 +404,57 @@ def test_ivf_snapshot_append_and_balance(spark, tmp_path):
     assert 1 <= bal["n_cells_used"] <= 8
     assert bal["balance_ratio"] >= 1.0
     assert bal["max_cell_rows"] <= bal["n_vectors"]
+
+
+def test_probe_cells_join_path_equals_literal(spark, tmp_path):
+    """with_probe_cells must pick identical probe cells through both
+    physical plans: the literal-compiled expression (few centroids) and
+    the broadcast-join + window path (many centroids). Forcing
+    max_literal_cells=0 routes the same centroids through the join
+    path; probe sets must match exactly, and the end-to-end snapshot
+    search must stay exact through the join path too."""
+    from magicxml_spark.operators.similarity import (
+        _with_norm,
+        search_ivf_snapshot,
+        with_probe_cells,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    base = _with_norm(emb, "vec_id", "embedding")
+    centroids = [
+        [float((i * 37 + j * 11) % 13 - 6) for j in range(64)] for i in range(8)
+    ]
+    lit_rows = {
+        (r["id"], r["cell"])
+        for r in with_probe_cells(base, centroids, 3, id_col="id").collect()
+    }
+    join_rows = {
+        (r["id"], r["cell"])
+        for r in with_probe_cells(
+            base, centroids, 3, id_col="id", max_literal_cells=0
+        ).collect()
+    }
+    assert lit_rows == join_rows and len(lit_rows) > 0
+
+    # end-to-end through the join path: exact at full probe
+    prior = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+    snap = str(tmp_path / "ivf_join")
+    write_ivf_snapshot(prior, snap, n_cells=8)
+    import magicxml_spark.operators.similarity as sim_mod
+
+    old_cap = sim_mod.MAX_LITERAL_PROBE_CELLS
+    try:
+        sim_mod.MAX_LITERAL_PROBE_CELLS = 0  # read at call time
+        got = {
+            (r["vec_id"], r["rank"], r["neighbor_id"])
+            for r in search_ivf_snapshot(delta, snap, k=5, n_probe=8).collect()
+        }
+    finally:
+        sim_mod.MAX_LITERAL_PROBE_CELLS = old_cap
+    exact = {
+        (r["vec_id"], r["rank"], r["neighbor_id"])
+        for r in search_ivf_snapshot(delta, snap, k=5, n_probe=8).collect()
+    }
+    assert got == exact and len(got) > 0

@@ -264,13 +264,18 @@ def test_chunk_text_boundaries_and_no_shuffle(spark):
             (2, " ".join(f"t{i}" for i in range(8))),   # exactly one full chunk
             (3, " ".join(f"t{i}" for i in range(9))),   # spills into chunk 2
             (4, ""),                                    # empty -> no rows
+            (6, None),                                  # null -> no rows
+            (7, "The CEO  of IBM"),                     # case preserved
             (5, "   "),                                 # whitespace-only -> no rows
         ],
         "doc_id bigint, text string",
     )
     out = chunk_text(df, "doc_id", "text", chunk_tokens=8, overlap=2)
     rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
-    assert {k[0] for k in rows} == {1, 2, 3}
+    assert {k[0] for k in rows} == {1, 2, 3, 7}
+    # model input keeps its case; whitespace runs collapse
+    assert rows[(7, 0)]["chunk_text"] == "The CEO of IBM"
+    assert rows[(7, 0)]["n_tokens"] == 4
     assert rows[(1, 0)]["n_tokens"] == 5
     assert rows[(2, 0)]["n_tokens"] == 8 and (2, 1) not in rows
     # stride 6: chunk 1 = tokens[6:9), 3 tokens, overlapping t6 t7
