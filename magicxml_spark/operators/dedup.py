@@ -10,9 +10,9 @@ All variants are expressed as declarative DataFrame plans:
                    buckets (boilerplate docs) are handled by AQE skew
                    splitting.
 * simhash        — 16-bit sign-sum sketch over token hashes; near-dups
-                   bucket by exact sketch equality (Hamming-0) here,
-                   with the bit-sliced variant left to the similarity
-                   module.
+                   bucket by exact sketch equality (Hamming-0,
+                   ``simhash_dedup``) or by bit-sliced pigeonhole
+                   banding for Hamming<=k (``simhash_near_dup_pairs``).
 * n-gram Jaccard — exact verify step for LSH candidates.
 
 Hash family: md5 hex (JVM built-in, deterministic across engines) —
@@ -546,3 +546,77 @@ def compact_dedup_snapshot(spark, path: str) -> None:
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Hamming-distance SimHash near-dup: distinct (id_a < id_b) pairs
+    whose 16-bit sketches differ in at most ``max_hamming`` bits — the
+    bit-sliced companion to ``simhash_dedup``'s exact-equality
+    bucketing.
+
+    Pigeonhole banding makes this bucketed, never all-pairs: the 16-bit
+    sketch splits into ``n_slices`` 4-bit slices, and two sketches
+    within Hamming distance n_slices-1 must agree on at least one
+    slice. Candidates come from an equi-join on (slice index, slice
+    value); the exact popcount filter then removes false candidates.
+    With the defaults (4 slices, max_hamming 3) the result is EXACT —
+    every qualifying pair shares a slice by pigeonhole. A larger
+    ``max_hamming`` than n_slices-1 would make the recall approximate;
+    callers wanting that raise ``n_slices`` (more bands, smaller
+    slices) exactly like minhash banding.
+
+    Scale shape mirrors ``lsh_candidate_pairs``: one projection for
+    the sketch, a 4-row explode, one shuffle on the slice key, AQE
+    skew-splitting for boilerplate mega-buckets. The popcount is a
+    JVM bit_count on the XOR — no Python.
+    """
+    if max_hamming > n_slices - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_slices>={max_hamming + 1} "
+            "for exact pigeonhole coverage"
+        )
+    bits_per = 16 // n_slices
+    mask = (1 << bits_per) - 1
+    sk = df.select(
+        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sk")
+    )
+    slices = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftright(F.col("sk"), s * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice_val"),
+                    )
+                    for s in range(n_slices)
+                ]
+            )
+        ).alias("sl"),
+    ).select("id", "sk", F.col("sl.slice_idx").alias("slice_idx"), F.col("sl.slice_val").alias("slice_val"))
+    a = slices.alias("ha")
+    b = slices.alias("hb")
+    return (
+        a.join(
+            b,
+            (F.col("ha.slice_idx") == F.col("hb.slice_idx"))
+            & (F.col("ha.slice_val") == F.col("hb.slice_val"))
+            & (F.col("ha.id") < F.col("hb.id")),
+        )
+        .select(
+            F.col("ha.id").alias("id_a"),
+            F.col("hb.id").alias("id_b"),
+            F.bit_count(F.col("ha.sk").bitwiseXOR(F.col("hb.sk"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

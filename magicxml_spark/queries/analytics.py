@@ -120,6 +120,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
+# --- SimHash Hamming near-dup (bit-sliced pigeonhole banding) -----------------
+# Pairs within Hamming<=3 of each other's 16-bit sketch: exact by
+# pigeonhole over four 4-bit slices (a <=3-bit difference leaves at
+# least one slice untouched), candidates from the slice equi-join,
+# popcount filter on the XOR — never all-pairs.
+def _simhash_near_dup_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(w, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+          FROM w),
+    s AS (SELECT doc_id, CAST({bit_terms} AS INTEGER) AS sk FROM h),
+    sl AS (SELECT doc_id, sk, b.i AS slice_idx, (sk >> (b.i * 4)) & 15 AS slice_val
+           FROM s, (SELECT unnest(range(0, 4)) AS i) b)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.sk, b2.sk)) AS INTEGER) AS hamming
+    FROM sl a JOIN sl b2
+      ON a.slice_idx = b2.slice_idx AND a.slice_val = b2.slice_val
+     AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.sk, b2.sk)) <= 3
+    """
+
+
+@query("q_simhash_near_dup", oracle=_simhash_near_dup_oracle())
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 # --- Text profile: token counts, quality, language ID, fingerprint -----------
 def _text_profile_oracle() -> str:
     marker_scores = ", ".join(

@@ -458,3 +458,33 @@ def test_probe_cells_join_path_equals_literal(spark, tmp_path):
         for r in search_ivf_snapshot(delta, snap, k=5, n_probe=8).collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_simhash_near_dup_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness: the bit-sliced banded join must find
+    EVERY pair within Hamming<=3 — verified against the all-pairs
+    popcount over collected sketches at smoke scale."""
+    from itertools import combinations
+
+    from magicxml_spark.operators.dedup import simhash16, simhash_near_dup_pairs
+
+    import pytest as _pytest
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sk = {
+        r["doc_id"]: r["sk"]
+        for r in docs.select("doc_id", simhash16(F.col("text")).alias("sk")).collect()
+    }
+    expected = {
+        (a, b, bin(sk[a] ^ sk[b]).count("1"))
+        for a, b in combinations(sorted(sk), 2)
+        if bin(sk[a] ^ sk[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=4, n_slices=4)
