@@ -589,7 +589,18 @@ def cosine_topk(
         )
     if algo == "lsh":
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            # One extra probe job (documented above): read a single row
+            # to learn the vector width. Guard the empty/null case —
+            # first() on an empty frame returns None and a bare len()
+            # would raise an opaque TypeError.
+            head = df.select(vec_col).head(1)
+            if not head or head[0][0] is None:
+                raise ValueError(
+                    "cosine_topk(mode='lsh'): cannot infer vector dim from an "
+                    "empty DataFrame (or a null first vector) — pass dim= "
+                    "explicitly"
+                )
+            dim = len(head[0][0])
         return cosine_topk_lsh(df, id_col, vec_col, k, dim=dim)
     raise ValueError(f"unknown ANN mode: {mode!r}")
 
@@ -811,19 +822,30 @@ def append_ivf_snapshot(
 
 def ivf_snapshot_balance(spark, snapshot_path: str) -> DataFrame:
     """One-row health summary of a (possibly appended-to) IVF index:
-    (n_cells_used, n_vectors, max_cell_rows, balance_ratio) where
-    balance_ratio = max cell size / mean cell size. A ratio creeping
-    toward n_cells means appended data concentrated in few cells —
-    probe cost approaches brute force — and a re-fit is due. One
-    aggregation over the cells table; no vector data read (column
-    pruning keeps the scan to the ``cell`` column)."""
+    (n_cells_total, n_cells_used, n_vectors, max_cell_rows,
+    balance_ratio) where balance_ratio = max cell size / (n_vectors /
+    n_cells_total) — the denominator is the mean over ALL fitted
+    centroids (read from the centroids table), not just the used ones,
+    so total concentration (every appended vector landing in one cell,
+    the exact degradation this monitor exists to flag) reports a ratio
+    of n_cells_total, not a healthy-looking 1.0. A ratio creeping
+    toward n_cells_total means probe cost approaches brute force and a
+    re-fit is due. One aggregation over the cells table; no vector
+    data read (column pruning keeps the scan to the ``cell`` column);
+    the centroid count is a metadata-cheap count of a tiny table."""
     import os
 
+    n_cells_total = spark.read.parquet(
+        os.path.join(snapshot_path, "centroids")
+    ).count()
     cells = spark.read.parquet(os.path.join(snapshot_path, "cells")).select("cell")
     per_cell = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     return per_cell.agg(
+        F.lit(n_cells_total).alias("n_cells_total"),
         F.count(F.lit(1)).alias("n_cells_used"),
         F.sum("n").alias("n_vectors"),
         F.max("n").alias("max_cell_rows"),
-        F.round(F.max("n") / F.avg("n"), 4).alias("balance_ratio"),
+        F.round(F.max("n") / (F.sum("n") / F.lit(n_cells_total)), 4).alias(
+            "balance_ratio"
+        ),
     )

@@ -625,19 +625,33 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_SCRATCH_ROOT: str | None = None
+
+
 def _snapshot_scratch(name: str) -> str:
     """Scratch dir for snapshot-backed queries: tmpfs when present
     (same policy as the streaming checkpoint helper), unique per
     invocation — concurrent runs (pytest gate alongside the driver or
-    bench) must not overwrite each other's files mid-scan. Dirs are
-    process-lifetime scratch; each is a few hundred KB of hash keys on
-    tmpfs, cleared with the machine."""
+    bench) must not overwrite each other's files mid-scan, and a
+    re-run within one process must not clobber files a previously
+    returned (lazy) DataFrame may still scan. All invocations nest
+    under one per-PROCESS root that an atexit hook removes, so
+    repeated gate/bench runs cannot leak RAM-backed parquet past
+    process exit (each dir is a few hundred KB of hash keys)."""
+    import atexit
     import os
+    import shutil
     import tempfile
     import uuid
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "mxs_snapshots", f"{name}_{uuid.uuid4().hex[:8]}")
+    global _SNAPSHOT_SCRATCH_ROOT
+    if _SNAPSHOT_SCRATCH_ROOT is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        _SNAPSHOT_SCRATCH_ROOT = os.path.join(
+            base, "mxs_snapshots", f"pid{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, _SNAPSHOT_SCRATCH_ROOT, ignore_errors=True)
+    return os.path.join(_SNAPSHOT_SCRATCH_ROOT, f"{name}_{uuid.uuid4().hex[:8]}")
 
 
 # --- PRODUCTION re-ingest path on the correctness gate ------------------------

@@ -60,7 +60,11 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+    # +1: event time must sit strictly above the initial watermark (0 =
+    # epoch) — stateful operators with event-time timeouts filter rows
+    # whose timestamp is <= the current watermark as late, which would
+    # silently drop doc_id 0 on the first batch.
+    return stream.withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
 
 
 def dedup_stream_within_watermark(
@@ -155,6 +159,17 @@ def minhash_pairs_stateful(
     state are then O(cap) instead of O(bucket), which is the difference
     between a hot boilerplate signature costing quadratic pairs and a
     bounded pair budget. None = unbounded (exact batch-join multiset).
+
+    State is bounded in BOTH dimensions: ``max_bucket_size`` caps each
+    bucket's membership, and an EventTimeTimeout tied to the watermark
+    caps the bucket COUNT — a bucket whose last arrival has fallen
+    behind the advancing watermark is dropped at the end of the batch
+    that advances past it. The semantic contract: near-dup pairs are
+    only guaranteed for documents whose event times are within the
+    watermark horizon of each other; a doc matching a bucket evicted
+    longer ago starts a fresh bucket (no pair emitted). That is the
+    standard streaming trade-off — size ``watermark`` as the longest
+    gap across which a near-dup must still be flagged.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -180,10 +195,22 @@ def minhash_pairs_stateful(
     )
 
     def emit_pairs(key, pdfs, state):
+        if state.hasTimedOut:
+            # Watermark passed this bucket's last activity: drop it so
+            # bucket-count state stays bounded on a continuous feed.
+            state.remove()
+            yield pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+            return
         stored = list(state.get[0]) if state.exists else []
         out_a: list[int] = []
         out_b: list[int] = []
+        last_ms = 0
         for pdf in pdfs:
+            if len(pdf):
+                batch_max = pdf["_ts"].max()
+                last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
             for raw in pdf["id"]:
                 did = int(raw)
                 for other in stored:
@@ -193,6 +220,11 @@ def minhash_pairs_stateful(
                 if max_bucket_size is None or len(stored) < max_bucket_size:
                     stored.append(did)
         state.update((stored,))
+        # Expire once the watermark advances past this bucket's newest
+        # event: rows older than the watermark can't arrive anyway, so
+        # nothing admissible could still pair against it. Spark requires
+        # the timestamp to sit strictly beyond the current watermark.
+        state.setTimeoutTimestamp(max(last_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return sig_rows.groupBy("band", "signature").applyInPandasWithState(
@@ -200,7 +232,7 @@ def minhash_pairs_stateful(
         outputStructType="id_a bigint, id_b bigint",
         stateStructType="ids array<bigint>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -401,9 +401,17 @@ def test_ivf_snapshot_append_and_balance(spark, tmp_path):
 
     bal = ivf_snapshot_balance(spark, snap).collect()[0]
     assert bal["n_vectors"] == prior.count() + delta1.count()
+    assert bal["n_cells_total"] == 8
     assert 1 <= bal["n_cells_used"] <= 8
     assert bal["balance_ratio"] >= 1.0
     assert bal["max_cell_rows"] <= bal["n_vectors"]
+    # Ratio is anchored to the FITTED cell count, not the used count:
+    # total concentration must read as n_cells_total, never 1.0.
+    assert bal["balance_ratio"] == round(
+        bal["max_cell_rows"] / (bal["n_vectors"] / bal["n_cells_total"]), 4
+    )
+    if bal["n_cells_used"] < bal["n_cells_total"]:
+        assert bal["balance_ratio"] > 1.0
 
 
 def test_probe_cells_join_path_equals_literal(spark, tmp_path):
@@ -488,3 +496,15 @@ def test_simhash_near_dup_exact_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, max_hamming=4, n_slices=4)
+
+
+def test_cosine_topk_lsh_empty_df_raises_clear_error(spark):
+    """dim inference probes one row; an empty frame (or null first
+    vector) must raise a clear ValueError, not an opaque TypeError."""
+    from magicxml_spark.operators.similarity import cosine_topk
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        cosine_topk(empty, "vec_id", "embedding", 5, mode="lsh")
+    # explicit dim on an empty frame is fine: empty result, no error
+    assert cosine_topk(empty, "vec_id", "embedding", 5, mode="lsh", dim=8).count() == 0

@@ -102,7 +102,7 @@ def test_stream_minhash_pairs_incremental_across_batches(spark, tmp_path):
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(os.path.join(feed, "*"))
-            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
         )
         q = (
             minhash_pairs_stateful(stream)
@@ -165,7 +165,7 @@ def test_stream_minhash_bucket_cap_bounds_pairs(spark, tmp_path):
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .parquet(feed)
-            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
         )
         q = (
             minhash_pairs_stateful(stream, max_bucket_size=cap)
@@ -270,3 +270,79 @@ def test_stream_dedup_state_evicts_past_watermark(spark, tmp_path):
     got = Counter(r["user_id"] for r in spark.table(name).collect())
     # key 1 re-emitted after eviction; in-horizon repeat suppressed
     assert got == Counter({1: 2, 2: 1, 3: 1}), got
+
+
+def test_stream_minhash_bucket_state_evicts_past_watermark(spark, tmp_path):
+    """Bucket-COUNT state in minhash_pairs_stateful is bounded by the
+    watermark: a (band, signature) bucket idle past the horizon is
+    dropped via EventTimeTimeout, so (a) the state store returns to a
+    small row count instead of accumulating one entry per distinct
+    signature forever, and (b) a doc matching an EVICTED bucket starts
+    a fresh bucket and emits no pairs against the forgotten members —
+    the documented trade-off of bounding state on a continuous feed."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.streaming.dedup import minhash_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    feed = str(tmp_path / "mh_evict")
+    schema = "doc_id bigint, text string"
+    dup_text = "the same boilerplate paragraph appears in many documents"
+    batches = [
+        # ingest_ts = doc_id seconds
+        [(0, dup_text), (1, dup_text)],          # bucket {0,1}, pairs (0,1)
+        [(1000, "entirely different filler words advance the clock")],
+        # watermark now ~990s > bucket timeout (~1s): idle bucket fires
+        # hasTimedOut during THIS batch (no new data for it) -> removed
+        [(2000, "another unrelated document moves time forward again")],
+        # same signature as docs 0/1, but their bucket is long gone:
+        [(3000, dup_text)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(feed, f"f{i}")
+        )
+        time.sleep(1.1)  # distinct modTimes keep file->batch order stable
+
+    name = f"mh_evict_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
+        )
+        q = (
+            minhash_pairs_stateful(stream, watermark="10 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+
+    assert len(progress) >= 4
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p["stateOperators"]
+    ]
+    # bounded bucket count: old signature buckets leave the store as
+    # the watermark advances past their last activity
+    assert max(state_rows) >= 4 and state_rows[-1] < max(state_rows), state_rows
+
+    got = Counter((r["id_a"], r["id_b"]) for r in spark.table(name).collect())
+    # only the in-horizon pair (0,1) x n_bands; doc 3000 pairs with
+    # NOTHING because the matching bucket was evicted before it arrived
+    assert set(got) == {(0, 1)}, got
+    assert all(b != 3000 and a != 3000 for a, b in got)
