@@ -146,16 +146,72 @@ def minhash_signatures(
     return mins.selectExpr("id", stack_expr)
 
 
+def _capped_bucket_pairs(
+    rows: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Shared mega-bucket guard for the batch pair emitters: ``rows``
+    is the long-form (bucket key, id) table; emit all-pairs within
+    buckets of at most ``max_bucket_size`` members and STAR pairs
+    (min-id representative, member) for larger ones.
+
+    AQE skew-join splits shuffle partitions, not OUTPUT cardinality: a
+    boilerplate bucket of b near-identical docs emits ~b²/2 pairs from
+    the plain self-join no matter how the shuffle is carved. Star
+    emission bounds that to b-1 pairs while keeping every member
+    FLAGGED — ``analytics.clusters.dedup_clusters`` transitively closes
+    the star back into the full duplicate cluster, so keeper sets are
+    unchanged; only the explicit pair list (and hence which partner a
+    verify step scores each member against) is reduced. One window
+    shuffle for (count, min) per bucket, then the self-join runs ONLY
+    on the small-bucket side.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    sized = rows.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("id").over(w)
+    )
+    small = sized.filter(F.col("_n") <= max_bucket_size).select(*bucket_cols, "id")
+    a = small.alias("a")
+    b = small.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    small_pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    star_pairs = (
+        sized.filter((F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return small_pairs.unionByName(star_pairs)
+
+
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band signature.
 
     Plan: one shuffle to group by (band, signature); pairs emitted by a
-    self-join on the bucket key. Giant buckets are exact-duplicate
-    boilerplate clusters; AQE skew-join splits them.
+    self-join on the bucket key.
+
+    ``max_bucket_size`` is the batch twin of the streaming cap
+    (streaming/dedup.minhash_pairs_stateful): buckets larger than the
+    cap star-emit against their min-id representative — O(b) pairs
+    instead of O(b²) for a boilerplate cluster of b docs — and the
+    downstream transitive closure (dedup_clusters) reconstructs the
+    identical cluster membership. None = exact all-pairs emission (the
+    oracle-checked default); at 100 TB set a cap, because AQE splits
+    the shuffle, not the pair count.
     """
     sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_k)
+    if max_bucket_size is not None:
+        return _capped_bucket_pairs(sig, ["band", "signature"], max_bucket_size).distinct()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -402,6 +458,7 @@ def contamination_check(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """For each evaluation document, measure k-gram overlap with the
     training corpus: how many corpus docs share at least one k-gram,
@@ -411,10 +468,17 @@ def contamination_check(
     Shape: both sides explode DISTINCT shingles (word_shingles — same
     convention as minhash: short docs contribute one whole-text gram)
     and equi-join on the gram string — bucketed by gram, never
-    all-pairs. At 100 TB the gram join inherits AQE skew splitting;
-    stop-gram removal (drop grams above a document-frequency cap, one
-    extra aggregate) is the standard mitigation for pathological common
-    grams and composes here as a pre-filter on the corpus side.
+    all-pairs.
+
+    ``max_doc_freq`` is the stop-gram guard for the 100 TB path: a
+    gram present in more than that many CORPUS documents ("the of the",
+    boilerplate phrases) is dropped from both sides before the join —
+    one extra aggregate over the corpus grams, eliminating exactly the
+    hot keys whose join fan-out (eval_count x corpus_count per gram)
+    dominates at scale. Such grams are also the least informative
+    contamination signal, which is why stop-gram removal is standard in
+    decontamination pipelines. None = keep every gram (the
+    oracle-checked default).
     """
     ev = eval_set.select(
         F.col(id_col).alias("eval_doc_id"),
@@ -424,6 +488,17 @@ def contamination_check(
         F.col(id_col).alias("corpus_doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
     )
+    if max_doc_freq is not None:
+        stop = (
+            corp.groupBy("gram")
+            .agg(F.countDistinct("corpus_doc_id").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("gram")
+        )
+        # anti-join on the corpus side is enough to kill the fan-out
+        # (a gram missing from one side emits nothing), and stop-gram
+        # sets are small by Zipf, so this broadcasts
+        corp = corp.join(stop, "gram", "left_anti")
     return (
         ev.join(corp, "gram")
         .groupBy("eval_doc_id")
@@ -554,6 +629,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_slices: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-distance SimHash near-dup: distinct (id_a < id_b) pairs
     whose 16-bit sketches differ in at most ``max_hamming`` bits — the
@@ -572,9 +648,20 @@ def simhash_near_dup_pairs(
     slices) exactly like minhash banding.
 
     Scale shape mirrors ``lsh_candidate_pairs``: one projection for
-    the sketch, a 4-row explode, one shuffle on the slice key, AQE
-    skew-splitting for boilerplate mega-buckets. The popcount is a
-    JVM bit_count on the XOR — no Python.
+    the sketch, a 4-row explode, one shuffle on the slice key. The
+    popcount is a JVM bit_count on the XOR — no Python.
+
+    ``max_bucket_size`` is the same mega-bucket guard as
+    ``lsh_candidate_pairs``: slice buckets above the cap star-emit
+    (representative, member) pairs — O(b) instead of O(b²) for a b-doc
+    boilerplate cluster — with the hamming distance computed against
+    the representative's sketch. Capped emission keeps the exactness
+    guarantee only THROUGH the representative: a member whose distance
+    to the rep exceeds ``max_hamming`` is dropped from the pair list
+    even if some other in-bucket partner was within range (transitive
+    closure over the surviving pairs still clusters exact-duplicate
+    boilerplate, which is what mega-buckets are in practice). None =
+    exact all-pairs emission.
     """
     if max_hamming > n_slices - 1:
         raise ValueError(
@@ -603,6 +690,43 @@ def simhash_near_dup_pairs(
             )
         ).alias("sl"),
     ).select("id", "sk", F.col("sl.slice_idx").alias("slice_idx"), F.col("sl.slice_val").alias("slice_val"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("slice_idx", "slice_val")
+        sized = slices.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_rep", F.min(F.struct("id", "sk")).over(w)
+        )
+        small = sized.filter(F.col("_n") <= max_bucket_size).select(
+            "slice_idx", "slice_val", "id", "sk"
+        )
+        a = small.alias("ha")
+        b = small.alias("hb")
+        small_pairs = a.join(
+            b,
+            (F.col("ha.slice_idx") == F.col("hb.slice_idx"))
+            & (F.col("ha.slice_val") == F.col("hb.slice_val"))
+            & (F.col("ha.id") < F.col("hb.id")),
+        ).select(
+            F.col("ha.id").alias("id_a"),
+            F.col("hb.id").alias("id_b"),
+            F.bit_count(F.col("ha.sk").bitwiseXOR(F.col("hb.sk"))).alias("hamming"),
+        )
+        star_pairs = (
+            sized.filter(
+                (F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep.id"))
+            )
+            .select(
+                F.col("_rep.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.bit_count(F.col("_rep.sk").bitwiseXOR(F.col("sk"))).alias("hamming"),
+            )
+        )
+        return (
+            small_pairs.unionByName(star_pairs)
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     a = slices.alias("ha")
     b = slices.alias("hb")
     return (

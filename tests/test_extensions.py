@@ -508,3 +508,78 @@ def test_cosine_topk_lsh_empty_df_raises_clear_error(spark):
         cosine_topk(empty, "vec_id", "embedding", 5, mode="lsh")
     # explicit dim on an empty frame is fine: empty result, no error
     assert cosine_topk(empty, "vec_id", "embedding", 5, mode="lsh", dim=8).count() == 0
+
+
+def test_batch_lsh_mega_bucket_cap_star_emission(spark):
+    """The batch mega-bucket guard: a boilerplate cluster of b identical
+    docs must emit O(b) star pairs under the cap instead of C(b,2), and
+    the transitive closure over the capped pairs must produce the SAME
+    cluster membership (hence the same min-id keeper set) as the exact
+    all-pairs emission."""
+    from magicxml_spark.analytics.clusters import dedup_clusters
+    from magicxml_spark.operators.dedup import lsh_candidate_pairs
+
+    n, cap = 40, 5
+    rows = [(i, "the very same boilerplate footer text") for i in range(n)]
+    # plus one unrelated pair of near-identical docs in a small bucket
+    rows += [(100, "a unique document about gardening tips"),
+             (101, "a unique document about gardening tips")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = lsh_candidate_pairs(docs, "doc_id", "text")
+    capped = lsh_candidate_pairs(docs, "doc_id", "text", max_bucket_size=cap)
+    n_exact = exact.count()
+    n_capped = capped.count()
+    # exact: C(40,2) + 1 pairs; capped: 39 star pairs + 1 small-bucket pair
+    assert n_exact == n * (n - 1) // 2 + 1
+    assert n_capped == (n - 1) + 1
+    # every capped pair is a subset of the exact candidate set
+    assert capped.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
+
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    exact_clusters = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(nodes, exact).collect()
+    }
+    capped_clusters = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(nodes, capped).collect()
+    }
+    assert capped_clusters == exact_clusters
+    # keeper per cluster (min id) unchanged
+    assert {min(i for i, c in capped_clusters.items() if c == cl)
+            for cl in set(capped_clusters.values())} == \
+           {min(i for i, c in exact_clusters.items() if c == cl)
+            for cl in set(exact_clusters.values())}
+
+
+def test_batch_simhash_mega_bucket_cap_star_emission(spark):
+    """Same guard on the bit-sliced SimHash path: identical sketches in
+    a mega slice-bucket star-emit against the min-id representative
+    (hamming 0), O(b) pairs, identical transitive clusters."""
+    from magicxml_spark.analytics.clusters import dedup_clusters
+    from magicxml_spark.operators.dedup import simhash_near_dup_pairs
+
+    n, cap = 30, 4
+    rows = [(i, "repeated boilerplate navigation header links") for i in range(n)]
+    rows += [(200, "completely different content about astronomy"),
+             (201, "completely different content about astronomy")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = simhash_near_dup_pairs(docs)
+    capped = simhash_near_dup_pairs(docs, max_bucket_size=cap)
+    assert exact.count() == n * (n - 1) // 2 + 1
+    assert capped.count() == (n - 1) + 1
+    # star pairs anchor on the min-id representative with hamming 0
+    star = capped.filter(F.col("id_b") < 100).collect()
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in star)
+
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pairs_cols = ["id_a", "id_b"]
+    exact_clusters = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, exact.select(*pairs_cols)).collect()
+    }
+    capped_clusters = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, capped.select(*pairs_cols)).collect()
+    }
+    assert capped_clusters == exact_clusters

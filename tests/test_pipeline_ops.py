@@ -112,6 +112,40 @@ def test_contamination_check_small(spark):
     assert out[100]["n_shared_pairs"] == 1
 
 
+def test_contamination_stop_gram_cap_drops_hot_grams(spark):
+    """max_doc_freq is the stop-gram guard: a gram present in more than
+    that many corpus docs is excluded from the overlap join entirely,
+    while rarer grams still report."""
+    hot = "common boilerplate phrase"
+    corpus = spark.createDataFrame(
+        [(1, hot), (2, hot), (3, hot), (4, "rare specific wording")],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, hot), (101, "rare specific wording")],
+        "doc_id long, text string",
+    )
+    # uncapped: the hot gram reports against all 3 corpus docs
+    base = {
+        r["eval_doc_id"]: r for r in contamination_check(corpus, eval_set).collect()
+    }
+    assert base[100]["n_contaminating_docs"] == 3
+    assert base[101]["n_contaminating_docs"] == 1
+    # cap 2: the hot gram (df=3) is dropped; the rare gram (df=1) stays
+    capped = {
+        r["eval_doc_id"]: r
+        for r in contamination_check(corpus, eval_set, max_doc_freq=2).collect()
+    }
+    assert set(capped) == {101}
+    assert capped[101]["n_contaminating_docs"] == 1
+    # cap at exactly the hot gram's df keeps it (strictly-greater drop)
+    at_df = {
+        r["eval_doc_id"]: r
+        for r in contamination_check(corpus, eval_set, max_doc_freq=3).collect()
+    }
+    assert at_df[100]["n_contaminating_docs"] == 3
+
+
 def test_stratified_sample_deterministic_and_bounded(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "de") for i in range(100)], "id long, lang string"
