@@ -228,15 +228,18 @@ def write_yml_catalog(
     date: str = "1970-01-01 00:00",
 ) -> str:
     """Assemble the full yml_catalog document (K3). Bounded driver-side
-    wrap; offer fragments stream from executors."""
+    wrap; offer fragments AND category header rows stream from
+    executors via toLocalIterator — a degenerate catalog whose
+    category_path is unique per row (categories ~ rows) must not
+    balloon the driver with a full collect of the distinct set."""
     if "category_path" in df.columns:
         cat_ids = dense_category_ids(df)
-        cats = cat_ids.orderBy(F.col("category_id").cast("int")).collect()
+        cats = cat_ids.orderBy(F.col("category_id").cast("int"))
     else:  # no categories in the input -> empty categories block
         cat_ids = df.sparkSession.createDataFrame(
             [], "category_path string, category_id string"
         )
-        cats = []
+        cats = cat_ids
     frags = offer_fragments(df, cat_ids)
 
     # header values escape like the fragments do (the reference built the
@@ -256,7 +259,7 @@ def write_yml_catalog(
             f"<company>{esc_text(company)}</company><url>{esc_text(url)}</url>"
         )
         f.write('<currencies><currency id="RUR" rate="1"/></currencies><categories>')
-        for r in cats:
+        for r in cats.toLocalIterator():
             esc = (
                 r["category_path"]
                 .replace("&", "&amp;")

@@ -121,3 +121,34 @@ def test_yml_header_escapes_metadata(spark, csv_df, tmp_path_factory):
     assert shop.findtext("company") == 'A"B & C'
     assert shop.findtext("url") == "https://e.invalid/?a=1&b=2"
     assert root.get("date") == '2024-01-01 00:00" <'
+
+
+def test_yml_header_streams_degenerate_category_set(spark, tmp_path_factory, monkeypatch):
+    """A catalog whose category_path is unique per row (categories ~
+    rows) must stream the header through toLocalIterator — no full
+    driver collect anywhere on the write path — and still emit every
+    category exactly once with dense ids."""
+    from pyspark.sql import DataFrame
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("product "), F.col("id")).alias("name"),
+        F.concat(F.lit("Root///Branch "), F.col("id")).alias("category_path"),
+    )
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError("driver-side collect in write_yml_catalog path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", _no_collect)
+    out = str(tmp_path_factory.mktemp("yml_degen") / "catalog.xml")
+    write_yml_catalog(df, out)
+
+    import re
+
+    text = open(out, encoding="utf-8").read()
+    cat_ids = re.findall(r'<category id="(\d+)">', text)
+    assert len(cat_ids) == n
+    assert sorted(int(i) for i in cat_ids) == list(range(1, n + 1))
+    assert text.count("<offer ") == n
