@@ -289,20 +289,38 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_blocked(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
 
 
-# --- Cosine top-k: LSH-bucketed scale path (approximate; rows-only check) ------
-@query("q_cosine_topk_lsh")
+# --- Cosine top-k: LSH-bucketed scale path (approximate, recall-gated) --------
+# An approximate neighbor list has no SQL oracle, but its RECALL vs the
+# exact top-k does: the md5-derived hyperplanes are deterministic, so
+# the wrapper runs the real LSH search, scores it against the blocked
+# exact answer, and emits one row asserting the pinned floor. The
+# DuckDB oracle is the constant expected row — hash-match fails iff
+# the search stops clearing its floor (0.8588 at sf0.01, 0.89 at
+# sf0.1; floor 0.85 holds at both driver SFs).
+@query(
+    "q_cosine_topk_lsh",
+    oracle="""
+    SELECT 'lsh' AS algo,
+           CAST((SELECT count(DISTINCT vec_id) FROM embeddings) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(1 AS INTEGER) AS meets_recall_floor
+    """,
+)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 3 planes x 8 OR-amplified tables: recall 0.86 at sf0.01 / 0.89 at
-    # sf0.1 vs the exact top-5 (see q_ann_recall for the pinned gate).
-    # At corpus scale grow n_planes ~ log2(n / target_bucket_size).
-    return cosine_topk_lsh(
-        table(spark, sf_dir, "embeddings"),
-        "vec_id",
-        "embedding",
-        k=5,
-        dim=64,
-        n_planes=3,
-        n_tables=8,
+    # 3 planes x 8 OR-amplified tables: at corpus scale grow
+    # n_planes ~ log2(n / target_bucket_size).
+    from magicxml_spark.operators.similarity import topk_recall
+
+    emb = table(spark, sf_dir, "embeddings")
+    approx = cosine_topk_lsh(
+        emb, "vec_id", "embedding", k=5, dim=64, n_planes=3, n_tables=8
+    )
+    exact = cosine_topk_blocked(emb, "vec_id", "embedding", k=5)
+    return topk_recall(approx, exact).select(
+        F.lit("lsh").alias("algo"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(5).cast("int").alias("k"),
+        (F.col("recall") >= 0.85).cast("int").alias("meets_recall_floor"),
     )
 
 
