@@ -147,9 +147,24 @@ def build_category_paths(
     return done.select("id", path.alias("category_path"))
 
 
-def build_category_paths_sql(spark, categories: DataFrame, sep: str = PATH_SEP) -> DataFrame:
+def build_category_paths_sql(
+    spark, categories: DataFrame, sep: str = PATH_SEP, max_depth: int = 64
+) -> DataFrame:
     """Declarative twin using Spark 4 recursive CTE. Expects columns
-    (id, parent_id, name). Cycle-safe via depth cap."""
+    (id, parent_id, name). Cycle-safe via depth cap.
+
+    ``max_depth`` mirrors the iterative loop's parameter: a chain deeper
+    than the cap keeps its partial (truncated) path, identically in both
+    strategies. Spark guards recursion independently via
+    ``spark.sql.cteRecursionLevelLimit`` (default 100) and *errors* when
+    the CTE would iterate past it, so the session limit is raised here
+    whenever the requested cap needs more iterations than the limit
+    allows — otherwise a deep-but-legal walk would throw instead of
+    truncating.
+    """
+    limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
+    if max_depth + 1 > limit:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_depth + 1))
     categories.createOrReplaceTempView("_cat_dim")
     return spark.sql(
         f"""
@@ -162,7 +177,7 @@ def build_category_paths_sql(spark, categories: DataFrame, sep: str = PATH_SEP) 
           SELECT w.id, concat(coalesce(CAST(c.name AS STRING), 'Undefined'), '{sep}', w.path),
                  CAST(c.parent_id AS STRING), w.depth + 1
           FROM walk w JOIN _cat_dim c ON w.ancestor = CAST(c.id AS STRING)
-          WHERE w.depth < 64
+          WHERE w.depth < {int(max_depth)}
         )
         SELECT id, max_by(path, depth) AS category_path
         FROM walk GROUP BY id

@@ -86,3 +86,65 @@ def test_recursive_cte_agrees_on_acyclic(spark, cats_df):
         for r in build_category_paths_sql(spark, acyclic).collect()
     }
     assert loop == sql
+
+
+def test_depth_100_chain_parity_all_strategies(spark):
+    """Depth-100 chain: driver walk, distributed loop, and recursive CTE
+    all return the identical full root->leaf path when the cap allows
+    it. The CTE needs more iterations than Spark's default
+    ``cteRecursionLevelLimit`` (100), so this also pins the
+    limit-raising guard in build_category_paths_sql — without it the
+    statement errors out instead of completing."""
+    depth = 100
+    rows = [(str(i), str(i - 1) if i > 0 else None, f"N{i}") for i in range(depth)]
+    chain = spark.createDataFrame(rows, ["id", "parent_id", "name"])
+    expected_leaf = "///".join(f"N{i}" for i in range(depth))
+
+    driver = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths(chain, max_depth=128).collect()
+    }
+    distributed = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths(
+            chain, max_depth=128, driver_threshold=0
+        ).collect()
+    }
+    prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
+    try:
+        sql = {
+            r["id"]: r["category_path"]
+            for r in build_category_paths_sql(spark, chain, max_depth=128).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
+
+    assert driver[str(depth - 1)] == expected_leaf
+    assert driver == distributed == sql
+
+
+def test_deep_chain_truncates_at_cap_instead_of_erroring(spark):
+    """A chain deeper than max_depth keeps a partial path (never
+    raises): the distributed loop stops extending after max_depth
+    joins, the CTE's depth predicate stops recursion under the session
+    recursion limit."""
+    depth = 100
+    rows = [(str(i), str(i - 1) if i > 0 else None, f"N{i}") for i in range(depth)]
+    chain = spark.createDataFrame(rows, ["id", "parent_id", "name"])
+
+    loop_leaf = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths(
+            chain, max_depth=10, driver_threshold=0
+        ).collect()
+    }[str(depth - 1)]
+    sql_leaf = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths_sql(spark, chain, max_depth=10).collect()
+    }[str(depth - 1)]
+    # both truncated (strictly fewer than the full 100 names), both
+    # leaf-anchored: the walk goes leaf->root so the deepest node keeps
+    # its own name plus its nearest ancestors
+    assert loop_leaf.endswith(f"N{depth - 1}") and sql_leaf.endswith(f"N{depth - 1}")
+    assert len(loop_leaf.split("///")) < depth
+    assert len(sql_leaf.split("///")) < depth
