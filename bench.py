@@ -15,6 +15,21 @@ import sys
 import time
 
 
+def _measure(df) -> int:
+    """Execute the plan. Default: `.count()` (both engines' optimizers
+    may prune unreferenced projections — symmetric with the DuckDB
+    harness's count(*) wrapper). MXS_BENCH_FORCE=1 hashes every output
+    cell instead, so projection-heavy queries can't be pruned away on
+    either engine (tools/bench_oracle.py honors the same env)."""
+    if os.environ.get("MXS_BENCH_FORCE") == "1":
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.xxhash64(F.struct(*df.columns)).alias("h")
+        ).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    return df.count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from magicxml_spark.queries import QUERIES
@@ -48,7 +63,7 @@ def main() -> None:
     for name in headline:
         if name in QUERIES:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                _measure(QUERIES[name](spark, warm_dir))
             except Exception as exc:  # noqa: BLE001
                 # a failing warm-up must not mask the measured run, but
                 # a silently-cold measurement is not comparable — say so
@@ -66,7 +81,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            _measure(QUERIES[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
