@@ -849,3 +849,87 @@ def ivf_snapshot_balance(spark, snapshot_path: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+def refit_ivf_snapshot(
+    spark,
+    snapshot_path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    fit_sample_rows: int = 200_000,
+) -> int:
+    """Re-fit a drifted IVF index in place from its stored vectors — the
+    out-of-band maintenance job ``append_ivf_snapshot`` defers to. Reads
+    the cells table (vectors are stored normalized, so no re-norm),
+    fits fresh centroids on a hash-deterministic sample, re-assigns
+    every vector, and swaps both tables via the same old-aside ordering
+    as ``compact_dedup_snapshot`` (rmtree-then-rename would lose the
+    index if the process died mid-window; here both tmp dirs are fully
+    written before the first rename, so every intermediate state is
+    recoverable). A crash between the two swaps leaves new cells with
+    old centroids for one window — searches then probe suboptimal cells
+    (recall dip, not wrong results: ranking within probed cells is
+    exact, and full-probe remains exhaustive), healed by re-running.
+
+    ``n_cells=None`` re-derives sqrt(n) clamped to [16, 32768] — the
+    same rule as the cost-based dispatch — so a corpus that grew 100x
+    since the original fit gets a proportionally wider index. Returns
+    the cell count fitted."""
+    import os
+    import shutil
+
+    cells_src = os.path.join(snapshot_path, "cells")
+    cents_src = os.path.join(snapshot_path, "centroids")
+    stored = spark.read.parquet(cells_src).select("id", "v", "n")
+    if n_cells is None:
+        n_rows = stored.count()
+        n_cells = max(16, min(32768, int(n_rows**0.5)))
+    model, ml = _fit_centroids(stored, n_cells, seed, fit_sample_rows)
+
+    cells_tmp, cents_tmp = cells_src + ".refit", cents_src + ".refit"
+    model.transform(ml).select("id", "v", "n", "cell").write.mode(
+        "overwrite"
+    ).parquet(cells_tmp)
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cents_tmp)
+    for src, tmp in ((cells_src, cells_tmp), (cents_src, cents_tmp)):
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    return n_cells
+
+
+def maybe_refit_ivf_snapshot(
+    spark,
+    snapshot_path: str,
+    max_balance_ratio: float = 8.0,
+    seed: int = 42,
+    fit_sample_rows: int = 200_000,
+) -> dict:
+    """Re-fit policy closing the append-only lifecycle: check
+    ``ivf_snapshot_balance`` and re-fit when the max cell has grown past
+    ``max_balance_ratio`` x the all-cells mean (the probe cost of the
+    fattest cell approaches brute force) OR when sqrt-growth says the
+    index is under-celled (appends tripled the corpus -> sqrt(n) wants
+    >2x the fitted cells). One cheap aggregation when healthy; the fit
+    only runs when triggered. Returns the balance row plus the action
+    taken, so ingest jobs can log it."""
+    row = ivf_snapshot_balance(spark, snapshot_path).collect()[0]
+    target_cells = max(16, min(32768, int(row["n_vectors"] ** 0.5)))
+    trigger = (
+        row["balance_ratio"] >= max_balance_ratio
+        or target_cells >= 2 * row["n_cells_total"]
+    )
+    out = {k: row[k] for k in row.asDict()}
+    if trigger:
+        out["action"] = "refit"
+        out["n_cells_fitted"] = refit_ivf_snapshot(
+            spark, snapshot_path, None, seed, fit_sample_rows
+        )
+    else:
+        out["action"] = "none"
+    return out

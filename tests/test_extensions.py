@@ -583,3 +583,80 @@ def test_batch_simhash_mega_bucket_cap_star_emission(spark):
         for r in dedup_clusters(nodes, capped.select(*pairs_cols)).collect()
     }
     assert capped_clusters == exact_clusters
+
+
+def test_ivf_snapshot_refit_policy(spark, tmp_path):
+    """The append-only lifecycle's maintenance close: a healthy index
+    reports action 'none'; a degenerate append wave (a dense cloud of
+    near-copies, all assigned to ONE stored cell) trips the balance
+    trigger, the re-fit re-derives sqrt(n) cells, spreads the cloud
+    over multiple fresh cells (ratio drops), and the full-probe search
+    stays exact vs numpy brute force over the whole grown corpus."""
+    import numpy as np
+
+    from magicxml_spark.operators.similarity import (
+        append_ivf_snapshot,
+        ivf_snapshot_balance,
+        maybe_refit_ivf_snapshot,
+        search_ivf_snapshot,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    prior = emb.filter(F.col("vec_id") % 10 < 6)
+    snap = str(tmp_path / "ivf_refit")
+    write_ivf_snapshot(prior, snap, n_cells=16)
+
+    healthy = maybe_refit_ivf_snapshot(spark, snap, max_balance_ratio=50.0)
+    assert healthy["action"] == "none"
+    assert healthy["n_cells_total"] == 16
+
+    rng = np.random.default_rng(7)
+    center = np.array(
+        emb.limit(1).collect()[0]["embedding"], dtype=np.float64
+    )
+    cloud = center + rng.normal(scale=0.15, size=(300, center.size))
+    cloud /= np.linalg.norm(cloud, axis=1, keepdims=True)
+    skew = spark.createDataFrame(
+        [(100_000 + i, [float(x) for x in v], 0) for i, v in enumerate(cloud)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append_ivf_snapshot(skew, snap)
+    before = ivf_snapshot_balance(spark, snap).collect()[0]
+
+    out = maybe_refit_ivf_snapshot(spark, snap, max_balance_ratio=4.0)
+    assert out["action"] == "refit"
+    n_total = prior.count() + 300
+    assert out["n_cells_fitted"] == max(16, min(32768, int(n_total**0.5)))
+
+    after = ivf_snapshot_balance(spark, snap).collect()[0]
+    assert after["n_cells_total"] == out["n_cells_fitted"]
+    assert after["n_vectors"] == n_total
+    # the dense cloud split across fresh cells: concentration drops
+    assert after["max_cell_rows"] < before["max_cell_rows"]
+
+    # exactness survives the swap: full-probe search == numpy cross
+    delta2 = emb.filter(F.col("vec_id") % 10 >= 8)
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in search_ivf_snapshot(
+            delta2, snap, k=5, n_probe=out["n_cells_fitted"]
+        ).collect()
+    }
+    rows = prior.select("vec_id", "embedding").collect() + [
+        (100_000 + i, [float(x) for x in v]) for i, v in enumerate(cloud)
+    ]
+    pid = np.array([r[0] for r in rows])
+    pm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    pm /= np.linalg.norm(pm, axis=1, keepdims=True)
+    drows = delta2.select("vec_id", "embedding").collect()
+    did = np.array([r[0] for r in drows])
+    dm = np.array([list(r[1]) for r in drows], dtype=np.float64)
+    dm /= np.linalg.norm(dm, axis=1, keepdims=True)
+    sims = dm @ pm.T
+    expected = {}
+    for i, qid in enumerate(did):
+        order = np.lexsort((pid, -sims[i]))[:5]
+        for rank, j in enumerate(order, 1):
+            expected[(qid, rank)] = pid[j]
+    assert got == expected

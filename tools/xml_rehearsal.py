@@ -22,6 +22,8 @@ import resource
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 OFFER_TMPL = (
     '<offer id="{oid}" available="{avail}">'
     "<name>Item {oid} model-{mod}</name>"
