@@ -326,6 +326,171 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_wide(text: Column | str) -> Column:
+    """64-bit SimHash as FOUR 16-bit words (array<int>, little-endian by
+    word) — the scale sketch. simhash16's 65,536-value space saturates
+    around 50k docs (measured at sf1, BASELINE.md round 3: slice
+    buckets of thousands of docs); 2^64 values keep bucket densities
+    workable at corpus sizes where near-dup banding actually matters.
+
+    Words are carved 4-per-digest exactly like minhash bands
+    (``_band_digest_salt``): word g = hex chars [1+4g, 4+4g] of ONE md5
+    per token — the four 16-bit slices of a digest are independent, so
+    one digest funds the whole 64-bit hash. The vote pass is the
+    single-aggregate shape from simhash16 (64-slot accumulator; a
+    per-bit aggregate would re-digest every token 64x — see that
+    docstring), and the word packing folds through one more aggregate
+    so the votes array is evaluated exactly once."""
+    c = F.col(text) if isinstance(text, str) else text
+    word_hashes = F.transform(
+        F.transform(_words(c), lambda t: F.md5(t)),
+        lambda d: F.array(
+            *[
+                F.conv(F.substring(d, 1 + 4 * g, 4), 16, 10).cast("int")
+                for g in range(4)
+            ]
+        ),
+    )
+    bits = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        word_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, hw: F.zip_with(
+            acc,
+            bits,
+            lambda a, b: a
+            + F.when(
+                F.call_function(
+                    "shiftright",
+                    F.element_at(hw, (b / 16).cast("int") + 1),
+                    b % 16,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, bits, lambda v, b: F.struct(b.alias("b"), v.alias("v"))),
+        F.array_repeat(F.lit(0), 4),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda a, g: a
+            + F.when(
+                (e["v"] > 0) & ((e["b"] / 16).cast("int") == g),
+                F.call_function("shiftleft", F.lit(1), e["b"] % 16),
+            ).otherwise(0),
+        ),
+    )
+
+
+def simhash_wide_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hamming near-dup pairs over the 64-bit sketch: distinct
+    (id_a < id_b, hamming) with hamming <= ``max_hamming`` summed over
+    the four words. Pigeonhole banding on EIGHT 8-bit slices (two bytes
+    per word): sketches within Hamming distance 7 must agree on at
+    least one byte, so the default is exact. 256 values per slice x 8
+    slices spreads n docs over 2048 buckets where the 16-bit variant
+    has 64 — the operating range before a cap is needed grows ~32x.
+
+    ``max_bucket_size`` star-emits against the bucket's min-id
+    representative above the cap (same contract and caveat as
+    ``simhash_near_dup_pairs``): identical-boilerplate clusters
+    mega-bucket at ANY sketch width, so the cap stays available."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks exact pigeonhole coverage "
+            "(8 byte-slices guarantee distance <= 7)"
+        )
+    sk = df.select(
+        F.col(id_col).alias("id"), simhash_wide(F.col(text_col)).alias("sk")
+    )
+    slices = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftright(F.element_at(F.col("sk"), s // 2 + 1), 8 * (s % 2))
+                        .bitwiseAND(F.lit(255))
+                        .alias("slice_val"),
+                    )
+                    for s in range(8)
+                ]
+            )
+        ).alias("sl"),
+    ).select(
+        "id", "sk", F.col("sl.slice_idx").alias("slice_idx"), F.col("sl.slice_val").alias("slice_val")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a_sk"), F.col("b_sk"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("slice_idx", "slice_val")
+        sized = slices.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_rep", F.min(F.struct("id", "sk")).over(w)
+        )
+        small = sized.filter(F.col("_n") <= max_bucket_size).select(
+            "slice_idx", "slice_val", "id", "sk"
+        )
+        a = small.select(
+            "slice_idx", "slice_val", F.col("id").alias("id_a"), F.col("sk").alias("a_sk")
+        )
+        b = small.select(
+            "slice_idx", "slice_val", F.col("id").alias("id_b"), F.col("sk").alias("b_sk")
+        )
+        small_pairs = a.join(b, ["slice_idx", "slice_val"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        star_pairs = (
+            sized.filter(
+                (F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep.id"))
+            )
+            .select(
+                F.least(F.col("_rep.id"), F.col("id")).alias("id_a"),
+                F.greatest(F.col("_rep.id"), F.col("id")).alias("id_b"),
+                F.col("_rep.sk").alias("a_sk"),
+                F.col("sk").alias("b_sk"),
+            )
+        )
+        cand = small_pairs.select("id_a", "id_b", "a_sk", "b_sk").unionByName(
+            star_pairs
+        )
+    else:
+        a = slices.select(
+            "slice_idx", "slice_val", F.col("id").alias("id_a"), F.col("sk").alias("a_sk")
+        )
+        b = slices.select(
+            "slice_idx", "slice_val", F.col("id").alias("id_b"), F.col("sk").alias("b_sk")
+        )
+        cand = (
+            a.join(b, ["slice_idx", "slice_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "a_sk", "b_sk")
+        )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental (re-ingest) dedup: new batch vs a prior corpus snapshot
 # ---------------------------------------------------------------------------

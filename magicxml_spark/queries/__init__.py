@@ -86,6 +86,9 @@ _DRIVER_SAMPLE_ORDER = [
     "q_snapshot_dedup",
     "q_ivf_snapshot_search",
     "q_chunks_to_shards",
+    # round-3 additions (need their first driver row)
+    "q_simhash_wide",
+    "q_simhash_wide_near_dup",
     # heavier families: dedup, ANN, text, streaming, hierarchy
     "q_stock_aggregate",
     "q_category_path",

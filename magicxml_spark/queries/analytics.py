@@ -148,6 +148,73 @@ def _simhash_near_dup_oracle() -> str:
     """
 
 
+
+# --- 64-bit wide SimHash (scale sketch; see BASELINE.md round 3) -------------
+def _wide_words_cte() -> str:
+    """CTE producing (doc_id, w0..w3): the four 16-bit sign-sum words,
+    word g carved from hex chars [1+4g, 4+4g] of one md5 per token —
+    the DuckDB twin of operators.dedup.simhash_wide."""
+    hash_lists = ", ".join(
+        f"list_transform(w, t -> ('0x' || substr(md5(t), {1 + 4 * g}, 4))::BIGINT) AS h{g}"
+        for g in range(4)
+    )
+    word_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN list_sum(list_transform(h{g}, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        + f" AS INTEGER) AS w{g}"
+        for g in range(4)
+    )
+    return f"""
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    h AS (SELECT doc_id, {hash_lists} FROM w),
+    words AS (SELECT doc_id, {word_cols} FROM h)
+    """
+
+
+@query(
+    "q_simhash_wide",
+    oracle=f"WITH {_wide_words_cte()} SELECT doc_id, w0, w1, w2, w3 FROM words",
+)
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import simhash_wide
+
+    docs = table(spark, sf_dir, "documents")
+    sk = docs.select("doc_id", simhash_wide(F.col("text")).alias("_sw"))
+    return sk.select(
+        "doc_id", *[F.element_at("_sw", g + 1).alias(f"w{g}") for g in range(4)]
+    )
+
+
+def _simhash_wide_near_dup_oracle() -> str:
+    ham = " + ".join(f"bit_count(xor(a.ws[{i}], b2.ws[{i}]))" for i in range(1, 5))
+    return f"""
+    WITH {_wide_words_cte()},
+    s AS (SELECT doc_id, [w0, w1, w2, w3] AS ws FROM words),
+    sl AS (SELECT doc_id, ws, b.i AS slice_idx,
+                  (ws[b.i // 2 + 1] >> (8 * (b.i % 2))) & 255 AS slice_val
+           FROM s, (SELECT unnest(range(0, 8)) AS i) b)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM sl a JOIN sl b2
+      ON a.slice_idx = b2.slice_idx AND a.slice_val = b2.slice_val
+     AND a.doc_id < b2.doc_id
+    WHERE {ham} <= 7
+    """
+
+
+@query("q_simhash_wide_near_dup", oracle=_simhash_wide_near_dup_oracle())
+def q_simhash_wide_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import simhash_wide_near_dup_pairs
+
+    return simhash_wide_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
+    )
+
+
 @query("q_simhash_near_dup", oracle=_simhash_near_dup_oracle())
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.dedup import simhash_near_dup_pairs

@@ -660,3 +660,66 @@ def test_ivf_snapshot_refit_policy(spark, tmp_path):
         for rank, j in enumerate(order, 1):
             expected[(qid, rank)] = pid[j]
     assert got == expected
+
+
+def test_simhash_wide_exactness_and_word0_identity(spark):
+    """The 64-bit sketch's first word is the same md5 hex slice as
+    simhash16 (word g carves hex [1+4g, 4+4g] of one digest), so w0
+    must equal the 16-bit sketch doc-for-doc. The 8-byte-slice banded
+    join must find EVERY pair within Hamming<=7 over the four words —
+    verified against all-pairs popcount at smoke scale."""
+    from itertools import combinations
+
+    from magicxml_spark.operators.dedup import (
+        simhash16,
+        simhash_wide,
+        simhash_wide_near_dup_pairs,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    rows = docs.select(
+        "doc_id",
+        simhash16(F.col("text")).alias("s16"),
+        simhash_wide(F.col("text")).alias("sw"),
+    ).collect()
+    assert all(r["sw"][0] == r["s16"] for r in rows) and len(rows) > 0
+
+    sk = {r["doc_id"]: r["sw"] for r in rows}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    expected = {
+        (a, b, ham(sk[a], sk[b]))
+        for a, b in combinations(sorted(sk), 2)
+        if ham(sk[a], sk[b]) <= 7
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_wide_near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == expected and len(got) > 0
+
+    with pytest.raises(ValueError):
+        simhash_wide_near_dup_pairs(docs, max_hamming=8)
+
+
+def test_simhash_wide_mega_bucket_cap(spark):
+    """Identical-boilerplate clusters mega-bucket at any sketch width:
+    the wide emitter's cap star-emits O(b) pairs against the min-id
+    representative (hamming 0), subset of the exact pair set."""
+    from magicxml_spark.operators.dedup import simhash_wide_near_dup_pairs
+
+    n, cap = 30, 4
+    rows = [(i, "repeated boilerplate navigation header links") for i in range(n)]
+    rows += [(200, "completely different content about astronomy"),
+             (201, "completely different content about astronomy")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = simhash_wide_near_dup_pairs(docs)
+    capped = simhash_wide_near_dup_pairs(docs, max_bucket_size=cap)
+    assert exact.count() == n * (n - 1) // 2 + 1
+    assert capped.count() == (n - 1) + 1
+    star = capped.filter(F.col("id_b") < 100).collect()
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in star)
+    assert capped.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
