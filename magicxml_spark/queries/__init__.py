@@ -89,6 +89,7 @@ _DRIVER_SAMPLE_ORDER = [
     # round-3 additions (need their first driver row)
     "q_simhash_wide",
     "q_simhash_wide_near_dup",
+    "q_stream_interval_join",
     # heavier families: dedup, ANN, text, streaming, hierarchy
     "q_stock_aggregate",
     "q_category_path",

@@ -34,6 +34,28 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+# --- Stream-stream interval join (click -> purchase within 10 min) ----------
+# Inner stream-stream joins emit on match (the watermark bounds state,
+# not emission), and availableNow drains the source, so the batch
+# interval join over the same table is an exact oracle. ms_after is
+# integer microsecond arithmetic on both engines — no float epoch.
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS ms_after
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_interval_join_to_memory
+
+    return run_interval_join_to_memory(spark, sf_dir)
+
+
 # --- Streaming sessionization (session_window on a stream) ------------------
 # Same determinism argument: availableNow drives the stream to
 # completion, complete mode emits the final merged sessions, so the

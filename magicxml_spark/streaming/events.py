@@ -263,3 +263,89 @@ def stream_to_csv_exactly_once(
     if checkpoint_dir is None:
         shutil.rmtree(ckpt, ignore_errors=True)
     return written
+
+
+def interval_join_events(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: for every left event, the
+    right-side events of the same user in [left.ts, left.ts + within].
+    Works identically on batch frames (same plan shape minus state).
+
+    Streaming semantics: inner stream-stream joins emit each match as
+    soon as both sides have arrived — the watermark does not gate
+    emission, it bounds the buffered state (each side holds rows only
+    until the other side's watermark passes ts + within, then the state
+    store evicts them; unbounded-state joins are rejected by Spark when
+    no watermark + time bound is present). The time-range predicate is
+    what makes eviction possible — an equi-join alone would buffer both
+    streams forever.
+
+    Output: (user_id, click_id, purchase_id, ms_after) with ms_after an
+    exact integer millisecond difference (unix_micros subtraction, not
+    float epoch math, so batch/stream/oracle agree bit-for-bit)."""
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        ).withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {within}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts")))
+            / F.lit(1000)
+        ).cast("bigint").alias("ms_after"),
+    )
+
+
+def run_interval_join_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "10 minutes",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive the stream-stream interval join over the events table to
+    completion (availableNow, append mode — inner joins emit on match,
+    so the memory table holds every pair once the source drains)."""
+    name = f"events_ij_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        ev = read_events_stream(spark, sf_dir)
+        out = interval_join_events(
+            ev.filter(F.col("event_type") == left_type),
+            ev.filter(F.col("event_type") == right_type),
+            within=within,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)
