@@ -43,7 +43,11 @@ def build_category_paths(
 ) -> DataFrame:
     """Return (id, category_path) with path = root->leaf names joined by
     ``sep``. Cycles and orphan parents terminate the walk (reference
-    main.py:1495-1499).
+    main.py:1495-1499). Chains deeper than ``max_depth`` keep a partial
+    path of exactly ``max_depth`` leaf-anchored names — the same
+    truncation in all three strategies (driver walk, distributed loop,
+    recursive CTE), so results don't shift when the dimension size
+    crosses ``driver_threshold``.
 
     ``skip_undefined_names=True`` reproduces the reference closure
     exactly (main.py:1487-1506): 'Undefined' names are dropped from the
@@ -71,7 +75,14 @@ def build_category_paths(
         out = []
         for cid in names:
             path, current, visited = [], cid, set()
-            while current and current in names and current not in visited:
+            # len(visited) < max_depth: identical truncation contract as
+            # the distributed loop and the CTE — at most max_depth names
+            while (
+                current
+                and current in names
+                and current not in visited
+                and len(visited) < max_depth
+            ):
                 visited.add(current)
                 name = names[current]
                 if not skip_undefined_names or (name and name != "Undefined"):
@@ -101,7 +112,10 @@ def build_category_paths(
     )
     done = state.filter(F.col("_next").isNull()).drop("_next")
 
-    for _ in range(max_depth):
+    # max_depth - 1 join rounds: the seed row already holds one name, and
+    # every round appends at most one more, capping paths at max_depth
+    # names — the same truncation the driver walk and the CTE apply.
+    for _ in range(max_depth - 1):
         active = state.filter(F.col("_next").isNotNull())
         if active.isEmpty():
             break
@@ -154,13 +168,17 @@ def build_category_paths_sql(
     (id, parent_id, name). Cycle-safe via depth cap.
 
     ``max_depth`` mirrors the iterative loop's parameter: a chain deeper
-    than the cap keeps its partial (truncated) path, identically in both
-    strategies. Spark guards recursion independently via
-    ``spark.sql.cteRecursionLevelLimit`` (default 100) and *errors* when
-    the CTE would iterate past it, so the session limit is raised here
-    whenever the requested cap needs more iterations than the limit
-    allows — otherwise a deep-but-legal walk would throw instead of
-    truncating.
+    than the cap keeps its partial (truncated) path of exactly
+    ``max_depth`` names, identically in both strategies. Spark guards
+    recursion independently via ``spark.sql.cteRecursionLevelLimit``
+    (default 100) and *errors* when the CTE would iterate past it, so
+    the session limit is raised here whenever the requested cap needs
+    more iterations than the limit allows — otherwise a deep-but-legal
+    walk would throw instead of truncating. SIDE EFFECT: the raised
+    limit persists on the session (the result is lazy, so there is no
+    sound point to restore it); callers needing the old limit back
+    save/restore it around execution. The default max_depth (64) never
+    escalates.
     """
     limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
     if max_depth + 1 > limit:

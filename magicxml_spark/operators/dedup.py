@@ -147,12 +147,15 @@ def minhash_signatures(
 
 
 def _capped_bucket_pairs(
-    rows: DataFrame, bucket_cols: list[str], max_bucket_size: int
+    rows: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+    payload_col: str | None = None,
 ) -> DataFrame:
-    """Shared mega-bucket guard for the batch pair emitters: ``rows``
-    is the long-form (bucket key, id) table; emit all-pairs within
-    buckets of at most ``max_bucket_size`` members and STAR pairs
-    (min-id representative, member) for larger ones.
+    """Shared mega-bucket guard for ALL batch pair emitters: ``rows``
+    is the long-form (bucket key, id[, payload]) table; emit all-pairs
+    within buckets of at most ``max_bucket_size`` members and STAR
+    pairs (min-id representative, member) for larger ones.
 
     AQE skew-join splits shuffle partitions, not OUTPUT cardinality: a
     boilerplate bucket of b near-identical docs emits ~b²/2 pairs from
@@ -164,26 +167,44 @@ def _capped_bucket_pairs(
     verify step scores each member against) is reduced. One window
     shuffle for (count, min) per bucket, then the self-join runs ONLY
     on the small-bucket side.
+
+    ``payload_col`` (the SimHash sketch) rides along as ``_pay_a`` /
+    ``_pay_b`` so verify expressions (Hamming popcount) can score each
+    pair — star pairs carry the representative's payload on the a-side.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*bucket_cols)
-    sized = rows.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
-        "_rep", F.min("id").over(w)
+    rep = (
+        F.min(F.struct("id", payload_col)).over(w)
+        if payload_col
+        else F.min("id").over(w)
     )
-    small = sized.filter(F.col("_n") <= max_bucket_size).select(*bucket_cols, "id")
+    sized = rows.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn("_rep", rep)
+    keep = [*bucket_cols, "id"] + ([payload_col] if payload_col else [])
+    small = sized.filter(F.col("_n") <= max_bucket_size).select(*keep)
     a = small.alias("a")
     b = small.alias("b")
     cond = (F.col("a.id") < F.col("b.id"))
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    small_pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-    )
-    star_pairs = (
-        sized.filter((F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
-    )
+    sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+    if payload_col:
+        sel += [
+            F.col(f"a.{payload_col}").alias("_pay_a"),
+            F.col(f"b.{payload_col}").alias("_pay_b"),
+        ]
+    small_pairs = a.join(b, cond).select(*sel)
+    rep_id = F.col("_rep.id") if payload_col else F.col("_rep")
+    star_sel = [rep_id.alias("id_a"), F.col("id").alias("id_b")]
+    if payload_col:
+        star_sel += [
+            F.col(f"_rep.{payload_col}").alias("_pay_a"),
+            F.col(payload_col).alias("_pay_b"),
+        ]
+    star_pairs = sized.filter(
+        (F.col("_n") > max_bucket_size) & (F.col("id") != rep_id)
+    ).select(*star_sel)
     return small_pairs.unionByName(star_pairs)
 
 
@@ -433,55 +454,26 @@ def simhash_wide_near_dup_pairs(
     )
     hamming = F.aggregate(
         F.zip_with(
-            F.col("a_sk"), F.col("b_sk"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+            F.col("_pay_a"), F.col("_pay_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
         ),
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("int")
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("slice_idx", "slice_val")
-        sized = slices.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
-            "_rep", F.min(F.struct("id", "sk")).over(w)
-        )
-        small = sized.filter(F.col("_n") <= max_bucket_size).select(
-            "slice_idx", "slice_val", "id", "sk"
-        )
-        a = small.select(
-            "slice_idx", "slice_val", F.col("id").alias("id_a"), F.col("sk").alias("a_sk")
-        )
-        b = small.select(
-            "slice_idx", "slice_val", F.col("id").alias("id_b"), F.col("sk").alias("b_sk")
-        )
-        small_pairs = a.join(b, ["slice_idx", "slice_val"]).filter(
-            F.col("id_a") < F.col("id_b")
-        )
-        star_pairs = (
-            sized.filter(
-                (F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep.id"))
-            )
-            .select(
-                F.least(F.col("_rep.id"), F.col("id")).alias("id_a"),
-                F.greatest(F.col("_rep.id"), F.col("id")).alias("id_b"),
-                F.col("_rep.sk").alias("a_sk"),
-                F.col("sk").alias("b_sk"),
-            )
-        )
-        cand = small_pairs.select("id_a", "id_b", "a_sk", "b_sk").unionByName(
-            star_pairs
+        cand = _capped_bucket_pairs(
+            slices, ["slice_idx", "slice_val"], max_bucket_size, payload_col="sk"
         )
     else:
         a = slices.select(
-            "slice_idx", "slice_val", F.col("id").alias("id_a"), F.col("sk").alias("a_sk")
+            "slice_idx", "slice_val", F.col("id").alias("id_a"), F.col("sk").alias("_pay_a")
         )
         b = slices.select(
-            "slice_idx", "slice_val", F.col("id").alias("id_b"), F.col("sk").alias("b_sk")
+            "slice_idx", "slice_val", F.col("id").alias("id_b"), F.col("sk").alias("_pay_b")
         )
         cand = (
             a.join(b, ["slice_idx", "slice_val"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "a_sk", "b_sk")
+            .select("id_a", "id_b", "_pay_a", "_pay_b")
         )
     return (
         cand.withColumn("hamming", hamming)
@@ -882,39 +874,17 @@ def simhash_near_dup_pairs(
         ).alias("sl"),
     ).select("id", "sk", F.col("sl.slice_idx").alias("slice_idx"), F.col("sl.slice_val").alias("slice_val"))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("slice_idx", "slice_val")
-        sized = slices.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
-            "_rep", F.min(F.struct("id", "sk")).over(w)
-        )
-        small = sized.filter(F.col("_n") <= max_bucket_size).select(
-            "slice_idx", "slice_val", "id", "sk"
-        )
-        a = small.alias("ha")
-        b = small.alias("hb")
-        small_pairs = a.join(
-            b,
-            (F.col("ha.slice_idx") == F.col("hb.slice_idx"))
-            & (F.col("ha.slice_val") == F.col("hb.slice_val"))
-            & (F.col("ha.id") < F.col("hb.id")),
-        ).select(
-            F.col("ha.id").alias("id_a"),
-            F.col("hb.id").alias("id_b"),
-            F.bit_count(F.col("ha.sk").bitwiseXOR(F.col("hb.sk"))).alias("hamming"),
-        )
-        star_pairs = (
-            sized.filter(
-                (F.col("_n") > max_bucket_size) & (F.col("id") != F.col("_rep.id"))
+        return (
+            _capped_bucket_pairs(
+                slices, ["slice_idx", "slice_val"], max_bucket_size, payload_col="sk"
             )
             .select(
-                F.col("_rep.id").alias("id_a"),
-                F.col("id").alias("id_b"),
-                F.bit_count(F.col("_rep.sk").bitwiseXOR(F.col("sk"))).alias("hamming"),
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_pay_a").bitwiseXOR(F.col("_pay_b"))).alias(
+                    "hamming"
+                ),
             )
-        )
-        return (
-            small_pairs.unionByName(star_pairs)
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )

@@ -863,13 +863,17 @@ def refit_ivf_snapshot(
     the cells table (vectors are stored normalized, so no re-norm),
     fits fresh centroids on a hash-deterministic sample, re-assigns
     every vector, and swaps both tables via the same old-aside ordering
-    as ``compact_dedup_snapshot`` (rmtree-then-rename would lose the
-    index if the process died mid-window; here both tmp dirs are fully
-    written before the first rename, so every intermediate state is
-    recoverable). A crash between the two swaps leaves new cells with
-    old centroids for one window — searches then probe suboptimal cells
-    (recall dip, not wrong results: ranking within probed cells is
-    exact, and full-probe remains exhaustive), healed by re-running.
+    as ``compact_dedup_snapshot``: both tmp dirs are fully written
+    before the first rename, and a recovery preamble completes or rolls
+    back any half-finished swap from a crashed prior run (a crash
+    between ``rename(src, old)`` and ``rename(tmp, src)`` leaves no
+    live ``src`` — the preamble restores it from ``.refit`` when the
+    new table finished writing, else from ``.old``), so re-running
+    after ANY crash point heals the index. A crash between the two
+    table swaps leaves new cells with old centroids for one window —
+    searches then probe suboptimal cells (recall dip, not wrong
+    results: ranking within probed cells is exact, and full-probe
+    remains exhaustive), also healed by re-running.
 
     ``n_cells=None`` re-derives sqrt(n) clamped to [16, 32768] — the
     same rule as the cost-based dispatch — so a corpus that grew 100x
@@ -880,6 +884,12 @@ def refit_ivf_snapshot(
 
     cells_src = os.path.join(snapshot_path, "cells")
     cents_src = os.path.join(snapshot_path, "centroids")
+    for src in (cells_src, cents_src):
+        if not os.path.exists(src):
+            if os.path.exists(src + ".refit"):
+                os.rename(src + ".refit", src)  # crashed mid-swap: finish it
+            elif os.path.exists(src + ".old"):
+                os.rename(src + ".old", src)  # crashed pre-swap: roll back
     stored = spark.read.parquet(cells_src).select("id", "v", "n")
     if n_cells is None:
         n_rows = stored.count()
@@ -927,8 +937,10 @@ def maybe_refit_ivf_snapshot(
     out = {k: row[k] for k in row.asDict()}
     if trigger:
         out["action"] = "refit"
+        # target_cells is already sqrt(n_vectors) from the balance row —
+        # passing it avoids refit_ivf_snapshot re-counting the cells table
         out["n_cells_fitted"] = refit_ivf_snapshot(
-            spark, snapshot_path, None, seed, fit_sample_rows
+            spark, snapshot_path, target_cells, seed, fit_sample_rows
         )
     else:
         out["action"] = "none"

@@ -251,7 +251,7 @@ def write_yml_catalog(
     def esc_attr(s: str) -> str:
         return esc_text(s).replace('"', "&quot;")
 
-    with open(path, "w", encoding="utf-8") as f:
+    def body(f) -> None:
         f.write("<?xml version='1.0' encoding='utf-8'?>\n")
         f.write(f'<yml_catalog date="{esc_attr(date)}"><shop>')
         f.write(
@@ -271,19 +271,41 @@ def write_yml_catalog(
         for row in frags.toLocalIterator():
             f.write(row["fragment"])
         f.write("</offers></shop></yml_catalog>")
+
+    return _write_atomic(path, body)
+
+
+def _write_atomic(path: str, body) -> str:
+    """Stream a single-file document via a sibling temp file, renaming
+    into place only on success. The streamed sinks evaluate their Spark
+    plans WHILE writing (toLocalIterator), so a task failure mid-stream
+    would otherwise leave a truncated document where a previously valid
+    file stood — the failure must not destroy the prior artifact."""
+    import os
+
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            body(f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 
 def write_simple_catalog(df: DataFrame, path: str) -> str:
     """Assemble the 'simple' catalog/products document (K4)."""
     frags = product_fragments(df)
-    with open(path, "w", encoding="utf-8") as f:
+
+    def body(f) -> None:
         f.write("<?xml version='1.0' encoding='utf-8'?>\n")
         f.write("<catalog><products>")
         for row in frags.toLocalIterator():
             f.write(row["fragment"])
         f.write("</products></catalog>")
-    return path
+
+    return _write_atomic(path, body)
 
 
 def write_fragments(df: DataFrame, path: str, fragment_fn=product_fragments) -> str:

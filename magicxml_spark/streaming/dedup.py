@@ -203,14 +203,18 @@ def minhash_pairs_stateful(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
             )
             return
-        stored = list(state.get[0]) if state.exists else []
+        if state.exists:
+            got = state.get
+            stored = list(got[0])
+            newest_ms = int(got[1])
+        else:
+            stored, newest_ms = [], 0
         out_a: list[int] = []
         out_b: list[int] = []
-        last_ms = 0
         for pdf in pdfs:
             if len(pdf):
                 batch_max = pdf["_ts"].max()
-                last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
+                newest_ms = max(newest_ms, int(batch_max.timestamp() * 1000))
             for raw in pdf["id"]:
                 did = int(raw)
                 for other in stored:
@@ -219,18 +223,20 @@ def minhash_pairs_stateful(
                     out_b.append(hi)
                 if max_bucket_size is None or len(stored) < max_bucket_size:
                     stored.append(did)
-        state.update((stored,))
+        state.update((stored, newest_ms))
         # Expire once the watermark advances past this bucket's newest
-        # event: rows older than the watermark can't arrive anyway, so
-        # nothing admissible could still pair against it. Spark requires
+        # event EVER SEEN (persisted in state, not recomputed from the
+        # current batch — a late-but-admissible row must never rewind
+        # the timeout below an earlier batch's max, or the bucket dies
+        # while in-horizon partners can still arrive). Spark requires
         # the timestamp to sit strictly beyond the current watermark.
-        state.setTimeoutTimestamp(max(last_ms, state.getCurrentWatermarkMs() + 1))
+        state.setTimeoutTimestamp(max(newest_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return sig_rows.groupBy("band", "signature").applyInPandasWithState(
         emit_pairs,
         outputStructType="id_a bigint, id_b bigint",
-        stateStructType="ids array<bigint>",
+        stateStructType="ids array<bigint>, newest_ms bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -123,28 +123,30 @@ def test_depth_100_chain_parity_all_strategies(spark):
     assert driver == distributed == sql
 
 
-def test_deep_chain_truncates_at_cap_instead_of_erroring(spark):
+def test_deep_chain_truncates_at_cap_identically(spark):
     """A chain deeper than max_depth keeps a partial path (never
-    raises): the distributed loop stops extending after max_depth
-    joins, the CTE's depth predicate stops recursion under the session
-    recursion limit."""
-    depth = 100
+    raises) of EXACTLY max_depth leaf-anchored names — identical in all
+    three strategies, so results don't shift when the dimension size
+    crosses driver_threshold or a caller switches spellings."""
+    depth, cap = 100, 10
     rows = [(str(i), str(i - 1) if i > 0 else None, f"N{i}") for i in range(depth)]
     chain = spark.createDataFrame(rows, ["id", "parent_id", "name"])
 
-    loop_leaf = {
+    driver = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths(chain, max_depth=cap).collect()
+    }
+    loop = {
         r["id"]: r["category_path"]
         for r in build_category_paths(
-            chain, max_depth=10, driver_threshold=0
+            chain, max_depth=cap, driver_threshold=0
         ).collect()
-    }[str(depth - 1)]
-    sql_leaf = {
+    }
+    sql = {
         r["id"]: r["category_path"]
-        for r in build_category_paths_sql(spark, chain, max_depth=10).collect()
-    }[str(depth - 1)]
-    # both truncated (strictly fewer than the full 100 names), both
-    # leaf-anchored: the walk goes leaf->root so the deepest node keeps
-    # its own name plus its nearest ancestors
-    assert loop_leaf.endswith(f"N{depth - 1}") and sql_leaf.endswith(f"N{depth - 1}")
-    assert len(loop_leaf.split("///")) < depth
-    assert len(sql_leaf.split("///")) < depth
+        for r in build_category_paths_sql(spark, chain, max_depth=cap).collect()
+    }
+    assert driver == loop == sql
+    leaf = driver[str(depth - 1)]
+    assert leaf == "///".join(f"N{i}" for i in range(depth - cap, depth))
+    assert len(leaf.split("///")) == cap

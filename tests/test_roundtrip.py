@@ -152,3 +152,29 @@ def test_yml_header_streams_degenerate_category_set(spark, tmp_path_factory, mon
     assert len(cat_ids) == n
     assert sorted(int(i) for i in cat_ids) == list(range(1, n + 1))
     assert text.count("<offer ") == n
+
+
+def test_yml_sink_failure_preserves_prior_file(spark, tmp_path_factory):
+    """The single-file sinks evaluate their plans WHILE streaming rows
+    to disk (toLocalIterator), so a mid-write task failure must not
+    destroy a previously valid catalog at the same path: the write goes
+    to a sibling temp file and renames into place only on success."""
+    path = str(tmp_path_factory.mktemp("atomic") / "cat.xml")
+    good = spark.createDataFrame(
+        [("1", "Widget", "100", "Root///Leaf")],
+        ["id", "name", "price", "category_path"],
+    )
+    write_yml_catalog(good, path)
+    before = open(path, encoding="utf-8").read()
+    assert before.endswith("</yml_catalog>")
+
+    bad = good.withColumn(
+        "name",
+        F.when(F.length("name") > 0, F.raise_error("boom")).otherwise("x"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        write_yml_catalog(bad, path)
+    assert open(path, encoding="utf-8").read() == before
+    import os
+
+    assert not os.path.exists(path + ".tmp")
