@@ -90,6 +90,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_simhash_wide",
     "q_simhash_wide_near_dup",
     "q_stream_interval_join",
+    "q_stream_interval_semi",
     # heavier families: dedup, ANN, text, streaming, hierarchy
     "q_stock_aggregate",
     "q_category_path",

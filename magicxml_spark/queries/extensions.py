@@ -56,6 +56,28 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_to_memory(spark, sf_dir)
 
 
+# Left-semi twin: WHICH clicks converted (one row per click with >=1
+# purchase in the bound). Semi joins emit eagerly too — first match
+# releases the left row, join state remembers it emitted — so the
+# batch EXISTS predicate is an exact oracle.
+@query(
+    "q_stream_interval_semi",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+    """,
+)
+def q_stream_interval_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_interval_join_to_memory
+
+    return run_interval_join_to_memory(spark, sf_dir, how="left_semi")
+
+
 # --- Streaming sessionization (session_window on a stream) ------------------
 # Same determinism argument: availableNow drives the stream to
 # completion, complete mode emits the final merged sessions, so the

@@ -270,6 +270,7 @@ def interval_join_events(
     purchases: DataFrame,
     within: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER interval join: for every left event, the
     right-side events of the same user in [left.ts, left.ts + within].
@@ -301,13 +302,19 @@ def interval_join_events(
             F.col("ts").alias("p_ts"),
         ).withWatermark("p_ts", watermark)
     )
-    joined = c.join(
-        p,
-        F.expr(
-            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {within}"
-        ),
-        "inner",
+    cond = F.expr(
+        f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {within}"
     )
+    if how == "left_semi":
+        # semi joins also emit eagerly (first match releases the left
+        # row, state remembers it emitted), so availableNow drains to
+        # the exact EXISTS set — one row per qualifying left event
+        return c.join(p, cond, "left_semi").select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+    joined = c.join(p, cond, "inner")
     return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -326,6 +333,7 @@ def run_interval_join_to_memory(
     right_type: str = "purchase",
     within: str = "10 minutes",
     state_partitions: int = 8,
+    how: str = "inner",
 ) -> DataFrame:
     """Drive the stream-stream interval join over the events table to
     completion (availableNow, append mode — inner joins emit on match,
@@ -337,6 +345,7 @@ def run_interval_join_to_memory(
             ev.filter(F.col("event_type") == left_type),
             ev.filter(F.col("event_type") == right_type),
             within=within,
+            how=how,
         )
         q = (
             out.writeStream.outputMode("append")
