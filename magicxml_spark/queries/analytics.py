@@ -224,6 +224,35 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Streaming wide-SimHash near-dup (stateful slice buckets) ----------------
+# Multiset semantics like q_stream_minhash_pairs: one row per shared
+# byte-slice bucket, so the batch slice-join WITHOUT DISTINCT is the
+# oracle (pairs within hamming range appearing in k shared slices emit
+# k times; the packed-bigint popcount equals the per-word sum).
+def _simhash_wide_stream_oracle() -> str:
+    ham = " + ".join(f"bit_count(xor(a.ws[{i}], b2.ws[{i}]))" for i in range(1, 5))
+    return f"""
+    WITH {_wide_words_cte()},
+    s AS (SELECT doc_id, [w0, w1, w2, w3] AS ws FROM words),
+    sl AS (SELECT doc_id, ws, b.i AS slice_idx,
+                  (ws[b.i // 2 + 1] >> (8 * (b.i % 2))) & 255 AS slice_val
+           FROM s, (SELECT unnest(range(0, 8)) AS i) b)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM sl a JOIN sl b2
+      ON a.slice_idx = b2.slice_idx AND a.slice_val = b2.slice_val
+     AND a.doc_id < b2.doc_id
+    WHERE {ham} <= 7
+    """
+
+
+@query("q_stream_simhash_wide_pairs", oracle=_simhash_wide_stream_oracle())
+def q_stream_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.dedup import run_stream_simhash_wide_to_memory
+
+    return run_stream_simhash_wide_to_memory(spark, sf_dir)
+
+
 # --- Text profile: token counts, quality, language ID, fingerprint -----------
 def _text_profile_oracle() -> str:
     marker_scores = ", ".join(

@@ -267,3 +267,149 @@ def run_stream_minhash_to_memory(
         q.awaitTermination()
         shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)
+
+
+def simhash_wide_pairs_stateful(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    max_hamming: int = 7,
+    watermark: str = "30 days",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Streaming wide-SimHash near-dup emission — the stateful twin of
+    ``operators.dedup.simhash_wide_near_dup_pairs``, shaped exactly
+    like ``minhash_pairs_stateful``: group by (slice_idx, slice_val),
+    bucket membership in the state store, an arriving doc emits one
+    (id_a, id_b, hamming) row per remembered member within
+    ``max_hamming``, then joins the membership.
+
+    The 64-bit sketch travels PACKED into one signed bigint (word g in
+    bits [16g, 16g+16)) — state stays flat arrays, and the four
+    byte-slices derive from the packed value with shifts, so stream and
+    batch bucket identically. XOR/popcount on the packed form equals
+    the per-word sum (bit positions don't interact). Output is the
+    per-shared-slice MULTISET (a pair within hamming range appearing in
+    k shared slice buckets emits k times) — the batch slice-join
+    WITHOUT DISTINCT is the oracle.
+
+    ``max_bucket_size`` is the same emit-and-freeze cap and the
+    EventTimeTimeout eviction follows the same monotonic newest-event
+    contract as the minhash twin (see that docstring for both).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from magicxml_spark.operators.dedup import simhash_wide
+
+    sk_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("_ts"),
+        simhash_wide(F.col(text_col)).alias("_sw"),
+    )
+    packed = sk_words.select(
+        "id",
+        "_ts",
+        (
+            F.element_at("_sw", 1).cast("bigint")
+            .bitwiseOR(F.shiftleft(F.element_at("_sw", 2).cast("bigint"), 16))
+            .bitwiseOR(F.shiftleft(F.element_at("_sw", 3).cast("bigint"), 32))
+            .bitwiseOR(F.shiftleft(F.element_at("_sw", 4).cast("bigint"), 48))
+        ).alias("sk"),
+    )
+    slices = packed.select(
+        "id",
+        "_ts",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftright(F.col("sk"), 8 * s)
+                        .bitwiseAND(F.lit(255))
+                        .alias("slice_val"),
+                    )
+                    for s in range(8)
+                ]
+            )
+        ).alias("sl"),
+    ).select(
+        "id", "_ts", "sk",
+        F.col("sl.slice_idx").alias("slice_idx"),
+        F.col("sl.slice_val").alias("slice_val"),
+    ).withWatermark("_ts", watermark)
+
+    mask64 = (1 << 64) - 1
+
+    def emit_pairs(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int32"),
+                }
+            )
+            return
+        if state.exists:
+            got = state.get
+            ids, sks, newest_ms = list(got[0]), list(got[1]), int(got[2])
+        else:
+            ids, sks, newest_ms = [], [], 0
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = pdf["_ts"].max()
+                newest_ms = max(newest_ms, int(batch_max.timestamp() * 1000))
+            for raw_id, raw_sk in zip(pdf["id"], pdf["sk"]):
+                did, dsk = int(raw_id), int(raw_sk)
+                for oid, osk in zip(ids, sks):
+                    h = bin((dsk ^ osk) & mask64).count("1")
+                    if h <= max_hamming:
+                        lo, hi = (did, oid) if did < oid else (oid, did)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_h.append(h)
+                if max_bucket_size is None or len(ids) < max_bucket_size:
+                    ids.append(did)
+                    sks.append(dsk)
+        state.update((ids, sks, newest_ms))
+        state.setTimeoutTimestamp(max(newest_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return slices.groupBy("slice_idx", "slice_val").applyInPandasWithState(
+        emit_pairs,
+        outputStructType="id_a bigint, id_b bigint, hamming int",
+        stateStructType="ids array<bigint>, sks array<bigint>, newest_ms bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_stream_simhash_wide_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 7,
+    state_partitions: int = 8,
+) -> DataFrame:
+    name = f"stream_simhash_wide_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        pairs = simhash_wide_pairs_stateful(
+            read_documents_stream(spark, sf_dir), max_hamming=max_hamming
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)

@@ -346,3 +346,97 @@ def test_stream_minhash_bucket_state_evicts_past_watermark(spark, tmp_path):
     # NOTHING because the matching bucket was evicted before it arrived
     assert set(got) == {(0, 1)}, got
     assert all(b != 3000 and a != 3000 for a, b in got)
+
+
+def test_stream_simhash_wide_pairs_incremental_across_batches(spark, tmp_path):
+    """The stateful wide-SimHash slice operator must (a) reproduce the
+    batch slice-join multiset (per shared byte-slice, hamming<=7) and
+    (b) do it incrementally across micro-batches, batch-2 docs pairing
+    against remembered batch-1 members."""
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.dedup import simhash_wide
+    from magicxml_spark.streaming.dedup import simhash_wide_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+    from magicxml_spark.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    half = docs.count() // 2
+    feed = str(tmp_path / "feed")
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        os.path.join(feed, "b0")
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        os.path.join(feed, "b1")
+    )
+
+    name = f"shw_inc_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 8):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
+        )
+        q = (
+            simhash_wide_pairs_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    assert n_batches >= 2, "corpus must span several micro-batches"
+
+    got = Counter(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in spark.table(name).collect()
+    )
+    # batch equivalent: slice-join multiset without distinct
+    sk = docs.select("doc_id", simhash_wide(F.col("text")).alias("_sw"))
+    sl = sk.select(
+        F.col("doc_id").alias("id"),
+        "_sw",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftright(F.element_at("_sw", s // 2 + 1), 8 * (s % 2))
+                        .bitwiseAND(F.lit(255))
+                        .alias("slice_val"),
+                    )
+                    for s in range(8)
+                ]
+            )
+        ).alias("sl"),
+    ).select("id", "_sw", "sl.slice_idx", "sl.slice_val")
+    a, b = sl.alias("a"), sl.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a._sw"), F.col("b._sw"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    exp = Counter(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(
+            b,
+            (F.col("a.slice_idx") == F.col("b.slice_idx"))
+            & (F.col("a.slice_val") == F.col("b.slice_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= 7)
+        .collect()
+    )
+    assert got == exp and len(got) > 0
