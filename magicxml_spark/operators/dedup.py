@@ -693,6 +693,54 @@ def contamination_check(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared_ngrams: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The enforcement half of ``contamination_check``: return the
+    corpus WITHOUT documents sharing at least ``min_shared_ngrams``
+    distinct k-grams with ANY eval document — the standard
+    decontamination step before a corpus ships as training data.
+
+    Shape: the eval side collapses to its distinct gram set (small —
+    eval suites are tiny next to a training corpus, so the gram join
+    broadcasts), corpus docs aggregate their distinct shared-gram count
+    in one groupBy, and removal is a left-anti join on the flagged ids —
+    the corpus body is scanned once and never shuffled on text.
+    ``max_doc_freq`` drops boilerplate stop-grams from both sides first,
+    exactly as in ``contamination_check`` (same Zipf argument, same
+    fan-out guard for the 100 TB path)."""
+    ev_grams = eval_set.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    corp = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    if max_doc_freq is not None:
+        stop = (
+            corp.groupBy("gram")
+            .agg(F.countDistinct("_cid").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("gram")
+        )
+        corp = corp.join(stop, "gram", "left_anti")
+        ev_grams = ev_grams.join(stop, "gram", "left_anti")
+    flagged = (
+        corp.join(ev_grams, "gram")
+        .groupBy("_cid")
+        .agg(F.countDistinct("gram").alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared_ngrams)
+        .select(F.col("_cid").alias(id_col))
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Line-level dedup (C4-style: drop boilerplate lines shared across docs)
 # ---------------------------------------------------------------------------

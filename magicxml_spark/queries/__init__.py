@@ -92,6 +92,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_interval_join",
     "q_stream_interval_semi",
     "q_stream_simhash_wide_pairs",
+    "q_decontaminate",
     # heavier families: dedup, ANN, text, streaming, hierarchy
     "q_stock_aggregate",
     "q_category_path",

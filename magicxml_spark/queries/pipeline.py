@@ -192,6 +192,40 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, eval_set, "doc_id", "text", k=3)
 
 
+# --- Decontamination: the enforcement half of q_contamination ----------------
+# Same eval split (doc_id % 97); corpus docs sharing >= 2 distinct
+# 3-grams with ANY eval doc are removed before shipping.
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+           FROM w WHERE len(w) > 0),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    flagged AS (SELECT g.doc_id FROM g JOIN ev USING (gram)
+                WHERE g.doc_id % 97 <> 0
+                GROUP BY g.doc_id HAVING count(DISTINCT gram) >= 2)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(
+        corpus, eval_set, "doc_id", "text", k=3, min_shared_ngrams=2
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 # --- Incremental (re-ingest) dedup vs a prior corpus snapshot ----------------
 # The corpus is deduped once; each re-ingest classifies only its delta
 # against the stored fingerprint/signature snapshot. Split here is

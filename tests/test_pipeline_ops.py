@@ -465,3 +465,56 @@ def test_chunk_text_reconstruction_property(spark):
                 assert toks[stride:] == nxt[: len(toks) - stride]
             rebuilt.extend(toks if i == 0 else toks[overlap:])
         assert rebuilt == words, doc_id
+
+
+def test_decontaminate_removes_leaky_docs_and_respects_stop_grams(spark):
+    """Corpus docs sharing >= min_shared_ngrams distinct k-grams with
+    the eval set are dropped; below the threshold they survive; with
+    max_doc_freq a boilerplate gram present in every corpus doc stops
+    counting toward contamination."""
+    from magicxml_spark.operators.dedup import decontaminate
+
+    eval_set = spark.createDataFrame(
+        [(100, "secret eval question about spark internals")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 3-grams "secret eval question" + "eval question about" -> 2
+            (1, "leak secret eval question about nothing"),
+            # shares zero eval grams
+            (2, "completely unrelated training document text"),
+            # shares exactly one 3-gram ("question about spark")
+            (3, "another question about spark but different"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in decontaminate(corpus, eval_set, min_shared_ngrams=2).collect()
+    }
+    assert kept2 == {2, 3}
+    kept1 = {
+        r["doc_id"]
+        for r in decontaminate(corpus, eval_set, min_shared_ngrams=1).collect()
+    }
+    assert kept1 == {2}
+
+    # stop-gram arm: a gram in EVERY corpus doc is dropped before the
+    # join, so it cannot flag anything
+    boiler = spark.createDataFrame(
+        [(i, f"shared footer boilerplate plus unique{i} words") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    ev2 = spark.createDataFrame(
+        [(200, "shared footer boilerplate elsewhere")], "doc_id bigint, text string"
+    )
+    kept_all = {
+        r["doc_id"]
+        for r in decontaminate(
+            boiler, ev2, min_shared_ngrams=1, max_doc_freq=2
+        ).collect()
+    }
+    assert kept_all == {0, 1, 2, 3}
+    # without the stop-gram cap the shared boilerplate gram flags all
+    assert decontaminate(boiler, ev2, min_shared_ngrams=1).count() == 0
