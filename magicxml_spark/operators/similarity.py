@@ -919,6 +919,7 @@ def maybe_refit_ivf_snapshot(
     max_balance_ratio: float = 8.0,
     seed: int = 42,
     fit_sample_rows: int = 200_000,
+    dry_run: bool = False,
 ) -> dict:
     """Re-fit policy closing the append-only lifecycle: check
     ``ivf_snapshot_balance`` and re-fit when the max cell has grown past
@@ -926,8 +927,10 @@ def maybe_refit_ivf_snapshot(
     fattest cell approaches brute force) OR when sqrt-growth says the
     index is under-celled (appends tripled the corpus -> sqrt(n) wants
     >2x the fitted cells). One cheap aggregation when healthy; the fit
-    only runs when triggered. Returns the balance row plus the action
-    taken, so ingest jobs can log it."""
+    only runs when triggered. Returns the balance row plus the target
+    cell count and the action taken, so ingest jobs can log it.
+    ``dry_run=True`` reports the decision without executing the fit —
+    the shape a scheduler uses to plan maintenance windows."""
     row = ivf_snapshot_balance(spark, snapshot_path).collect()[0]
     target_cells = max(16, min(32768, int(row["n_vectors"] ** 0.5)))
     trigger = (
@@ -935,7 +938,8 @@ def maybe_refit_ivf_snapshot(
         or target_cells >= 2 * row["n_cells_total"]
     )
     out = {k: row[k] for k in row.asDict()}
-    if trigger:
+    out["target_cells"] = target_cells
+    if trigger and not dry_run:
         out["action"] = "refit"
         # target_cells is already sqrt(n_vectors) from the balance row —
         # passing it avoids refit_ivf_snapshot re-counting the cells table
@@ -943,5 +947,5 @@ def maybe_refit_ivf_snapshot(
             spark, snapshot_path, target_cells, seed, fit_sample_rows
         )
     else:
-        out["action"] = "none"
+        out["action"] = "refit" if trigger else "none"
     return out

@@ -93,6 +93,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_interval_semi",
     "q_stream_simhash_wide_pairs",
     "q_decontaminate",
+    "q_ivf_refit_plan",
     # heavier families: dedup, ANN, text, streaming, hierarchy
     "q_stock_aggregate",
     "q_category_path",

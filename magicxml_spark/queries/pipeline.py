@@ -688,6 +688,53 @@ def _snapshot_scratch(name: str) -> str:
     return os.path.join(_SNAPSHOT_SCRATCH_ROOT, f"{name}_{uuid.uuid4().hex[:8]}")
 
 
+# --- IVF maintenance decision on the correctness gate -------------------------
+# The append-only index lifecycle's planning step: index the corpus
+# deliberately under-celled (8 cells), then ask the re-fit policy for
+# its decision in dry-run mode. Every deterministic field of the
+# decision — vector count, fitted cells, the sqrt-growth target, and
+# the resulting action — is SQL-derivable, so the maintenance logic
+# itself sits on the hash-match gate (the triggered fit is covered by
+# test_ivf_snapshot_refit_policy; balance_ratio depends on the KMeans
+# assignment and is deliberately not emitted here).
+@query(
+    "q_ivf_refit_plan",
+    oracle="""
+    SELECT count(*) AS n_vectors,
+           8 AS n_cells_total,
+           GREATEST(16, LEAST(32768, CAST(FLOOR(SQRT(count(*))) AS INTEGER)))
+             AS target_cells,
+           CASE WHEN GREATEST(16, LEAST(32768,
+                     CAST(FLOOR(SQRT(count(*))) AS INTEGER))) >= 16
+                THEN 'refit' ELSE 'none' END AS action
+    FROM embeddings
+    """,
+)
+def q_ivf_refit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import (
+        maybe_refit_ivf_snapshot,
+        write_ivf_snapshot,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    snap = _snapshot_scratch("ivf_plan")
+    write_ivf_snapshot(emb, snap, n_cells=8)
+    out = maybe_refit_ivf_snapshot(
+        spark, snap, max_balance_ratio=float("inf"), dry_run=True
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(out["n_vectors"]),
+                int(out["n_cells_total"]),
+                int(out["target_cells"]),
+                out["action"],
+            )
+        ],
+        "n_vectors bigint, n_cells_total int, target_cells int, action string",
+    )
+
+
 # --- PRODUCTION re-ingest path on the correctness gate ------------------------
 # Same classification contract as q_incremental_dedup (identical
 # oracle), but the Spark side exercises the real lifecycle: write the
