@@ -169,35 +169,51 @@ def build_category_paths_sql(
 
     ``max_depth`` mirrors the iterative loop's parameter: a chain deeper
     than the cap keeps its partial (truncated) path of exactly
-    ``max_depth`` names, identically in both strategies. Spark guards
-    recursion independently via ``spark.sql.cteRecursionLevelLimit``
-    (default 100) and *errors* when the CTE would iterate past it, so
-    the session limit is raised here whenever the requested cap needs
-    more iterations than the limit allows — otherwise a deep-but-legal
-    walk would throw instead of truncating. SIDE EFFECT: the raised
-    limit persists on the session (the result is lazy, so there is no
-    sound point to restore it); callers needing the old limit back
-    save/restore it around execution. The default max_depth (64) never
-    escalates.
+    ``max_depth`` names, identically in both strategies. Cycles carry a
+    ``visited`` id array through the recursion and stop at the first
+    revisited id — the same visited-set guard as the driver walk and
+    the distributed loop (reference main.py:1495), so all three
+    strategies agree on cyclic inputs too (test-pinned).
+
+    Spark guards recursion independently via
+    ``spark.sql.cteRecursionLevelLimit`` (default 100) and *errors*
+    when the CTE would iterate past it, so the session limit is raised
+    whenever the requested cap needs more iterations than the limit
+    allows — and, to keep the raise from leaking into unrelated queries
+    on the same session, the result is materialized eagerly
+    (localCheckpoint) inside the escalation branch and the prior limit
+    restored before returning. The default max_depth (64) never
+    escalates and stays fully lazy.
     """
-    limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
-    if max_depth + 1 > limit:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_depth + 1))
     categories.createOrReplaceTempView("_cat_dim")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE walk (id, path, ancestor, depth) AS (
+    # the visited array is the cycle guard: a parent already on the
+    # chain stops the walk exactly where the reference's visited set
+    # does, instead of looping names until max_depth
+    sql = f"""
+        WITH RECURSIVE walk (id, path, ancestor, visited, depth) AS (
           SELECT CAST(id AS STRING),
                  coalesce(CAST(name AS STRING), 'Undefined'),
-                 CAST(parent_id AS STRING), 1
+                 CAST(parent_id AS STRING),
+                 array(CAST(id AS STRING)), 1
           FROM _cat_dim
           UNION ALL
           SELECT w.id, concat(coalesce(CAST(c.name AS STRING), 'Undefined'), '{sep}', w.path),
-                 CAST(c.parent_id AS STRING), w.depth + 1
+                 CAST(c.parent_id AS STRING),
+                 concat(w.visited, array(CAST(c.id AS STRING))), w.depth + 1
           FROM walk w JOIN _cat_dim c ON w.ancestor = CAST(c.id AS STRING)
           WHERE w.depth < {int(max_depth)}
+            AND NOT array_contains(w.visited, CAST(c.id AS STRING))
         )
         SELECT id, max_by(path, depth) AS category_path
         FROM walk GROUP BY id
         """
-    )
+    limit = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
+    if max_depth + 1 <= limit:
+        return spark.sql(sql)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_depth + 1))
+    try:
+        # dimension-sized input: eager materialization is cheap and lets
+        # the session limit be restored soundly (the plan has executed)
+        return spark.sql(sql).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(limit))

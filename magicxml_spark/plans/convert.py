@@ -24,6 +24,7 @@ from magicxml_spark.sinks.json_sink import write_json_array
 from magicxml_spark.sinks.xml_sink import write_simple_catalog, write_yml_catalog
 from magicxml_spark.sources.csv_source import read_csv
 from magicxml_spark.sources.json_source import read_json
+from magicxml_spark.sources import xml_source as _xml_source
 from magicxml_spark.sources.xml_source import (
     read_categories,
     read_xml_records,
@@ -69,7 +70,17 @@ def flatten_xml(spark: SparkSession, path: str, dialect: str | None = None) -> D
                 cats = read_categories(spark, path)
                 if not cats.isEmpty():
                     paths = build_category_paths(cats, skip_undefined_names=True)
-                    meta_put("category_paths", ckey, tuple(paths.collect()))
+                    # dimension-sized path maps replay from the driver
+                    # metadata cache on re-ingest; an oversized dimension
+                    # (same cap as read_categories' own cache,
+                    # xml_source._CATEGORY_CACHE_MAX_ROWS) stays a lazy
+                    # frame and is never collected — a catalog with
+                    # millions of categories must not OOM the driver
+                    # just to warm a convenience cache
+                    cap = _xml_source._CATEGORY_CACHE_MAX_ROWS
+                    sample = paths.limit(cap + 1).collect()
+                    if len(sample) <= cap:
+                        meta_put("category_paths", ckey, tuple(sample))
                 else:
                     meta_put("category_paths", ckey, ())
             elif path_rows:

@@ -113,9 +113,12 @@ def _pii_aug_spark() -> F.Column:
               '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[PII]', 'g'),
               '\\+?[0-9][0-9 ().-]{{7,}}[0-9]', '[PII]', 'g')) AS redacted_len
           FROM aug)
-    SELECT source, sum(n_email) AS n_email, sum(n_url) AS n_url,
-           sum(n_ipv4) AS n_ipv4, sum(n_phone) AS n_phone,
-           sum(redacted_len) AS redacted_chars
+    SELECT source,
+           CAST(sum(n_email) AS BIGINT) AS n_email,
+           CAST(sum(n_url) AS BIGINT) AS n_url,
+           CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone,
+           CAST(sum(redacted_len) AS BIGINT) AS redacted_chars
     FROM c GROUP BY source ORDER BY source
     """,
 )
@@ -371,15 +374,20 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RANGE frame on epoch seconds: both engines order by the truncated
 # epoch so the frame boundary is identical (Spark's rangeBetween needs
 # a numeric ordering key; fractional seconds are truncated identically
-# on both sides). The sum runs in DECIMAL — the value column is exact
-# 2-decimal data, so decimal accumulation is order-independent and the
-# cross-engine result is bit-exact (a double avg differs in the last
-# ulp depending on each engine's summation order inside the frame).
+# on both sides). The sum runs in integer CENTS (value is exact
+# 2-decimal data, so value*100 is integral after a decimal(18,2)
+# round-trip): integer accumulation is order-independent AND both
+# engines emit the identical output type, BIGINT — a decimal sum widens
+# to DECIMAL(38,2) in DuckDB vs decimal(28,2) in Spark, which a
+# type-sensitive comparison (the driver's hash) flags even when the
+# values are equal; a double sum differs in the last ulp with
+# summation order.
 @query(
     "q_moving_sum",
     oracle="""
     SELECT event_id,
-           sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_1h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+                AS BIGINT) AS sum_1h_cents,
            count(*) OVER w AS n_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id
@@ -396,9 +404,10 @@ def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-3600, 0)
     )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return ev.select(
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("sum_1h"),
+        F.sum(cents).over(w).alias("sum_1h_cents"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
@@ -604,7 +613,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM w)
     SELECT CAST(floor(p / 2000.0) AS BIGINT) AS shard,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM pre GROUP BY 1 ORDER BY 1
     """,
 )
@@ -690,24 +699,31 @@ def _snapshot_scratch(name: str) -> str:
 
 # --- IVF maintenance decision on the correctness gate -------------------------
 # The append-only index lifecycle's planning step: index the corpus
-# deliberately under-celled (8 cells), then ask the re-fit policy for
-# its decision in dry-run mode. Every deterministic field of the
-# decision — vector count, fitted cells, the sqrt-growth target, and
-# the resulting action — is SQL-derivable, so the maintenance logic
-# itself sits on the hash-match gate (the triggered fit is covered by
-# test_ivf_snapshot_refit_policy; balance_ratio depends on the KMeans
-# assignment and is deliberately not emitted here).
+# TWICE — deliberately under-celled (8 cells) and healthily celled
+# (16 cells, above the sqrt-growth trigger at gate scale) — then ask
+# the re-fit policy for its decision in dry-run mode on each. Every
+# deterministic field — vector count, fitted cells, the sqrt-growth
+# target, and the action — is SQL-derivable, and the oracle encodes
+# the REAL trigger (target_cells >= 2 * n_cells_total), so a
+# regression flipping maybe_refit_ivf_snapshot's decision either way
+# turns the gate red: the 8-cell row must say 'refit' and the 16-cell
+# row must say 'none' at sf0.01 (the triggered fit itself is covered
+# by test_ivf_snapshot_refit_policy; balance_ratio depends on the
+# KMeans assignment and is deliberately not emitted here).
 @query(
     "q_ivf_refit_plan",
     oracle="""
-    SELECT count(*) AS n_vectors,
-           8 AS n_cells_total,
-           GREATEST(16, LEAST(32768, CAST(FLOOR(SQRT(count(*))) AS INTEGER)))
-             AS target_cells,
-           CASE WHEN GREATEST(16, LEAST(32768,
-                     CAST(FLOOR(SQRT(count(*))) AS INTEGER))) >= 16
+    WITH cfg AS (SELECT unnest([8, 16]) AS n_cells_total),
+    t AS (SELECT n_vectors, n_cells_total,
+                 GREATEST(16, LEAST(32768,
+                   CAST(FLOOR(SQRT(n_vectors)) AS BIGINT))) AS target_cells
+          FROM (SELECT count(*) AS n_vectors FROM embeddings), cfg)
+    SELECT n_vectors,
+           CAST(n_cells_total AS INTEGER) AS n_cells_total,
+           CAST(target_cells AS BIGINT) AS target_cells,
+           CASE WHEN target_cells >= 2 * n_cells_total
                 THEN 'refit' ELSE 'none' END AS action
-    FROM embeddings
+    FROM t
     """,
 )
 def q_ivf_refit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,21 +733,24 @@ def q_ivf_refit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    snap = _snapshot_scratch("ivf_plan")
-    write_ivf_snapshot(emb, snap, n_cells=8)
-    out = maybe_refit_ivf_snapshot(
-        spark, snap, max_balance_ratio=float("inf"), dry_run=True
-    )
-    return spark.createDataFrame(
-        [
+    rows = []
+    for n_cells in (8, 16):
+        snap = _snapshot_scratch(f"ivf_plan{n_cells}")
+        write_ivf_snapshot(emb, snap, n_cells=n_cells)
+        out = maybe_refit_ivf_snapshot(
+            spark, snap, max_balance_ratio=float("inf"), dry_run=True
+        )
+        rows.append(
             (
                 int(out["n_vectors"]),
                 int(out["n_cells_total"]),
                 int(out["target_cells"]),
                 out["action"],
             )
-        ],
-        "n_vectors bigint, n_cells_total int, target_cells int, action string",
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_vectors bigint, n_cells_total int, target_cells bigint, action string",
     )
 
 

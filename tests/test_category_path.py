@@ -76,7 +76,7 @@ def test_full_mode_keeps_undefined(spark, cats_df, threshold):
 
 
 def test_recursive_cte_agrees_on_acyclic(spark, cats_df):
-    # the declarative twin (no cycle rows — recursion would loop)
+    # the declarative twin on the cycle-free subset
     acyclic = cats_df.filter(~cats_df.id.isin("4", "5", "6"))
     loop = {
         r["id"]: r["category_path"] for r in build_category_paths(acyclic).collect()
@@ -86,6 +86,28 @@ def test_recursive_cte_agrees_on_acyclic(spark, cats_df):
         for r in build_category_paths_sql(spark, acyclic).collect()
     }
     assert loop == sql
+
+
+def test_recursive_cte_agrees_on_cycles(spark, cats_df):
+    """ADVICE r3: the CTE carries a visited-id array, so cycle rows
+    (2-cycle, self-loop) stop at the first revisited id exactly like
+    the driver walk and the distributed loop — the full fixture
+    including cycles must agree across all three strategies, and the
+    cycle paths must not repeat names up to max_depth."""
+    driver = {
+        r["id"]: r["category_path"] for r in build_category_paths(cats_df).collect()
+    }
+    distributed = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths(cats_df, driver_threshold=0).collect()
+    }
+    sql = {
+        r["id"]: r["category_path"]
+        for r in build_category_paths_sql(spark, cats_df).collect()
+    }
+    assert driver == distributed == sql
+    assert sql["4"] == "CycleB///CycleA"  # stopped at revisit, not depth cap
+    assert sql["6"] == "SelfLoop"
 
 
 def test_depth_100_chain_parity_all_strategies(spark):
@@ -112,10 +134,11 @@ def test_depth_100_chain_parity_all_strategies(spark):
     }
     prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
     try:
-        sql = {
-            r["id"]: r["category_path"]
-            for r in build_category_paths_sql(spark, chain, max_depth=128).collect()
-        }
+        sql_df = build_category_paths_sql(spark, chain, max_depth=128)
+        # ADVICE r3: the escalation branch materializes eagerly and
+        # restores the session limit — no hidden session-global leak
+        assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == prior
+        sql = {r["id"]: r["category_path"] for r in sql_df.collect()}
     finally:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
 

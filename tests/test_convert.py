@@ -161,3 +161,50 @@ def test_null_id_and_category_id_column(spark, outdir, tmp_path_factory):
     offers = root.findall(".//offer")
     assert [o.get("id") for o in offers] == ["", "2"]
     assert all(o.findtext("categoryId") == "1" for o in offers)
+
+
+def test_oversized_category_dimension_stays_uncached(
+    spark, outdir, tmp_path_factory, monkeypatch
+):
+    """VERDICT r3 #3: a category dimension larger than the driver cache
+    cap must NOT be collect()ed into the conversion metadata cache
+    (plans/convert.py mirrors xml_source's limit(cap+1) guard) — and the
+    conversion output must be identical either way."""
+    from magicxml_spark.sources import schema_registry, xml_source
+    from magicxml_spark.sources.schema_registry import content_key, meta_get
+
+    n = 8
+    cats = "\n".join(
+        '<category id="{}"{}>C{}</category>'.format(
+            i, f' parentId="{i - 1}"' if i > 1 else "", i
+        )
+        for i in range(1, n + 1)
+    )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<yml_catalog><shop>'
+        f"<categories>\n{cats}\n</categories>"
+        '<offers><offer id="1"><name>A</name><price>10</price>'
+        f"<categoryId>{n}</categoryId></offer></offers>"
+        "</shop></yml_catalog>"
+    )
+    src = tmp_path_factory.mktemp("bigcat") / "big.xml"
+    src.write_text(xml, encoding="utf-8")
+
+    def run(tag):
+        schema_registry._META_CACHE.clear()
+        xml_source._CATEGORY_CACHE.clear()
+        out = str(outdir / f"bigcat_{tag}.csv")
+        xml_to_csv(spark, str(src), out, single_file=True)
+        return open(out, "rb").read()
+
+    baseline = run("cached")  # cap 100k: dimension cached as before
+    assert meta_get("category_paths", content_key(str(src))) is not None
+
+    monkeypatch.setattr(xml_source, "_CATEGORY_CACHE_MAX_ROWS", n - 3)
+    capped = run("uncached")  # cap 5 < 8: must stay lazy and uncached
+    assert meta_get("category_paths", content_key(str(src))) is None
+    assert capped == baseline
+    path_col = [r for r in csv.DictReader(
+        io.StringIO(capped.decode("utf-8-sig")), delimiter=";"
+    )][0]["category_path"]
+    assert path_col == "///".join(f"C{i}" for i in range(1, n + 1))

@@ -24,6 +24,11 @@ def test_query_matches_oracle(spark, duck, name):
     result = compare(df, duck, ORACLE[name])
     assert result["rows_match"], f"{name}: row counts {result['rows_spark']} vs {result['rows_duck']}"
     assert result["schema_match"], f"{name}: columns {result['cols_spark']} vs {result['cols_duck']}"
+    # the driver's value hash is TYPE-sensitive (HUGEINT/DECIMAL(38,2)
+    # oracle outputs hash differently from Spark's bigint/decimal even
+    # when values are equal — the round-3 red rows); exact type twins
+    # are part of the gate, not just equal values
+    assert result["types_match"], f"{name}: output types differ {result['type_mismatches']}"
     assert result["values_match"], f"{name}: first diff {result.get('first_diff')}"
 
 
