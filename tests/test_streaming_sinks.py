@@ -440,3 +440,150 @@ def test_stream_simhash_wide_pairs_incremental_across_batches(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_stream_minhash_state_eviction_under_churn(spark, tmp_path):
+    """VERDICT r3 #6: eviction must hold under CHURN — repeated waves of
+    fresh signatures, each wave falling behind the watermark before the
+    next arrives. The state store must shed each idle wave (numRowsTotal
+    sawtooths instead of ratcheting), ending far below the distinct-
+    bucket total: the property that keeps a continuous feed's state
+    bounded over days, not just across one eviction."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.streaming.dedup import minhash_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    feed = str(tmp_path / "mh_churn")
+    schema = "doc_id bigint, text string"
+    # 4 waves, 1000 s apart (watermark 10 s): each wave writes TWO docs
+    # with a wave-unique duplicated text (one bucket per band, pairs
+    # within the wave) — by the time wave k+1 arrives, wave k's buckets
+    # are idle past the horizon and must time out.
+    n_waves = 4
+    for wave in range(n_waves):
+        base = wave * 1000
+        # every token is wave-unique: no shared shingles, so no two
+        # waves can ever collide on a (band, signature) bucket key —
+        # the removed/remaining arithmetic below is then exact
+        text = " ".join(f"w{wave}tok{i}" for i in range(10))
+        rows = [(base, text), (base + 1, text)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(feed, f"w{wave}")
+        )
+        time.sleep(1.1)  # distinct modTimes keep file->batch order stable
+
+    name = f"mh_churn_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
+        )
+        q = (
+            minhash_pairs_stateful(stream, watermark="10 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p["stateOperators"]
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in progress
+        if p["stateOperators"]
+    )
+    n_bands = 4
+    # every wave's buckets except the last must have been evicted
+    assert removed >= (n_waves - 1) * n_bands, (removed, state_rows)
+    # no ratchet: the store never holds more than ~2 waves of buckets
+    # (the arriving wave + the outgoing one awaiting its timeout batch)
+    assert max(state_rows) <= 2 * n_bands, state_rows
+    assert state_rows[-1] <= 2 * n_bands, state_rows
+
+    # pairs stay within-wave: each wave emits its own (base, base+1)
+    # pair once per band, and never pairs across waves
+    got = {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
+    assert got == {(w * 1000, w * 1000 + 1) for w in range(n_waves)}, got
+
+
+def test_stream_simhash_wide_state_eviction_under_churn(spark, tmp_path):
+    """Same churn contract for the wide-SimHash twin: idle slice
+    buckets time out wave after wave, pairs stay within-wave."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.streaming.dedup import simhash_wide_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    feed = str(tmp_path / "shw_churn")
+    schema = "doc_id bigint, text string"
+    n_waves = 3
+    for wave in range(n_waves):
+        base = wave * 1000
+        # wave-distinct text: waves land in different slice buckets
+        text = " ".join(f"wave{wave}tok{i}" for i in range(12))
+        rows = [(base, text), (base + 1, text)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(feed, f"w{wave}")
+        )
+        time.sleep(1.1)
+
+    name = f"shw_churn_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*"))
+            .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
+        )
+        q = (
+            simhash_wide_pairs_stateful(stream, watermark="10 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p["stateOperators"]
+    ]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in progress
+        if p["stateOperators"]
+    )
+    n_slices = 8
+    assert removed >= (n_waves - 1) * n_slices, (removed, state_rows)
+    assert max(state_rows) <= 2 * n_slices, state_rows
+    # identical texts within a wave: hamming 0, pairs once per slice;
+    # never across waves (those buckets were evicted)
+    got = {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
+    assert got == {(w * 1000, w * 1000 + 1) for w in range(n_waves)}, got
