@@ -1,48 +1,72 @@
 """S7/K5: Excel source & sink (reference main.py:734, 683-718).
 
-Excel is not a Spark-native format; the reference shells out to
-pandas/openpyxl and so do we — driver-side and bounded by an explicit
-row limit (the reference's inputs are capped at 100 MB uploads).
-Import-gated: openpyxl may be absent."""
+Excel is not a Spark-native format; the reference reads/writes it
+driver-side through pandas/openpyxl with inputs capped at 100 MB, and
+so do we — bounded by an explicit row limit. Two engines:
+
+* **openpyxl/pandas** when installed — byte-for-byte the reference's
+  stack (dates, formulas, multiple sheets all behave identically).
+* **xlsx_lite** (pure stdlib, this repo) otherwise — the single-sheet
+  string-cell subset the reference pipeline actually produces and
+  consumes, written from the public ECMA-376 package structure. This
+  is the path that RUNS in environments without openpyxl, so S7/K5
+  are real executable operators everywhere, not gated stubs.
+
+Both engines surface every cell as a string (the reference feeds the
+result straight into its string-typed CSV/XML pipeline, main.py:745).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from magicxml_spark.sources import xlsx_lite
 
-def _require_openpyxl() -> None:
+
+def _have_openpyxl() -> bool:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "Excel support requires openpyxl (not installed in this image)"
-        ) from exc
+
+        return True
+    except ImportError:
+        return False
 
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    _require_openpyxl()
-    import pandas as pd
+    """S7: first sheet -> string-typed DataFrame, header row = columns."""
+    if _have_openpyxl():
+        import pandas as pd
 
-    pdf = pd.read_excel(path).fillna("")
-    return spark.createDataFrame(pdf.astype(str))
+        pdf = pd.read_excel(path).fillna("")
+        return spark.createDataFrame(pdf.astype(str))
+    header, rows = xlsx_lite.read_rows(path)
+    if not header:
+        raise ValueError(f"Excel file has no rows: {path}")
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], ", ".join(f"`{c}` string" for c in header)
+    )
 
 
 def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> str:
     """K5: driver-side writer with the reference's per-column
     auto-width = min(max len + 2, 50) (main.py:683-718)."""
-    _require_openpyxl()
-    from openpyxl.utils import get_column_letter
+    if _have_openpyxl():
+        from openpyxl.utils import get_column_letter
 
-    pdf = df.limit(max_rows).toPandas()
-    with __import__("pandas").ExcelWriter(path, engine="openpyxl") as writer:
-        pdf.to_excel(writer, index=False, sheet_name="Data")
-        ws = writer.sheets["Data"]
-        for i, col in enumerate(pdf.columns, 1):
-            width = max(
-                [len(str(col))] + [len(str(v)) for v in pdf[col].head(1000)]
-            )
-            ws.column_dimensions[get_column_letter(i)].width = min(width + 2, 50)
-    return path
+        pdf = df.limit(max_rows).toPandas()
+        with __import__("pandas").ExcelWriter(path, engine="openpyxl") as writer:
+            pdf.to_excel(writer, index=False, sheet_name="Data")
+            ws = writer.sheets["Data"]
+            for i, col in enumerate(pdf.columns, 1):
+                width = max(
+                    [len(str(col))] + [len(str(v)) for v in pdf[col].head(1000)]
+                )
+                ws.column_dimensions[get_column_letter(i)].width = min(width + 2, 50)
+        return path
+    rows = [
+        ["" if v is None else str(v) for v in r] for r in df.limit(max_rows).collect()
+    ]
+    return xlsx_lite.write_rows(path, list(df.columns), rows)
 
 
 def excel_to_pdf_rows(spark: SparkSession, path: str, style: str = "table") -> DataFrame:
