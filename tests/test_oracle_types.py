@@ -76,11 +76,21 @@ def test_registry_lint_no_unmatched_oracle_types():
 
     con = duck_connection("/root/testdata/sf0.001")
     never_ok = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+    # driver-hash-safe rendering (VERDICT r3 #4): temporal values must
+    # be strftime'd to strings in BOTH engines (raw TIMESTAMP/DATE
+    # rendering is engine-binding-dependent), and floats must be DOUBLE
+    # (FLOAT/REAL widening to float64 is well-defined but the narrower
+    # type has no tested driver-hash history). Every query today
+    # complies; a new one violating this must consciously amend here.
+    render_risky = ("TIMESTAMP", "DATE", "FLOAT", "REAL")
     bad = []
     for name, sql in sorted(ORACLE.items()):
-        for col, t in zip(con.sql(sql).columns, con.sql(sql).types):
+        rel = con.sql(sql)
+        for col, t in zip(rel.columns, rel.types):
             ts = str(t).upper()
             if any(n in ts for n in never_ok):
-                bad.append(f"{name}.{col}: {ts}")
+                bad.append(f"{name}.{col}: {ts} (no Spark twin)")
+            elif any(n in ts for n in render_risky):
+                bad.append(f"{name}.{col}: {ts} (render-risky: emit a string)")
     con.close()
-    assert not bad, f"oracle outputs with no Spark twin: {bad}"
+    assert not bad, f"oracle outputs unsafe for a type-sensitive hash: {bad}"
