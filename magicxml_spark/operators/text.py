@@ -167,6 +167,50 @@ def redact_pii(text: Column | str, token: str = "[PII]") -> Column:
     return c
 
 
+#: 13-19 digit standalone runs — the card-number candidate shape.
+CARD_PATTERN = r"\b[0-9]{13,19}\b"
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """True when a digit string passes the Luhn checksum (the ISO/IEC
+    7812 check used by payment-card numbers) — distinguishes real card
+    numbers from arbitrary digit runs, cutting PII-scrub false
+    positives ~10x. ONE aggregate pass over the digit array (per the
+    CSE rule: N parallel aggregates over a computed array re-evaluate
+    it N times), zip_with binding each digit to its 1-based position
+    from the RIGHT so every second digit doubles (9-wrap)."""
+    s = F.col(digits) if isinstance(digits, str) else digits
+    # regexp_extract_all('[0-9]') chars -> ints: F.split leaves a
+    # trailing '' element (limit=-1), which would fail the int cast
+    rev = F.reverse(
+        F.transform(
+            F.regexp_extract_all(s, F.lit("[0-9]"), F.lit(0)),
+            lambda c: c.cast("int"),
+        )
+    )
+    contrib = F.zip_with(
+        rev,
+        F.sequence(F.lit(1), F.size(rev)),
+        lambda d, i: F.when(
+            i % 2 == 0, F.when(d < 5, d * 2).otherwise(d * 2 - 9)
+        ).otherwise(d),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(s) >= 13) & (total % 10 == 0)
+
+
+def card_counts(text: Column | str) -> dict[str, Column]:
+    """(candidate, Luhn-valid) card-number counts in free text. The
+    extraction is regexp_extract_all; validation maps luhn_valid over
+    the match array — still pure Column expressions, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    cands = F.regexp_extract_all(c, F.lit(CARD_PATTERN), F.lit(0))
+    return {
+        "card_candidates": F.size(cands),
+        "cards_valid": F.size(F.filter(cands, luhn_valid)),
+    }
+
+
 def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-category counts + a redacted copy of ``text_col``."""
     counts = pii_counts(text_col)

@@ -141,6 +141,157 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Luhn-validated card-number PII ------------------------------------------
+# Card-number scrubbing needs more than a digit-run regex: most 13-19
+# digit runs are ids/timestamps, and redacting them shreds the corpus.
+# The Luhn checksum separates the two. The query plants one synthetic
+# 16-digit number per document (doc_id-derived, IDENTICALLY in both
+# engines); its last digit is doc_id % 10, so ~10% of documents carry
+# a Luhn-VALID number and both engines must agree per-document, not
+# just in aggregate. Both sides implement Luhn independently (Spark:
+# zip_with position binding; DuckDB: list_transform over the reversed
+# string) — two implementations of ISO/IEC 7812 agreeing on 500 docs.
+_CARD_AUG_SQL = """
+    text || ' order ref ' || lpad(CAST((doc_id * 37) % 1000000000000000 AS VARCHAR), 15, '0')
+         || CAST(doc_id % 10 AS VARCHAR) || ' end'
+"""
+
+
+def _card_aug_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" order ref "),
+        F.lpad(((F.col("doc_id") * 37) % F.lit(10**15)).cast("string"), 15, "0"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" end"),
+    )
+
+
+@query(
+    "q_pii_luhn",
+    oracle=f"""
+    WITH aug AS (SELECT source, {_CARD_AUG_SQL} AS t FROM documents),
+    c AS (SELECT source,
+            regexp_extract_all(t, '\\b[0-9]{{13,19}}\\b') AS cands
+          FROM aug),
+    v AS (SELECT source, len(cands) AS n_cand,
+            len(list_filter(cands, s ->
+              len(s) >= 13 AND
+              list_sum(list_transform(range(1, len(s) + 1), i ->
+                CASE WHEN i % 2 = 0
+                     THEN CASE WHEN CAST(substr(reverse(s), i, 1) AS INTEGER) < 5
+                               THEN CAST(substr(reverse(s), i, 1) AS INTEGER) * 2
+                               ELSE CAST(substr(reverse(s), i, 1) AS INTEGER) * 2 - 9
+                          END
+                     ELSE CAST(substr(reverse(s), i, 1) AS INTEGER)
+                END)) % 10 = 0)) AS n_valid
+          FROM c)
+    SELECT source,
+           CAST(sum(n_cand) AS BIGINT) AS card_candidates,
+           CAST(sum(n_valid) AS BIGINT) AS cards_valid
+    FROM v GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import card_counts
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", _card_aug_spark().alias("t")
+    )
+    counts = card_counts(F.col("t"))
+    per_doc = docs.select(
+        "source", *[c.alias(name) for name, c in counts.items()]
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("card_candidates").alias("card_candidates"),
+        F.sum("cards_valid").alias("cards_valid"),
+    )
+
+
+# --- Canonical-URL dedup ------------------------------------------------------
+# Crawled corpora carry one page under many URL spellings. The synthetic
+# URL (doc_id-derived, identical in both engines) exercises every
+# canonicalization rule: case-variant scheme+host, explicit default
+# port, trailing slash, tracking params, unsorted params, fragment.
+# Group key = doc_id % 100 across the varied spellings, so the dedup
+# genuinely merges different strings. The DuckDB oracle canonicalizes
+# INDEPENDENTLY with regex/list functions (operators/urls.py uses
+# parse_url + array ops) — two implementations of the documented
+# contract must produce identical groups.
+_URL_AUG_SQL = """
+    (CASE WHEN doc_id % 3 = 0
+          THEN 'HTTPS://CDN' || CAST(doc_id % 4 AS VARCHAR) || '.ExAmple.COM:443'
+          ELSE 'https://cdn' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' END)
+    || '/art/' || CAST(doc_id % 25 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || '?b=' || CAST(doc_id % 10 AS VARCHAR)
+    || '&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+def _url_aug_spark() -> F.Column:
+    d = F.col("doc_id")
+    host = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("HTTPS://CDN"), (d % 4).cast("string"), F.lit(".ExAmple.COM:443")
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://cdn"), (d % 4).cast("string"), F.lit(".example.com"))
+    )
+    return F.concat(
+        host,
+        F.lit("/art/"),
+        (d % 25).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b="),
+        (d % 10).cast("string"),
+        F.lit("&utm_source=feed&a="),
+        (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents),
+    c AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth,
+            regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                           '/+$', '') AS path0,
+            regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM u),
+    n AS (SELECT doc_id,
+            scheme || '://' ||
+            (CASE WHEN scheme = 'https' AND auth LIKE '%:443' THEN substr(auth, 1, len(auth) - 4)
+                  WHEN scheme = 'http'  AND auth LIKE '%:80'  THEN substr(auth, 1, len(auth) - 3)
+                  ELSE auth END) ||
+            (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+            (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+              AS canonical_url
+          FROM (SELECT *, list_sort(list_filter(string_split(q, '&'), x ->
+                  x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT list_contains(['fbclid', 'gclid', 'ref'],
+                                        string_split(x, '=')[1]))) AS kept
+                FROM c))
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM n GROUP BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.urls import dedup_by_canonical_url
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _url_aug_spark().alias("url")
+    )
+    return dedup_by_canonical_url(docs, "doc_id", "url")
+
+
 # --- Gopher-style repetition metrics ---------------------------------------
 @query(
     "q_repetition_profile",

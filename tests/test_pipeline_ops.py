@@ -518,3 +518,59 @@ def test_decontaminate_removes_leaky_docs_and_respects_stop_grams(spark):
     assert kept_all == {0, 1, 2, 3}
     # without the stop-gram cap the shared boilerplate gram flags all
     assert decontaminate(boiler, ev2, min_shared_ngrams=1).count() == 0
+
+
+def test_luhn_valid_known_vectors(spark):
+    """Luhn checksum against published test numbers: classic valid
+    examples pass, single-digit corruptions fail, short runs fail."""
+    from magicxml_spark.operators.text import luhn_valid
+
+    cases = [
+        ("79927398713", False),   # the textbook Luhn example, but len<13 -> rejected as card
+        ("4532015112830366", True),   # 16-digit valid
+        ("4532015112830367", False),  # last digit off by one
+        ("6011111111111117", True),   # 16-digit valid
+        ("6011111111111118", False),
+        ("378282246310005", True),    # 15-digit valid
+        ("1234567890123456", False),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    for s, want in cases:
+        assert got[s] == want, s
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """The documented canonical contract, case by case."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.urls import canonicalize_url
+
+    cases = [
+        # scheme+host case, default port, trailing slash, fragment
+        ("HTTPS://ExAmple.COM:443/A/b/#x", "https://example.com/A/b"),
+        # http default port; path preserved case-sensitively
+        ("http://Host.COM:80/p", "http://host.com/p"),
+        # non-default port kept
+        ("https://h.com:8443/p", "https://h.com:8443/p"),
+        # tracking params dropped, rest sorted; '?' dropped when empty
+        ("https://h.com/p?utm_source=x&b=2&a=1", "https://h.com/p?a=1&b=2"),
+        ("https://h.com/p?utm_source=x&fbclid=1&gclid=2&ref=z", "https://h.com/p"),
+        # empty path -> '/'
+        ("https://h.com", "https://h.com/"),
+        ("https://h.com/?a=1", "https://h.com/?a=1"),
+        # multiple trailing slashes collapse
+        ("https://h.com/a///", "https://h.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])
