@@ -70,6 +70,7 @@ _DRIVER_SAMPLE_ORDER = [
     # round-4 additions (need their first driver row)
     "q_pii_luhn",
     "q_url_dedup",
+    "q_stream_interval_outer",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -78,6 +78,32 @@ def q_stream_interval_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_to_memory(spark, sf_dir, how="left_semi")
 
 
+# Left-OUTER twin: every click, with its purchases where they exist and
+# NULLs where they don't — the conversion-funnel shape. Outer emission
+# is watermark-gated, so the runner stages the feed with a far-future
+# sentinel batch that pushes the final watermark past every real
+# click's bound before the source drains (run_interval_join_outer_to_
+# memory docstring has the full protocol); the engine's closing
+# no-data batch then flushes the unmatched-click state, making the
+# batch LEFT JOIN an exact oracle — this closes the round-3 TODO that
+# documented outer interval joins as availableNow-infeasible.
+@query(
+    "q_stream_interval_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS ms_after
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_interval_join_outer_to_memory
+
+    return run_interval_join_outer_to_memory(spark, sf_dir)
+
+
 # --- Streaming sessionization (session_window on a stream) ------------------
 # Same determinism argument: availableNow drives the stream to
 # completion, complete mode emits the final merged sessions, so the

@@ -314,7 +314,7 @@ def interval_join_events(
             "click_id",
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         )
-    joined = c.join(p, cond, "inner")
+    joined = c.join(p, cond, "leftOuter" if how == "left_outer" else "inner")
     return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -324,6 +324,135 @@ def interval_join_events(
             / F.lit(1000)
         ).cast("bigint").alias("ms_after"),
     )
+
+
+def run_interval_join_outer_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive the stream-stream LEFT OUTER interval join to an
+    oracle-exact result.
+
+    The blocker this solves (round-3 TODO): outer NULL-extended rows
+    emit only when the watermark passes ``left.ts + within``, and a
+    drained availableNow source leaves the final watermark at
+    ``max(event_ts) - delay`` — every click in the last
+    ``delay + within`` of the feed would stay buffered and the outer
+    rows would silently never emit. The fix is a watermark-flush
+    SENTINEL staged as TWO extra files after the real events (far-
+    future rows, one per side's event_type filter, ids/user negative so
+    they can never join), file mtimes forcing the order under
+    ``maxFilesPerTrigger=1``. Two because the watermark is applied one
+    batch BEHIND the data that produced it: batch k processes with the
+    watermark committed at the end of batch k-1, and availableNow
+    terminates after the last file with NO closing no-data batch
+    (measured: a single sentinel left the final click's outer row
+    buffered forever). Sentinel batch 1 advances the watermark past
+    every real ``ts + within``; sentinel batch 2 runs WITH that
+    watermark and flushes the remaining outer state. The sentinels' own
+    outer rows are filtered from the result. Batch LEFT JOIN over the
+    same events is then an exact oracle.
+
+    At scale the sentinel is exactly the standard end-of-feed
+    punctuation a replayed/backfilled stream needs; a live feed never
+    drains, so this concern is availableNow-specific."""
+    import time
+
+    name = f"events_ijo_{uuid.uuid4().hex[:8]}"
+    feed = os.path.join(tempfile.gettempdir(), f"mxs_feed_{name}")
+    os.makedirs(feed, exist_ok=True)
+    try:
+        from magicxml_spark.tables import table
+
+        batch = table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        _write_single_parquet(batch, os.path.join(feed, "b0.parquet"))
+
+        def sentinel(days: int, ida: int, idb: int) -> DataFrame:
+            ts = f"timestamp'{max_ts}' + interval {days} days"
+            return spark.range(1).select(
+                F.lit(ida).cast("bigint").alias("event_id"),
+                F.expr(ts).cast("timestamp").alias("ts"),
+                F.lit(ida).cast("bigint").alias("user_id"),
+                F.lit(left_type).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).union(
+                spark.range(1).select(
+                    F.lit(idb).cast("bigint").alias("event_id"),
+                    F.expr(ts).cast("timestamp").alias("ts"),
+                    F.lit(idb).cast("bigint").alias("user_id"),
+                    F.lit(right_type).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+            )
+
+        _write_single_parquet(sentinel(3, -1, -2), os.path.join(feed, "b1.parquet"))
+        _write_single_parquet(sentinel(6, -3, -4), os.path.join(feed, "b2.parquet"))
+        now = time.time()
+        os.utime(os.path.join(feed, "b0.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(feed, "b1.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(feed, "b2.parquet"), (now, now))
+
+        with _stream_tuning(spark, state_partitions):
+            schema = EVENTS_SCHEMA_TEMPLATE.format(ts_type="timestamp")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .format("parquet")
+                .load(feed)
+            )
+            # NOTE: the sentinel filter must NOT be part of the
+            # streaming plan — `click_id >= 0` is a null-rejecting
+            # left-side predicate, so Catalyst pushes it below the
+            # outer join and the watermark node, deleting the sentinel
+            # click before it can advance the left watermark (measured:
+            # the watermark then freezes at the last REAL click and the
+            # tail's outer rows never flush). The memory sink receives
+            # the sentinels' own outer rows and they are filtered
+            # batch-side on return.
+            out = interval_join_events(
+                stream.filter(F.col("event_type") == left_type),
+                stream.filter(F.col("event_type") == right_type),
+                within=within,
+                watermark=watermark,
+                how="left_outer",
+            )
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", _checkpoint_dir(name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+    return spark.table(name).filter(F.col("click_id") >= 0)
+
+
+def _write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Materialize a small DataFrame as ONE plain parquet file at
+    ``dest`` (the streaming file source lists files, not directories,
+    and the sentinel protocol needs per-file mtime control)."""
+    import glob
+
+    tmp = dest + ".dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_interval_join_to_memory(
