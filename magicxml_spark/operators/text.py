@@ -221,6 +221,51 @@ def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram language-model surprisal — the
+    perplexity-proxy quality score: avg over the document's tokens of
+    ``-ln p(w)`` where ``p(w) = corpus_count(w) / corpus_total``. High
+    surprisal = rare-token-heavy (gibberish, OCR noise, codes); low =
+    boilerplate-common. Output: (id, n_tokens, surprisal).
+
+    Cross-engine exactness: floating-point SUMS are addition-order-
+    dependent, so a naive avg(ln ...) differs in the last ulp between
+    engines. Instead each token's surprisal is rounded ROW-WISE to
+    integer micro-nats (the proven-safe tfidf pattern: ln + round on
+    identical inputs is deterministic), per-document aggregation is an
+    exact BIGINT sum, and one final correctly-rounded division produces
+    the score — bit-identical on any partitioning and in DuckDB.
+
+    Plan at scale: explode -> one agg shuffle for vocab counts (vocab
+    is dimension-sized -> broadcast back) -> one agg shuffle on the
+    doc id. No UDF anywhere."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    micro = (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            F.round(
+                F.log(F.col("_n_total").cast("double") / F.col("_c")) * 1e6, 0
+            )
+            .cast("bigint")
+            .alias("_micro"),
+        )
+    )
+    return micro.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias("surprisal"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
+
+
 # ---------------------------------------------------------------------------
 # Repetition metrics (Gopher-style quality rules: excessive repetition
 # marks low-quality / boilerplate documents)

@@ -71,6 +71,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_pii_luhn",
     "q_url_dedup",
     "q_stream_interval_outer",
+    "q_unigram_surprisal",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

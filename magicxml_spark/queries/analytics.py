@@ -362,6 +362,36 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unigram-LM surprisal (perplexity-proxy quality score) -------------------
+# avg(-ln p(w)) per document against the corpus unigram distribution.
+# Determinism contract (operators/text.unigram_surprisal docstring):
+# per-token ln is rounded ROW-WISE to integer micro-nats — ln+round on
+# identical inputs agrees cross-engine (the tfidf precedent) — and the
+# per-doc aggregation is an exact BIGINT sum, so the result is
+# independent of addition order on any partitioning and in DuckDB.
+@query(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    micro AS (SELECT doc_id,
+                     CAST(round(ln(CAST(n_total AS DOUBLE) / c) * 1e6, 0) AS BIGINT)
+                       AS m
+              FROM tok JOIN vocab USING (term), tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
 # --- Cosine top-k: exact baseline ---------------------------------------------
 @query(
     "q_cosine_topk",
