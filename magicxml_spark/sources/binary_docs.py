@@ -68,12 +68,23 @@ def extract_pdf_tables(
                                     rows.append(
                                         (path, pageno, tno, rno, json.dumps(row))
                                     )
+                    continue
+                # no pdfplumber: pdf_lite reads back tables IT authored
+                # (render_pdf_report / excel_to_pdf output — Producer-
+                # marked fixed-layout lines); foreign PDFs fall through
+                from magicxml_spark.sources import pdf_lite
+
+                lite = pdf_lite.extract_table_rows(bytes(content))
+                if lite:
+                    for pageno, rno, cells in lite:
+                        rows.append((path, pageno, 1, rno, json.dumps(cells)))
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).hexdigest()
                     rows.append((path, 1, 1, 0, json.dumps([digest[:8], digest[8:16]])))
                 else:
                     raise NotImplementedError(
-                        "pdfplumber not installed; pass deterministic_stub=True"
+                        "pdfplumber not installed and not a pdf_lite table PDF; "
+                        "pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "pdf_page", "table_number", "cell_row", "cell_json"]
@@ -157,9 +168,35 @@ def png_to_jpg(binary_df: DataFrame, deterministic_stub: bool = False) -> DataFr
 
 def pdf_report_rows(df: DataFrame, style: str = "table") -> DataFrame:
     """K8 row-capping semantics (main.py:1100, 1133): 'table' keeps the
-    first 50 rows, 'summary' the first 5 — the rendering itself is
-    reportlab (absent); the capped DataFrame is the engine's output."""
+    first 50 rows, 'summary' the first 5."""
     return df.limit(50 if style == "table" else 5)
+
+
+def render_pdf_report(
+    df: DataFrame, out_path: str, style: str = "table", title: str = "Report"
+) -> str:
+    """K8 for real (main.py:1056-1133): capped rows -> a paginated
+    text-table PDF on disk. reportlab renders when installed (full
+    Unicode fonts); otherwise sources/pdf_lite.py writes the document
+    from the open PDF 1.4 spec — either way the caller gets an actual
+    .pdf a viewer opens, and extract_pdf_tables reads the lite output
+    back (round-trip test-pinned). Driver-side by design: the input is
+    already capped at 50 rows, same as the reference's report surface."""
+    capped = pdf_report_rows(df, style)
+    columns = list(capped.columns)
+    rows = [["" if v is None else str(v) for v in r] for r in capped.collect()]
+    if _have("reportlab"):  # pragma: no cover - library absent in CI image
+        from reportlab.lib.pagesizes import A4
+        from reportlab.platypus import SimpleDocTemplate, Table
+
+        doc = SimpleDocTemplate(out_path, pagesize=A4, title=title)
+        doc.build([Table([columns] + rows)])
+        return out_path
+    from magicxml_spark.sources import pdf_lite
+
+    with open(out_path, "wb") as fh:
+        fh.write(pdf_lite.write_table_pdf(columns, rows, title=title))
+    return out_path
 
 
 def extract_pdf_documents(
@@ -190,6 +227,22 @@ def extract_pdf_documents(
                                 json.dumps(dict(doc.metadata or {})),
                             )
                         )
+                    continue
+                # no pdfplumber: pdf_lite handles text PDFs (its own
+                # output AND foreign writers with plain/Flate text
+                # streams); image-only/exotic PDFs fall through
+                from magicxml_spark.sources import pdf_lite
+
+                lite_pages = pdf_lite.extract_text_pages(bytes(content))
+                if lite_pages:
+                    rows.append(
+                        (
+                            path,
+                            len(lite_pages),
+                            "\n".join("\n".join(p) for p in lite_pages),
+                            json.dumps(pdf_lite.document_info(bytes(content))),
+                        )
+                    )
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).hexdigest()
                     rows.append(
@@ -197,7 +250,8 @@ def extract_pdf_documents(
                     )
                 else:
                     raise NotImplementedError(
-                        "pdfplumber not installed; pass deterministic_stub=True"
+                        "pdfplumber not installed and no text streams found; "
+                        "pass deterministic_stub=True"
                     )
             yield pd.DataFrame(rows, columns=["path", "pages_count", "text", "meta_json"])
 

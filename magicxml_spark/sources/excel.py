@@ -70,9 +70,21 @@ def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> str:
 
 
 def excel_to_pdf_rows(spark: SparkSession, path: str, style: str = "table") -> DataFrame:
-    """K9 (main.py:1155-1170): Excel -> (CSV-shaped rows) -> PDF report
-    composition; the reportlab render is gated like K8, so the engine's
-    output is the capped row set the report would contain."""
+    """K9 row surface (main.py:1155-1170): Excel -> capped report rows."""
     from magicxml_spark.sources.binary_docs import pdf_report_rows
 
     return pdf_report_rows(read_excel(spark, path), style=style)
+
+
+def excel_to_pdf(
+    spark: SparkSession, src: str, dst: str, style: str = "table"
+) -> str:
+    """K9 for real (main.py:1155-1170): .xlsx -> paginated PDF report,
+    end-to-end executable on stdlib alone (xlsx_lite read +
+    render_pdf_report write; reportlab/openpyxl take over when
+    installed)."""
+    from magicxml_spark.sources.binary_docs import render_pdf_report
+
+    return render_pdf_report(
+        read_excel(spark, src), dst, style=style, title=src.rsplit("/", 1)[-1]
+    )

@@ -1,0 +1,212 @@
+"""Minimal pure-stdlib PDF writer + text extractor (PDF 1.4 subset).
+
+Same strategy as xlsx_lite: the sandbox has neither reportlab (K8/K9
+render) nor pdfplumber/fitz (S9/S10 extraction), but the PDF document
+format is an open ISO 32000 specification, and the subset the reference
+pipeline exercises — tabular TEXT reports with row caps, then reading
+the text back out — is implementable on ``zlib`` + ``re`` alone.
+
+Writer (``write_table_pdf``): multi-page text report — title line,
+header row, one fixed-layout line per data row — as uncompressed
+content streams using the built-in Helvetica Type1 font (base-14 fonts
+need no embedding), correct xref table + trailer. The row caps
+(50/table, 5/summary) are applied by the CALLER (pdf_report_rows),
+mirroring reference main.py:1100,1133.
+
+Extractor (``extract_text_pages``): walks every stream object in
+document order, inflates /FlateDecode streams with zlib (so PDFs from
+real writers that compress text content also work), and collects the
+text-showing operators ``Tj``/``TJ``/``'`` inside BT/ET blocks, one
+string per output line. This is a TEXT extractor, not a layout engine:
+image-only or exotic-encoding PDFs yield no pages and the caller falls
+back to its gated path.
+
+Both directions are driver/executor-local pure functions over bytes —
+the distributed plumbing (binaryFile ingest, mapInPandas batching,
+lineage columns) lives in sources/binary_docs.py and is unchanged.
+
+Known limitation (documented, deterministic): the base-14 Helvetica
+font covers the WinAnsi/Latin-1 repertoire only — writing wider
+Unicode (e.g. Cyrillic) replaces unrepresentable characters with '?'.
+Full Unicode needs an embedded TTF with a /ToUnicode CMap, which is
+exactly where a real reportlab install takes over (the same font
+registration the reference performs for its DejaVu output,
+main.py:1056+).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+PRODUCER = "magicxml-pdf-lite"
+
+_PAGE_W, _PAGE_H = 595, 842  # A4 in points
+_MARGIN = 40
+_LEAD = 14  # line leading at 10pt
+_LINES_PER_PAGE = (_PAGE_H - 2 * _MARGIN) // _LEAD
+
+CELL_SEP = " | "
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _page_stream(lines: list[str]) -> bytes:
+    ops = ["BT", "/F1 10 Tf", f"1 0 0 1 {_MARGIN} {_PAGE_H - _MARGIN} Tm",
+           f"{_LEAD} TL"]
+    for line in lines:
+        ops.append(f"({_esc(line)}) '")  # ' = T* + Tj: next line, show
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1", "replace")
+
+
+def write_table_pdf(
+    columns: list[str],
+    rows: list[list[str]],
+    title: str = "Report",
+    col_width: int = 20,
+) -> bytes:
+    """Render (columns, rows) as a paginated text-table PDF; returns
+    the document bytes. Cells are truncated/padded to ``col_width`` and
+    joined with ``CELL_SEP`` so the extractor (and a human) can split
+    them back apart."""
+
+    def fmt(cells: list) -> str:
+        return CELL_SEP.join(str(c)[:col_width].ljust(col_width) for c in cells)
+
+    lines = [title, fmt(columns)]
+    lines.extend(fmt(r) for r in rows)
+    pages = [
+        lines[i : i + _LINES_PER_PAGE]
+        for i in range(0, len(lines), _LINES_PER_PAGE)
+    ] or [[]]
+
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page:
+    # (page object, content stream)
+    objs: dict[int, bytes] = {}
+    page_ids = [4 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for pid, page_lines in zip(page_ids, pages):
+        stream = _page_stream(page_lines)
+        objs[pid] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} {_PAGE_H}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> /Contents {pid + 1} 0 R >>"
+        ).encode()
+        objs[pid + 1] = (
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+    info_id = max(objs) + 1
+    objs[info_id] = f"<< /Producer ({PRODUCER}) /Title ({_esc(title)}) >>".encode()
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R /Info {info_id} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# --- extraction ----------------------------------------------------------------
+
+_STREAM_RE = re.compile(
+    rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL
+)
+# text-showing ops inside a content stream: (string) Tj, (string) ',
+# and [ ... ] TJ arrays (kerned runs concatenate)
+_SHOW_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?:Tj|')|\[(?P<a>[^\]]*)\]\s*TJ")
+_ARR_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_ESCAPE_RE = re.compile(rb"\\([0-7]{1,3}|.)")
+_ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
+
+
+def _unescape(raw: bytes) -> str:
+    # single left-to-right pass — sequential str.replace corrupts
+    # adjacent escapes (r'\\n' must become backslash + n, not newline)
+    def sub(m: re.Match) -> bytes:
+        g = m.group(1)
+        if g[:1].isdigit() and all(c in b"01234567" for c in g):
+            return bytes([int(g, 8) & 0xFF])
+        return _ESC_MAP.get(g, g)
+
+    return _ESCAPE_RE.sub(sub, raw).decode("latin-1")
+
+
+def extract_text_pages(data: bytes) -> list[list[str]]:
+    """Text lines per content stream (== per page for single-content
+    pages, which covers this writer and most simple generators).
+    Returns [] when the bytes are not a parseable text PDF."""
+    if not data.startswith(b"%PDF"):
+        return []
+    pages: list[list[str]] = []
+    for m in _STREAM_RE.finditer(data):
+        meta, body = m.group(1), m.group(2)
+        if b"/FlateDecode" in meta:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        if b"BT" not in body:
+            continue  # not a text content stream (font file, image, ...)
+        lines = []
+        for sm in _SHOW_RE.finditer(body):
+            if sm.group("s") is not None:
+                lines.append(_unescape(sm.group("s")))
+            else:
+                run = b"".join(
+                    x[1:-1] for x in _ARR_STR_RE.findall(sm.group("a"))
+                )
+                lines.append(_unescape(run))
+        if lines:
+            pages.append(lines)
+    return pages
+
+
+_INFO_KEY_RE = re.compile(rb"/(Producer|Title|Author|Subject|Creator)\s*\(((?:\\.|[^\\()])*)\)")
+
+
+def document_info(data: bytes) -> dict[str, str]:
+    """Best-effort Info-dictionary string entries (Producer, Title, …)
+    — enough metadata parity for text PDFs without an object parser."""
+    return {
+        m.group(1).decode(): _unescape(m.group(2))
+        for m in _INFO_KEY_RE.finditer(data)
+    }
+
+
+def extract_table_rows(data: bytes) -> list[tuple[int, int, list[str]]]:
+    """(page_no, row_no, cells) for PDFs authored by write_table_pdf —
+    recognized via the Producer marker; the fixed-layout CELL_SEP
+    lines split back into stripped cells. Returns [] for foreign PDFs
+    (the caller keeps its gated path for those)."""
+    if PRODUCER.encode() not in data:
+        return []
+    out = []
+    for pageno, lines in enumerate(extract_text_pages(data), 1):
+        rowno = 0
+        # the writer's fixed structure: page 1 line 1 is the title,
+        # everything else is a table line (a single-column table has
+        # no CELL_SEP to sniff, so structure beats content here)
+        body = lines[1:] if pageno == 1 else lines
+        for line in body:
+            out.append((pageno, rowno, [c.strip() for c in line.split(CELL_SEP)]))
+            rowno += 1
+    return out
