@@ -113,6 +113,17 @@ def extract_image_meta(
                     with Image.open(io.BytesIO(content)) as im:
                         mode = "RGB" if im.mode in ("RGBA", "LA") else im.mode
                         rows.append((path, im.format, im.width, im.height, mode))
+                    continue
+                # no PIL: png_lite decodes the 8-bit PNG subset
+                # (sources/png_lite.py) — other formats fall through
+                from magicxml_spark.sources import png_lite
+
+                dec = png_lite.decode_png(bytes(content))
+                if dec is not None:
+                    w, h, mode, _ = dec
+                    rows.append(
+                        (path, "PNG", w, h, "RGB" if mode in ("RGBA", "LA") else mode)
+                    )
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).digest()
                     rows.append(
@@ -120,7 +131,8 @@ def extract_image_meta(
                     )
                 else:
                     raise NotImplementedError(
-                        "PIL not installed; pass deterministic_stub=True"
+                        "PIL not installed and not an 8-bit PNG; "
+                        "pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "format", "width", "height", "mode"]
@@ -282,13 +294,25 @@ def resize_images(
                         buf = io.BytesIO()
                         im.resize((width, height)).save(buf, im.format or "PNG")
                         rows.append((path, width, height, buf.getvalue()))
+                    continue
+                # no PIL: nearest-neighbor resample on the png_lite path
+                from magicxml_spark.sources import png_lite
+
+                dec = png_lite.decode_png(bytes(content))
+                if dec is not None:
+                    w0, h0, mode, px = dec
+                    resized = png_lite.resize_nearest(w0, h0, mode, px, width, height)
+                    rows.append(
+                        (path, width, height, png_lite.encode_png(width, height, mode, resized))
+                    )
                 elif deterministic_stub:
                     seed = hashlib.md5(bytes(content)).digest()
                     fake = (seed * ((width * height) // len(seed) + 1))[: width * height]
                     rows.append((path, width, height, fake))
                 else:
                     raise NotImplementedError(
-                        "PIL not installed; pass deterministic_stub=True"
+                        "PIL not installed and not an 8-bit PNG; "
+                        "pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "width", "height", "resized"]
@@ -391,6 +415,40 @@ def image_to_pdf(binary_df: DataFrame, deterministic_stub: bool = False) -> Data
                         )
                         c.save()
                         payload = buf.getvalue()
+                    rows.append(
+                        (
+                            path,
+                            f"{base}.pdf",
+                            geo["page_width_pt"],
+                            geo["page_height_pt"],
+                            geo["pdf_width_pt"],
+                            geo["pdf_height_pt"],
+                            geo["x_offset_pt"],
+                            geo["y_offset_pt"],
+                            payload,
+                        )
+                    )
+                    continue
+                # no PIL/reportlab: png_lite decode + pdf_lite image
+                # XObject embed — a real viewer-openable image PDF
+                from magicxml_spark.sources import pdf_lite, png_lite
+
+                dec = png_lite.decode_png(bytes(content))
+                if dec is not None:
+                    w0, h0, mode, px = dec
+                    geo = fit_image_to_pdf_page(w0, h0)
+                    payload = pdf_lite.write_image_pdf(
+                        png_lite.flatten_to_rgb(w0, h0, mode, px),
+                        w0,
+                        h0,
+                        geo["page_width_pt"],
+                        geo["page_height_pt"],
+                        geo["pdf_width_pt"],
+                        geo["pdf_height_pt"],
+                        geo["x_offset_pt"],
+                        geo["y_offset_pt"],
+                        title=base,
+                    )
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).digest()
                     # stub dims match extract_image_meta's stub, scaled up

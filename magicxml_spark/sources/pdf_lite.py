@@ -125,6 +125,62 @@ def write_table_pdf(
     return bytes(out)
 
 
+def write_image_pdf(
+    rgb: bytes,
+    width_px: int,
+    height_px: int,
+    page_w_pt: float,
+    page_h_pt: float,
+    draw_w_pt: float,
+    draw_h_pt: float,
+    x_off_pt: float,
+    y_off_pt: float,
+    title: str = "Image",
+) -> bytes:
+    """One-page PDF embedding raw RGB pixels as a FlateDecode
+    /DeviceRGB image XObject, drawn at the geometry computed by
+    binary_docs.fit_image_to_pdf_page (K10, reference main.py:
+    1173-1241) — a real viewer-openable image PDF with no Pillow or
+    reportlab."""
+    pix = zlib.compress(rgb, 6)
+    content = (
+        f"q {draw_w_pt:.2f} 0 0 {draw_h_pt:.2f} {x_off_pt:.2f} {y_off_pt:.2f} cm "
+        "/Im0 Do Q"
+    ).encode()
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w_pt:.2f} {page_h_pt:.2f}] "
+            "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>"
+        ).encode(),
+        4: f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream",
+        5: (
+            f"<< /Type /XObject /Subtype /Image /Width {width_px} /Height {height_px} "
+            "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/Length {len(pix)} >>\nstream\n"
+        ).encode()
+        + pix
+        + b"\nendstream",
+        6: f"<< /Producer ({PRODUCER}) /Title ({_esc(title)}) >>".encode(),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R /Info 6 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 # --- extraction ----------------------------------------------------------------
 
 _STREAM_RE = re.compile(
