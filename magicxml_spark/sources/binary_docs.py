@@ -165,11 +165,24 @@ def png_to_jpg(binary_df: DataFrame, deterministic_stub: bool = False) -> DataFr
                         buf = io.BytesIO()
                         im.convert("RGB").save(buf, "JPEG", quality=95)
                         rows.append((path, buf.getvalue()))
+                    continue
+                # no PIL: png_lite decode + jpeg_lite baseline encode —
+                # the reference's undefined process_png_to_jpg, real
+                from magicxml_spark.sources import jpeg_lite, png_lite
+
+                dec = png_lite.decode_png(bytes(content))
+                if dec is not None:
+                    w0, h0, mode, px = dec
+                    rgb = png_lite.flatten_to_rgb(w0, h0, mode, px)
+                    rows.append(
+                        (path, jpeg_lite.encode_jpeg(w0, h0, "RGB", rgb, quality=95))
+                    )
                 elif deterministic_stub:
                     rows.append((path, hashlib.md5(bytes(content)).digest()))
                 else:
                     raise NotImplementedError(
-                        "PIL not installed; pass deterministic_stub=True"
+                        "PIL not installed and not an 8-bit PNG; "
+                        "pass deterministic_stub=True"
                     )
             yield pd.DataFrame(rows, columns=["path", "jpg_content"])
 

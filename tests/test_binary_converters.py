@@ -303,3 +303,60 @@ def test_image_to_pdf_real_png_path(spark, tmp_path):
     s = pdf.index(b"stream\n", start) + len(b"stream\n")
     e = pdf.index(b"\nendstream", s)
     assert zlib.decompress(pdf[s:e]) == px
+
+
+def test_png_to_jpg_real_path(spark, tmp_path):
+    """process_png_to_jpg — the operator the reference calls but never
+    defines (main.py:2078) — runs for REAL with no Pillow: png_lite
+    decode, alpha-on-white flatten, jpeg_lite baseline encode. The
+    output is a valid JFIF stream and the in-repo decoder round-trips
+    it above 35 dB PSNR."""
+    import numpy as np
+
+    from magicxml_spark.sources import jpeg_lite, png_lite
+    from magicxml_spark.sources.binary_docs import png_to_jpg, read_binary
+
+    w, h = 24, 16
+    px = bytes(
+        ((x * 255) // w, (y * 255) // h, ((x + y) * 255) // (w + h))[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    (tmp_path / "grad.png").write_bytes(png_lite.encode_png(w, h, "RGB", px))
+    out = png_to_jpg(read_binary(spark, str(tmp_path))).collect()[0]
+    jpg = bytes(out["jpg_content"])
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9" and b"JFIF" in jpg
+    w2, h2, mode, back = jpeg_lite.decode_jpeg(jpg)
+    assert (w2, h2, mode) == (w, h, "RGB")
+    a = np.frombuffer(px, dtype=np.uint8).astype(float)
+    b = np.frombuffer(back, dtype=np.uint8).astype(float)
+    mse = ((a - b) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 35.0
+
+
+def test_jpeg_lite_quality_ladder_and_gray():
+    """Lower quality -> fewer bytes; grayscale single-component scan
+    decodes; odd (non-multiple-of-8) dims pad and crop correctly."""
+    import numpy as np
+
+    from magicxml_spark.sources import jpeg_lite
+
+    w, h = 37, 23
+    px = bytes(
+        ((x * 255) // w, (y * 255) // h, ((x + y) * 255) // (w + h))[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    sizes = []
+    for q in (95, 75, 50):
+        data = jpeg_lite.encode_jpeg(w, h, "RGB", px, quality=q)
+        sizes.append(len(data))
+        w2, h2, mode, out = jpeg_lite.decode_jpeg(data)
+        assert (w2, h2, mode) == (w, h, "RGB")
+        a = np.frombuffer(px, dtype=np.uint8).astype(float)
+        b = np.frombuffer(out, dtype=np.uint8).astype(float)
+        assert 10 * np.log10(255**2 / ((a - b) ** 2).mean()) > 30.0
+    assert sizes[0] > sizes[2]  # quality knob is observable
+
+    gpx = bytes((x * 7 + y * 3) % 256 for y in range(16) for x in range(16))
+    data = jpeg_lite.encode_jpeg(16, 16, "L", gpx, quality=90)
+    w2, h2, mode, out = jpeg_lite.decode_jpeg(data)
+    assert (w2, h2, mode) == (16, 16, "L")
