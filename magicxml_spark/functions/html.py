@@ -68,7 +68,13 @@ class _P17Parser(HTMLParser):
             self.parts.append(("tag", "<br/>", self._p_depth > 0))
 
     def handle_startendtag(self, tag, attrs):
-        self.handle_starttag(tag, attrs)
+        # self-closing <p/> must NOT leave _p_depth incremented — that
+        # would emit an unclosed <p> and mark every later top-level
+        # text run as inside-p (review finding, probe-verified)
+        if tag == "p":
+            self.parts.append(("tag", f"<p{self._attrs(attrs)}></p>", True))
+        elif tag == "br":
+            self.parts.append(("tag", "<br/>", self._p_depth > 0))
 
     def handle_endtag(self, tag):
         if tag == "p" and self._p_depth > 0:

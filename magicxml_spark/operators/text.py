@@ -196,7 +196,9 @@ def luhn_valid(digits: Column | str) -> Column:
         ).otherwise(d),
     )
     total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-    return (F.length(s) >= 13) & (total % 10 == 0)
+    # minimum length counts extracted DIGITS, not characters — 13 chars
+    # wrapping 12 digits must not validate (review finding)
+    return (F.size(rev) >= 13) & (total % 10 == 0)
 
 
 def card_counts(text: Column | str) -> dict[str, Column]:
@@ -241,24 +243,26 @@ def unigram_surprisal(
     Plan at scale: explode -> one agg shuffle for vocab counts (vocab
     is dimension-sized -> broadcast back) -> one agg shuffle on the
     doc id. No UDF anywhere."""
+    from pyspark.sql import Window
+
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     )
-    totals = tok.agg(
-        F.count(F.lit(1)).alias("_n_total")
+    # corpus total rides ON the vocab frame via a global window (vocab
+    # is dimension-sized, so the single-partition window is trivial) —
+    # one tokenize for the vocab, one for the scoring join, instead of
+    # a third full scan+explode for a separate totals aggregate
+    # (review finding)
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_n_total", F.sum("_c").over(Window.partitionBy()))
     )
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
-    micro = (
-        tok.join(F.broadcast(vocab), "term")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "_id",
-            F.round(
-                F.log(F.col("_n_total").cast("double") / F.col("_c")) * 1e6, 0
-            )
-            .cast("bigint")
-            .alias("_micro"),
-        )
+    micro = tok.join(F.broadcast(vocab), "term").select(
+        "_id",
+        F.round(F.log(F.col("_n_total").cast("double") / F.col("_c")) * 1e6, 0)
+        .cast("bigint")
+        .alias("_micro"),
     )
     return micro.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

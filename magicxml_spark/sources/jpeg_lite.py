@@ -163,42 +163,47 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_blocks(
-    writer: _BitWriter, blocks: np.ndarray, q: np.ndarray,
-    dc_codes: dict, ac_codes: dict, dc_pred: int,
-) -> int:
-    """blocks: (n, 8, 8) float; returns the new DC predictor."""
+def _quantized_rows(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) float blocks -> (n, 64) zigzagged quantized coefs —
+    ONE vectorized einsum/round/index over all blocks of a component
+    (per-MCU single-block calls would pay numpy dispatch n times)."""
     coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
     quant = np.round(coefs / q).astype(np.int64)
-    flat = quant.reshape(len(quant), 64)[:, _ZIGZAG]
-    for zz in flat:
-        diff = int(zz[0]) - dc_pred
-        dc_pred = int(zz[0])
-        s = _size_cat(diff)
-        code, length = dc_codes[s]
+    return quant.reshape(len(quant), 64)[:, _ZIGZAG]
+
+
+def _entropy_block(
+    writer: _BitWriter, zz: np.ndarray,
+    dc_codes: dict, ac_codes: dict, dc_pred: int,
+) -> int:
+    """Huffman-encode one zigzagged row; returns the new DC predictor."""
+    diff = int(zz[0]) - dc_pred
+    dc_pred = int(zz[0])
+    s = _size_cat(diff)
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(_amplitude(diff, s), s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _size_cat(v)
+        code, length = ac_codes[(run << 4) | s]
         writer.write(code, length)
-        if s:
-            writer.write(_amplitude(diff, s), s)
+        writer.write(_amplitude(v, s), s)
         run = 0
-        nz = np.nonzero(zz[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = ac_codes[0xF0]  # ZRL
-                writer.write(code, length)
-                run -= 16
-            s = _size_cat(v)
-            code, length = ac_codes[(run << 4) | s]
-            writer.write(code, length)
-            writer.write(_amplitude(v, s), s)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            writer.write(code, length)
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
     return dc_pred
 
 
@@ -237,19 +242,20 @@ def encode_jpeg(w: int, h: int, mode: str, pixels: bytes, quality: int = 95) -> 
     dc_c = _canonical_codes(*_DC_CHROM)
     ac_c = _canonical_codes(*_AC_CHROM)
 
-    # interleaved MCU scan: 4:4:4 -> one 8x8 block per component per MCU
-    comp_blocks = [_component_blocks(p) for p in planes]
+    # interleaved MCU scan: 4:4:4 -> one 8x8 block per component per
+    # MCU. DCT + quantize + zigzag run vectorized over ALL blocks of a
+    # component up front; the Python loop only does entropy coding.
+    comp_rows = [
+        _quantized_rows(_component_blocks(p), q_lum if ci == 0 else q_chrom)
+        for ci, p in enumerate(planes)
+    ]
     writer = _BitWriter()
     preds = [0] * len(planes)
-    n_mcu = len(comp_blocks[0])
-    for m in range(n_mcu):
+    for m in range(len(comp_rows[0])):
         for ci in range(len(planes)):
-            q = q_lum if ci == 0 else q_chrom
             dc = dc_l if ci == 0 else dc_c
             ac = ac_l if ci == 0 else ac_c
-            preds[ci] = _encode_blocks(
-                writer, comp_blocks[ci][m : m + 1], q, dc, ac, preds[ci]
-            )
+            preds[ci] = _entropy_block(writer, comp_rows[ci][m], dc, ac, preds[ci])
     scan = writer.flush()
 
     def dqt(dest: int, q: np.ndarray) -> bytes:

@@ -62,6 +62,27 @@ def _page_stream(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1", "replace")
 
 
+def _serialize(objs: dict[int, bytes], info_id: int) -> bytes:
+    """Shared PDF body/xref/trailer emitter (both writers use it — one
+    copy of the offset math to keep byte-format-identical)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R /Info {info_id} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def write_table_pdf(
     columns: list[str],
     rows: list[list[str]],
@@ -70,8 +91,9 @@ def write_table_pdf(
 ) -> bytes:
     """Render (columns, rows) as a paginated text-table PDF; returns
     the document bytes. Cells are truncated/padded to ``col_width`` and
-    joined with ``CELL_SEP`` so the extractor (and a human) can split
-    them back apart."""
+    joined with ``CELL_SEP``; ``col_width`` is recorded in the Info
+    dictionary so the extractor splits cells POSITIONALLY — cell text
+    containing the separator sequence itself round-trips intact."""
 
     def fmt(cells: list) -> str:
         return CELL_SEP.join(str(c)[:col_width].ljust(col_width) for c in cells)
@@ -105,24 +127,11 @@ def write_table_pdf(
             + b"\nendstream"
         )
     info_id = max(objs) + 1
-    objs[info_id] = f"<< /Producer ({PRODUCER}) /Title ({_esc(title)}) >>".encode()
-
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
-    xref_at = len(out)
-    n = max(objs) + 1
-    out += f"xref\n0 {n}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R /Info {info_id} 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
+    objs[info_id] = (
+        f"<< /Producer ({PRODUCER}) /Title ({_esc(title)}) "
+        f"/MXSColW {int(col_width)} >>"
     ).encode()
-    return bytes(out)
+    return _serialize(objs, info_id)
 
 
 def write_image_pdf(
@@ -164,21 +173,7 @@ def write_image_pdf(
         + b"\nendstream",
         6: f"<< /Producer ({PRODUCER}) /Title ({_esc(title)}) >>".encode(),
     }
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
-    xref_at = len(out)
-    n = max(objs) + 1
-    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
-    for num in range(1, n):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R /Info 6 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+    return _serialize(objs, 6)
 
 
 # --- extraction ----------------------------------------------------------------
@@ -255,6 +250,8 @@ def extract_table_rows(data: bytes) -> list[tuple[int, int, list[str]]]:
     (the caller keeps its gated path for those)."""
     if PRODUCER.encode() not in data:
         return []
+    m = re.search(rb"/MXSColW\s+(\d+)", data)
+    colw = int(m.group(1)) if m else None
     out = []
     for pageno, lines in enumerate(extract_text_pages(data), 1):
         rowno = 0
@@ -263,6 +260,15 @@ def extract_table_rows(data: bytes) -> list[tuple[int, int, list[str]]]:
         # no CELL_SEP to sniff, so structure beats content here)
         body = lines[1:] if pageno == 1 else lines
         for line in body:
-            out.append((pageno, rowno, [c.strip() for c in line.split(CELL_SEP)]))
+            if colw:
+                # positional split on the recorded column width: cell
+                # text containing the separator sequence stays ONE cell
+                cells = [
+                    line[i : i + colw].strip()
+                    for i in range(0, len(line), colw + len(CELL_SEP))
+                ]
+            else:  # pre-MXSColW documents
+                cells = [c.strip() for c in line.split(CELL_SEP)]
+            out.append((pageno, rowno, cells))
             rowno += 1
     return out

@@ -37,7 +37,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes):
-    """-> (width, height, mode, pixels) or None when not in-subset."""
+    """-> (width, height, mode, pixels) or None when not in-subset OR
+    structurally corrupt — the None contract is what lets the Spark
+    operators fall to their stub path instead of failing the task on
+    one bad file in a binaryFile ingest."""
+    try:
+        return _decode_png_inner(data)
+    except (struct.error, IndexError, ValueError, MemoryError, OverflowError):
+        return None
+
+
+def _decode_png_inner(data: bytes):
     if not data.startswith(_SIG):
         return None
     pos, ihdr, idat, plte = len(_SIG), None, [], b""
@@ -96,6 +106,8 @@ def decode_png(data: bytes):
     if ctype_i == 3:  # palette -> RGB
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):
+            if 3 * idx + 3 > len(plte):
+                return None  # out-of-range palette index: corrupt file
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
         return w, h, "RGB", rgb
     return w, h, _MODE[ctype_i], out

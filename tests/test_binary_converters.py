@@ -360,3 +360,61 @@ def test_jpeg_lite_quality_ladder_and_gray():
     data = jpeg_lite.encode_jpeg(16, 16, "L", gpx, quality=90)
     w2, h2, mode, out = jpeg_lite.decode_jpeg(data)
     assert (w2, h2, mode) == (16, 16, "L")
+
+
+def test_png_lite_corrupt_inputs_return_none_not_raise(spark, tmp_path):
+    """Review regression: structurally corrupt PNGs (truncated IHDR,
+    bad palette index) must return None — so one bad file in a
+    binaryFile ingest falls to the stub instead of failing the task."""
+    import struct
+    import zlib
+
+    from magicxml_spark.sources import png_lite
+    from magicxml_spark.sources.binary_docs import extract_image_meta, read_binary
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    truncated_ihdr = sig + chunk(b"IHDR", b"\x00\x00")  # 2 bytes, needs 13
+    assert png_lite.decode_png(truncated_ihdr) is None
+    # palette image whose index exceeds the 1-entry PLTE
+    raw = zlib.compress(b"\x00\x05")  # filter 0, index 5
+    bad_palette = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\x10\x20\x30")
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    assert png_lite.decode_png(bad_palette) is None
+    # and through the Spark operator, stub mode absorbs it
+    (tmp_path / "bad.png").write_bytes(truncated_ihdr)
+    rows = extract_image_meta(
+        read_binary(spark, str(tmp_path)), deterministic_stub=True
+    ).collect()
+    assert rows[0]["format"] == "STUB"
+
+
+def test_pdf_table_cells_containing_separator_roundtrip():
+    """Review regression: cell text containing the ' | ' separator
+    sequence must survive the write->extract round-trip as ONE cell
+    (positional split on the recorded column width)."""
+    from magicxml_spark.sources import pdf_lite
+
+    data = pdf_lite.write_table_pdf(["a", "b"], [["x | y", "z"]])
+    rows = pdf_lite.extract_table_rows(data)
+    cells = [r[2] for r in rows]
+    assert ["a", "b"] in cells
+    assert ["x | y", "z"] in cells, cells
+
+
+def test_luhn_counts_digits_not_characters(spark):
+    """Review regression: the 13-minimum counts extracted DIGITS."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.text import luhn_valid
+
+    df = spark.createDataFrame([("000000000000x",), ("0000000000000",)], ["s"])
+    got = [r["ok"] for r in df.select(luhn_valid(F.col("s")).alias("ok")).collect()]
+    assert got == [False, True]  # 12 digits + junk char rejected; 13 zeros pass

@@ -207,3 +207,12 @@ def test_clean_description_udf_runs_without_bs4(spark):
     )
     got = [r["c"] for r in df.select(clean_description_udf()(F.col("v")).alias("c")).collect()]
     assert got == ["<p>x y</p>", ""]
+
+
+def test_clean_description_parsed_self_closing_p():
+    """Review regression: a self-closing <p/> must emit a closed pair
+    and must NOT poison the inside-p state for later top-level text."""
+    from magicxml_spark.functions.html import clean_description_parsed as cdp
+
+    assert cdp("before<p/>after") == "<p>before</p><p></p><p>after</p>"
+    assert cdp("<p/>x") == "<p></p><p>x</p>"
