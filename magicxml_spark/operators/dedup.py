@@ -88,6 +88,50 @@ def minhash_band_signature(shingles: Column, band: int) -> Column:
     )
 
 
+def minhash_band_signature_array(shingles: Column, n_bands: int = 4) -> Column:
+    """All band minima in ONE pass: array<string> of length n_bands,
+    element b == minhash_band_signature(shingles, b), null for empty
+    shingle arrays.
+
+    Why not n_bands calls to minhash_band_signature: Catalyst performs
+    no cross-expression CSE, so N parallel array_min/transform
+    expressions re-evaluate the shingle array AND re-digest every
+    shingle N times (the round-3 simhash lesson). Here each digest
+    group's md5 runs once per shingle inside a single aggregate whose
+    accumulator holds every band's running minimum; '~' (0x7E, above
+    any hex char) is the identity sentinel, mapped to null at finish."""
+    n_digests = (n_bands + 3) // 4
+
+    def _digest(group: int):
+        salt = _band_digest_salt(group * 4)
+        return lambda s: F.md5(F.concat(F.lit(salt), s) if salt else s)
+
+    if n_digests == 1:
+        hashed = F.transform(shingles, _digest(0))
+
+        def slot(z: Column, b: int) -> Column:
+            return F.substring(z, 1 + (b % 4) * 8, 8)
+    else:
+        hashed = F.arrays_zip(
+            *[F.transform(shingles, _digest(g)) for g in range(n_digests)]
+        )
+
+        def slot(z: Column, b: int) -> Column:
+            return F.substring(z[str(b // 4)], 1 + (b % 4) * 8, 8)
+
+    init = F.array(*[F.lit("~") for _ in range(n_bands)])
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, z: F.array(
+            *[F.least(F.element_at(acc, b + 1), slot(z, b)) for b in range(n_bands)]
+        ),
+        lambda acc: F.transform(
+            acc, lambda v: F.when(v == "~", F.lit(None).cast("string")).otherwise(v)
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
 ) -> DataFrame:

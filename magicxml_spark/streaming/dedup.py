@@ -35,7 +35,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magicxml_spark.operators.dedup import minhash_band_signature, word_shingles
+from magicxml_spark.operators.dedup import (
+    minhash_band_signature_array,
+    word_shingles,
+)
 from magicxml_spark.streaming.events import (
     _checkpoint_dir,
     _stream_tuning,
@@ -137,9 +140,9 @@ def minhash_pairs_stateful(
 ) -> DataFrame:
     """Streaming LSH candidate emission (applyInPandasWithState).
 
-    The signature projection is the SAME Column expression the batch
-    path uses (minhash_band_signature), so stream and batch bucket
-    identically. Grouping by (band, signature) puts each bucket's
+    The signature values are identical to the batch path's
+    (minhash_band_signature_array element b == the batch band-b
+    minimum, test-pinned), so stream and batch bucket identically. Grouping by (band, signature) puts each bucket's
     membership list in the state store; an arriving doc emits one
     (id_a, id_b) row per remembered member, then joins the membership.
     Across micro-batches this is incremental dedup: only new-vs-seen
@@ -174,22 +177,17 @@ def minhash_pairs_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # ONE md5 per shingle via the fused band array (the per-band
+    # spelling re-digests every shingle n_bands times — no CSE);
+    # posexplode unpivots (band, signature) rows, same values
     sh = word_shingles(F.col(text_col), shingle_k)
     sig_rows = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("_ts"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        minhash_band_signature(sh, b).alias("signature"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "_ts", F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
+        F.posexplode(minhash_band_signature_array(sh, n_bands)).alias(
+            "band", "signature"
+        ),
+    )
     sig_rows = sig_rows.filter(F.col("signature").isNotNull()).withWatermark(
         "_ts", watermark
     )

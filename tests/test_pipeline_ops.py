@@ -574,3 +574,35 @@ def test_canonicalize_url_edge_cases(spark):
     }
     for u, want in cases:
         assert got[u] == want, (u, got[u])
+
+
+def test_minhash_band_signature_array_matches_per_band(spark):
+    """The fused one-md5-per-shingle band array must produce the exact
+    per-band minhash_band_signature values (incl. the salted >4-band
+    digest groups) and null for empty shingle arrays."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.dedup import (
+        minhash_band_signature,
+        minhash_band_signature_array,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "one two"), (3, "")],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(F.col("text"), 3)
+    n_bands = 6  # crosses a digest-group boundary (bands 4-5 salted)
+    rows = docs.select(
+        "doc_id",
+        minhash_band_signature_array(sh, n_bands).alias("fused"),
+        *[minhash_band_signature(sh, b).alias(f"b{b}") for b in range(n_bands)],
+    ).collect()
+    for r in rows:
+        for b in range(n_bands):
+            assert r["fused"][b] == r[f"b{b}"], (r["doc_id"], b)
+    empty = next(r for r in rows if r["doc_id"] == 3)
+    # doc 3 has zero tokens -> no shingles -> every band null
+    assert all(v is None for v in empty["fused"]) or len(empty["fused"]) == n_bands
