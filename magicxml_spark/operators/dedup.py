@@ -997,3 +997,152 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+#
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting" (SIGMOD 2003) — the MOSS algorithm. Where
+# ``text.fingerprint`` digests the WHOLE normalized document (only
+# byte-identical reflows collide), winnowing selects the minimum
+# k-gram hash out of every sliding window of ``window`` consecutive
+# k-grams, guaranteeing that any shared substring of at least
+# k + window - 1 tokens contributes at least one COMMON fingerprint to
+# both documents — local, position-robust overlap detection (partial
+# plagiarism, quoted passages, template reuse), which whole-doc hashing
+# and set-Jaccard both miss.
+
+
+def _positional_kgrams(text: Column | str, k: int = 3) -> Column:
+    """Ordered k-token grams (duplicates KEPT, positions preserved) —
+    winnowing needs the gram *sequence*, unlike ``word_shingles``'s
+    distinct set. Same zip_with-over-shifted-views spelling (no
+    per-gram slice allocation); documents shorter than k tokens yield
+    one gram of all their tokens, empty documents none."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = _words(c)
+    n = F.size(w)
+    sh = w
+    for i in range(1, k):
+        shifted = F.slice(w, i + 1, F.greatest(n - i, F.lit(1)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.filter(sh, lambda x: x.isNotNull())
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", w)))
+        .otherwise(sh)
+    )
+
+
+def winnow_fingerprint_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps) — per-document sorted distinct winnowing fingerprints
+    (8-hex md5 slices, the engine-portable hash family used by the
+    minhash bands).
+
+    Selection rule: the minimum hash of each window; with fewer than
+    ``window`` grams the single fingerprint is the global minimum (the
+    paper's degenerate case). Lexicographic min over fixed-width hex is
+    a uniform order, so the density guarantee (expected 2/(window+1)
+    of grams selected) holds.
+
+    Plan shape: TWO stacked projections, zero shuffles. The gram
+    hashes are materialized as a concrete attribute in the first
+    projection, because the sliding-min spelling references the hash
+    array ``window`` times — Catalyst performs no cross-expression CSE
+    (the round-3 simhash lesson), so referencing an expression that
+    many times would re-digest every gram ``window`` times; referencing
+    an attribute is free. The sliding min itself is zip_with over
+    shifted views with explicit null propagation (``least`` skips
+    nulls, which would silently admit partial trailing windows).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _positional_kgrams(F.col(text_col), k),
+            lambda g: F.substring(F.md5(g), 1, 8),
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+    m = F.size(hs)
+    mins = hs
+    for i in range(1, window):
+        shifted = F.slice(hs, i + 1, F.greatest(m - i, F.lit(1)))
+        mins = F.zip_with(
+            mins,
+            shifted,
+            lambda a, b: F.when(b.isNull(), F.lit(None).cast("string")).otherwise(
+                F.least(a, b)
+            ),
+        )
+    full_windows = F.filter(mins, lambda x: x.isNotNull())
+    selected = (
+        F.when(m == 0, F.array().cast("array<string>"))
+        .when(m < window, F.array(F.array_min(hs)))
+        .otherwise(full_windows)
+    )
+    return hashed.select("id", F.array_sort(F.array_distinct(selected)).alias("fps"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
+    with containment = shared / min(|fps_a|, |fps_b|) — the
+    local-overlap near-dup detector (catches a page quoting one
+    paragraph of another, which document-level Jaccard dilutes away).
+
+    Plan: explode the fingerprint sets to long form (fp, id), one
+    shuffle to bucket by fp, self-join inside buckets, then a pair-key
+    aggregation. At corpus scale a stop-fingerprint (ubiquitous
+    boilerplate gram) would make one bucket quadratic, so
+    ``max_bucket_size`` applies the shared mega-bucket star-emission
+    guard; capped mode returns DISTINCT candidate pairs through the
+    bucket representative (no counts — the cap changes multiplicity by
+    design), matching ``lsh_candidate_pairs`` semantics.
+    """
+    sets_ = winnow_fingerprint_sets(df, id_col, text_col, k, window).filter(
+        F.size("fps") > 0
+    )
+    long = sets_.select("id", F.size("fps").alias("_n_fps"), F.explode("fps").alias("fp"))
+    if max_bucket_size is not None:
+        return _capped_bucket_pairs(long, ["fp"], max_bucket_size).distinct()
+    a = long.alias("wa")
+    b = long.alias("wb")
+    return (
+        a.join(
+            b,
+            (F.col("wa.fp") == F.col("wb.fp")) & (F.col("wa.id") < F.col("wb.id")),
+        )
+        .groupBy(
+            F.col("wa.id").alias("id_a"),
+            F.col("wb.id").alias("id_b"),
+            # per-doc set sizes ride the long rows — grouping keys, not
+            # a second join back to the set table
+            F.col("wa._n_fps").alias("_na"),
+            F.col("wb._n_fps").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+    )

@@ -72,6 +72,8 @@ _DRIVER_SAMPLE_ORDER = [
     "q_url_dedup",
     "q_stream_interval_outer",
     "q_unigram_surprisal",
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -22,6 +22,8 @@ from magicxml_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     simhash16,
+    winnow_fingerprint_sets,
+    winnow_pairs,
 )
 from magicxml_spark.operators.similarity import (
     cosine_topk_blocked,
@@ -96,6 +98,76 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", F.col("_rhs").alias("id_b"))
     out = jaccard_pairs(docs, pairs, "doc_id", "text", shingle_k=1)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- Winnowing fingerprints (rolling-hash local fingerprinting) ---------------
+# Shared CTE chain: words -> positional 3-grams -> 8-hex md5 hashes ->
+# window-4 sliding minima -> sorted distinct fingerprint set. DuckDB's
+# inclusive 1-based list slicing w[i:i+k-1] yields the k-element gram;
+# list_aggregate(_, 'min') is the lexicographic window min, matching
+# Spark's array_min over the same hex strings.
+_WINNOW_FPS_SQL = f"""
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))
+                 END AS grams
+          FROM w),
+    h AS (SELECT doc_id,
+                 list_transform(grams, s -> substr(md5(s), 1, 8)) AS hs
+          FROM g),
+    win AS (SELECT doc_id,
+                   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+                        ELSE list_transform(range(1, len(hs) - 2),
+                                            i -> list_aggregate(hs[i:i+3], 'min'))
+                   END AS wins
+            FROM h),
+    f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM win)
+"""
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_FPS_SQL}
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+           fps[1] AS min_fp,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM f
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets_ = winnow_fingerprint_sets(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sets_.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").alias("n_fps"),
+        F.get(F.col("fps"), 0).alias("min_fp"),
+        F.md5(F.concat_ws(",", "fps")).alias("fp_digest"),
+    )
+
+
+@query(
+    "q_winnow_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_SQL},
+    long AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                 count(*) AS n_shared
+          FROM long a JOIN long b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING count(*) >= 2)
+    SELECT id_a, id_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(na, nb), 6) AS containment
+    FROM p
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=2
+    )
 
 
 # --- SimHash sketch -----------------------------------------------------------

@@ -723,3 +723,120 @@ def test_simhash_wide_mega_bucket_cap(spark):
     star = capped.filter(F.col("id_b") < 100).collect()
     assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in star)
     assert capped.join(exact, ["id_a", "id_b"], "left_anti").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow(text: str, k: int = 3, w: int = 4) -> list[str]:
+    """Independent pure-Python winnowing (SIGMOD'03 selection rule as
+    implemented: min hash per window, distinct, sorted)."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return []
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    if len(hs) < w:
+        sel = {min(hs)}
+    else:
+        sel = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return sorted(sel)
+
+
+def test_winnow_matches_reference_implementation(spark):
+    """Spark winnowing == an independent Python reimplementation on
+    varied docs (long prose, exactly-window-sized, shorter-than-k,
+    empty, repeated tokens)."""
+    from magicxml_spark.operators.dedup import winnow_fingerprint_sets
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "a b c d e f",      # 4 grams == exactly one full window
+        "one two",           # shorter than k -> single whole-doc gram
+        "",                  # empty -> no fingerprints
+        "spam spam spam spam spam spam spam spam",  # degenerate repeats
+        "Mixed CASE Tokens  with   extra    whitespace runs between them",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["id"]: list(r["fps"])
+        for r in winnow_fingerprint_sets(docs, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow(t), f"doc {i}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: documents sharing a run of at least
+    k + window - 1 = 6 tokens must share at least one fingerprint —
+    regardless of the differing text around the run."""
+    from magicxml_spark.operators.dedup import winnow_fingerprint_sets
+
+    common = "shared passage of exactly ten common tokens appears right here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document opening words {common} then a unique ending"),
+            (2, f"totally different preamble text {common} and another tail"),
+            (3, "an unrelated document about something else entirely ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprint_sets(docs, "doc_id", "text").collect()
+    }
+    assert fps[1] & fps[2], "shared 10-token passage must yield a common fingerprint"
+
+
+def test_winnow_pairs_detects_partial_overlap(spark):
+    """winnow_pairs finds the quoting pair (local overlap) and reports
+    full containment 1.0 for exact duplicates; unrelated docs pair with
+    nobody."""
+    from magicxml_spark.operators.dedup import winnow_pairs
+
+    quoted = (
+        "to be or not to be that is the question whether tis nobler "
+        "in the mind to suffer the slings and arrows of outrageous fortune"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"essay introduction paragraph {quoted} concluding remarks follow here"),
+            (2, f"a review citing the passage {quoted} with commentary afterwards"),
+            (3, "completely unrelated shopping list milk eggs bread butter cheese"),
+            (4, "completely unrelated shopping list milk eggs bread butter cheese"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment"])
+        for r in winnow_pairs(docs, "doc_id", "text", min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)][0] >= 2
+    assert (3, 4) in got and got[(3, 4)][1] == 1.0
+    assert not any(3 in p or 4 in p for p in got if p != (3, 4))
+
+
+def test_winnow_pairs_mega_bucket_cap(spark):
+    """Capped winnow_pairs star-emits O(b) distinct pairs for a
+    boilerplate cluster and stays a subset of the exact pair set's
+    node-coverage (same docs flagged)."""
+    from magicxml_spark.operators.dedup import winnow_pairs
+
+    n, cap = 30, 5
+    rows = [(i, "identical boilerplate footer text repeated across the whole mirror set") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = winnow_pairs(docs, "doc_id", "text", min_shared=1)
+    capped = winnow_pairs(docs, "doc_id", "text", max_bucket_size=cap)
+    assert exact.count() == n * (n - 1) // 2
+    assert capped.count() == n - 1  # star on the min-id representative
+    flagged = {r["id_b"] for r in capped.collect()} | {r["id_a"] for r in capped.collect()}
+    assert flagged == set(range(n))
