@@ -531,21 +531,34 @@ def pdf_to_images(
     the Spark-side shape that scales — one task renders one PDF's
     pages, downstream operators see per-page rows.
 
-    Stub mode (codecs absent): page count = 1 + md5(content)[0] % 3 and
-    pixel dims = A4 points x dpi/72 — so the dpi parameter is honored
-    observably and multipage fan-out is exercised."""
+    pdf_lite-authored documents render for REAL without fitz: the
+    embedded 5x7-font rasterizer (sources/pdf_raster.py) draws text
+    pages and FlateDecode image XObjects at ``dpi``; foreign PDFs still
+    need fitz/pdf2image and fall through to the gate below.
+
+    Stub mode (codecs absent, foreign PDF): page count =
+    1 + md5(content)[0] % 3 and pixel dims = A4 points x dpi/72 — so
+    the dpi parameter is honored observably and multipage fan-out is
+    exercised."""
     fmt = "jpg" if output_format.lower() == "jpg" else "png"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
+
+        from magicxml_spark.sources.pdf_raster import rasterize_pdf
 
         use_real = _have("fitz") or _have("pdf2image")
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = os.path.splitext(os.path.basename(path))[0]
+                lite = None if use_real else rasterize_pdf(bytes(content), dpi)
                 if use_real:  # pragma: no cover - codecs not in image
                     pages = _render_pdf_pages(bytes(content), fmt, dpi)
+                elif lite is not None:
+                    pages = [
+                        (w, h, _encode_raster_png(img, fmt)) for w, h, img in lite
+                    ]
                 elif deterministic_stub:
                     n_pages = 1 + hashlib.md5(bytes(content)).digest()[0] % 3
                     w = round(PDF_MAX_WIDTH_PT * dpi / 72)
@@ -572,6 +585,18 @@ def pdf_to_images(
     return binary_df.select("path", "content").mapInPandas(
         batches, schema=PDF_TO_IMAGES_SCHEMA
     )
+
+
+def _encode_raster_png(png_bytes: bytes, fmt: str) -> bytes:
+    """jpg requested -> transcode the rasterized PNG page through the
+    lite codecs (decode_png -> encode_jpeg); png passes through."""
+    if fmt != "jpg":
+        return png_bytes
+    from magicxml_spark.sources.jpeg_lite import encode_jpeg
+    from magicxml_spark.sources.png_lite import decode_png, flatten_to_rgb
+
+    w, h, mode, pix = decode_png(png_bytes)
+    return encode_jpeg(w, h, "RGB", flatten_to_rgb(w, h, mode, pix), quality=95)
 
 
 def _render_pdf_pages(content: bytes, fmt: str, dpi: int):  # pragma: no cover

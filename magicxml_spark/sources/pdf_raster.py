@@ -1,0 +1,348 @@
+"""Pure-stdlib rasterizer for pdf_lite-authored PDFs.
+
+Fifth member of the lite-codec family: the reference renders PDF pages
+to images through PyMuPDF/pdf2image (main.py:1244-1381), neither of
+which exists in this environment. For the documents OUR writers emit
+(pdf_lite.write_table_pdf text reports and write_image_pdf image
+pages) the full content model is known — BT/Tm/TL/Tj/' text blocks in
+10pt Helvetica and one FlateDecode /DeviceRGB XObject under a plain
+``cm /Im0 Do`` — so page rasterization is implementable on ``zlib`` +
+``re`` + an embedded 5x7 bitmap font, producing real viewable PNGs at
+any dpi.
+
+Contract mirrors the other lite codecs: ``rasterize_pdf`` returns a
+page list ONLY for documents carrying the pdf_lite Producer marker
+(rendering a foreign PDF's embedded fonts faithfully is exactly where
+fitz takes over); anything else returns None and the caller keeps its
+gated/stub path.
+
+Glyphs: classic 5x7 dot-matrix patterns (the HD44780-style public
+repertoire) for printable ASCII; lowercase letters reuse the uppercase
+shapes (a 35-dot grid has no meaningful x-height), unknown characters
+render as a hollow box. At 10pt the glyph cell is 0.6 em wide — the
+same fixed advance the pdf_lite table layout assumes — so rendered
+columns align exactly like the extracted text does.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from magicxml_spark.sources.pdf_lite import PRODUCER, _unescape
+from magicxml_spark.sources.png_lite import encode_png
+
+# --- 5x7 bitmap font (rows top->bottom, bit 4 = leftmost column) -----------
+
+_F = {
+    " ": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00),
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1C, 0x12, 0x11, 0x11, 0x11, 0x12, 0x1C),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x11, 0x0A, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    ",": (0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    ":": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    ";": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x04, 0x08),
+    "!": (0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04),
+    "?": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x00, 0x04),
+    "'": (0x06, 0x04, 0x08, 0x00, 0x00, 0x00, 0x00),
+    '"': (0x0A, 0x0A, 0x0A, 0x00, 0x00, 0x00, 0x00),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "[": (0x0E, 0x08, 0x08, 0x08, 0x08, 0x08, 0x0E),
+    "]": (0x0E, 0x02, 0x02, 0x02, 0x02, 0x02, 0x0E),
+    "/": (0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10),
+    "\\": (0x10, 0x10, 0x08, 0x04, 0x02, 0x01, 0x01),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    "+": (0x00, 0x04, 0x04, 0x1F, 0x04, 0x04, 0x00),
+    "=": (0x00, 0x00, 0x1F, 0x00, 0x1F, 0x00, 0x00),
+    "*": (0x00, 0x0A, 0x04, 0x1F, 0x04, 0x0A, 0x00),
+    "#": (0x0A, 0x0A, 0x1F, 0x0A, 0x1F, 0x0A, 0x0A),
+    "%": (0x19, 0x19, 0x02, 0x04, 0x08, 0x13, 0x13),
+    "&": (0x0C, 0x12, 0x14, 0x08, 0x15, 0x12, 0x0D),
+    "@": (0x0E, 0x11, 0x01, 0x0D, 0x15, 0x15, 0x0E),
+    "<": (0x02, 0x04, 0x08, 0x10, 0x08, 0x04, 0x02),
+    ">": (0x08, 0x04, 0x02, 0x01, 0x02, 0x04, 0x08),
+    "|": (0x04, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "{": (0x06, 0x04, 0x04, 0x08, 0x04, 0x04, 0x06),
+    "}": (0x0C, 0x04, 0x04, 0x02, 0x04, 0x04, 0x0C),
+    "^": (0x04, 0x0A, 0x11, 0x00, 0x00, 0x00, 0x00),
+    "~": (0x00, 0x00, 0x08, 0x15, 0x02, 0x00, 0x00),
+    "$": (0x04, 0x0F, 0x14, 0x0E, 0x05, 0x1E, 0x04),
+    "`": (0x08, 0x04, 0x02, 0x00, 0x00, 0x00, 0x00),
+}
+_BOX = (0x1F, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1F)  # unknown-char glyph
+
+
+def _glyph(ch: str):
+    g = _F.get(ch)
+    if g is None:
+        g = _F.get(ch.upper(), _BOX)
+    return g
+
+
+# --- document structure ----------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+) 0 obj\s*(.*?)\s*endobj", re.DOTALL)
+_STREAM_SPLIT_RE = re.compile(rb"^(.*?)\s*stream\r?\n(.*)\r?\nendstream$", re.DOTALL)
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]"
+)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_XOBJ_RE = re.compile(rb"/XObject\s*<<\s*/(\w+)\s+(\d+)\s+0\s+R")
+
+
+def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num -> (dict/body bytes, stream bytes or None)."""
+    out: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        sm = _STREAM_SPLIT_RE.match(body)
+        if sm:
+            out[int(m.group(1))] = (sm.group(1), sm.group(2))
+        else:
+            out[int(m.group(1))] = (body, None)
+    return out
+
+
+# --- content-stream interpreter (the pdf_lite op subset) -------------------
+
+_TOK_RE = re.compile(
+    rb"(?P<tm>([\d.+-]+\s+){6})Tm"
+    rb"|(?P<tl>[\d.+-]+)\s+TL"
+    rb"|/F\d+\s+(?P<tf>[\d.+-]+)\s+Tf"
+    rb"|(?P<td>[\d.+-]+\s+[\d.+-]+)\s+Td"
+    rb"|\((?P<show>(?:\\.|[^\\()])*)\)\s*(?P<showop>Tj|')"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?P<cm>([\d.+-]+\s+){6})cm"
+    rb"|/(?P<do>\w+)\s+Do"
+)
+
+
+class _Canvas:
+    """RGB raster, white background, PDF points -> pixels at ``scale``
+    px/pt with the y axis flipped (PDF origin is bottom-left)."""
+
+    def __init__(self, w_pt: float, h_pt: float, dpi: int):
+        self.scale = dpi / 72.0
+        self.h_pt = h_pt
+        self.w = max(1, round(w_pt * self.scale))
+        self.h = max(1, round(h_pt * self.scale))
+        self.pix = bytearray(b"\xff" * (self.w * self.h * 3))
+
+    def fill_rect(self, x0: float, y0: float, x1: float, y1: float) -> None:
+        """Black rectangle given in PDF points (y up)."""
+        px0 = max(0, round(x0 * self.scale))
+        px1 = min(self.w, round(x1 * self.scale))
+        py0 = max(0, round((self.h_pt - y1) * self.scale))
+        py1 = min(self.h, round((self.h_pt - y0) * self.scale))
+        if px1 <= px0:
+            px1 = min(self.w, px0 + 1)  # sub-pixel dots stay visible
+        if py1 <= py0:
+            py1 = min(self.h, py0 + 1)
+        for py in range(py0, py1):
+            row = (py * self.w + px0) * 3
+            self.pix[row : row + (px1 - px0) * 3] = b"\x00" * ((px1 - px0) * 3)
+
+    def draw_text(self, x_pt: float, y_pt: float, size_pt: float, s: str) -> None:
+        """String at baseline (x, y); fixed 0.6 em advance, 5x7 glyphs
+        on a size/10 unit grid (cap height 0.7 em)."""
+        u = size_pt / 10.0
+        for ch in s:
+            rows = _glyph(ch)
+            if ch != " ":
+                for gy, bits in enumerate(rows):
+                    if not bits:
+                        continue
+                    top = y_pt + (7 - gy) * u
+                    gx = 0
+                    while gx < 5:
+                        if bits & (0x10 >> gx):
+                            run = gx
+                            while run < 5 and bits & (0x10 >> run):
+                                run += 1
+                            self.fill_rect(
+                                x_pt + gx * u, top - u, x_pt + run * u, top
+                            )
+                            gx = run
+                        else:
+                            gx += 1
+            x_pt += size_pt * 0.6
+
+    def draw_image(
+        self,
+        rgb: bytes,
+        iw: int,
+        ih: int,
+        x_pt: float,
+        y_pt: float,
+        w_pt: float,
+        h_pt: float,
+    ) -> None:
+        """Nearest-neighbor blit of a raw RGB buffer into the rect
+        (x, y, w, h) in PDF points — the image XObject draw. PDF image
+        space has row 0 at the TOP of the target rect."""
+        px0 = max(0, round(x_pt * self.scale))
+        py_top = max(0, round((self.h_pt - y_pt - h_pt) * self.scale))
+        tw = max(1, round(w_pt * self.scale))
+        th = max(1, round(h_pt * self.scale))
+        for ty in range(th):
+            py = py_top + ty
+            if py < 0 or py >= self.h:
+                continue
+            sy = min(ty * ih // th, ih - 1)
+            src_row = sy * iw * 3
+            dst = (py * self.w + px0) * 3
+            for tx in range(tw):
+                px = px0 + tx
+                if px >= self.w:
+                    break
+                sx = min(tx * iw // tw, iw - 1)
+                self.pix[dst + tx * 3 : dst + tx * 3 + 3] = rgb[
+                    src_row + sx * 3 : src_row + sx * 3 + 3
+                ]
+
+
+def _decode_xobject(dict_bytes: bytes, stream: bytes):
+    """(rgb, w, h) for the FlateDecode /DeviceRGB XObjects pdf_lite
+    embeds; None for any other image flavor."""
+    if b"/DeviceRGB" not in dict_bytes:
+        return None
+    wm = re.search(rb"/Width\s+(\d+)", dict_bytes)
+    hm = re.search(rb"/Height\s+(\d+)", dict_bytes)
+    if not (wm and hm):
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    body = stream
+    if b"/FlateDecode" in dict_bytes:
+        try:
+            body = zlib.decompress(stream)
+        except zlib.error:
+            return None
+    if len(body) < w * h * 3:
+        return None
+    return body, w, h
+
+
+def _render_stream(canvas: _Canvas, content: bytes, xobjects: dict) -> None:
+    size = 10.0
+    lead = 14.0
+    x = y = 0.0
+    line_x = 0.0  # text-line start (T* returns here)
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    for m in _TOK_RE.finditer(content):
+        if m.group("tm") is not None:
+            a, b, c, d, e, f = (float(v) for v in m.group("tm").split())
+            x = line_x = e
+            y = f
+        elif m.group("tl") is not None:
+            lead = float(m.group("tl"))
+        elif m.group("tf") is not None:
+            size = float(m.group("tf"))
+        elif m.group("td") is not None:
+            dx, dy = (float(v) for v in m.group("td").split())
+            line_x += dx
+            x = line_x
+            y += dy
+        elif m.group("tstar") is not None:
+            y -= lead
+            x = line_x
+        elif m.group("show") is not None:
+            if m.group("showop") == b"'":
+                y -= lead
+                x = line_x
+            s = _unescape(m.group("show"))
+            canvas.draw_text(x, y, size, s)
+            x += len(s) * size * 0.6
+        elif m.group("cm") is not None:
+            a, b, c, d, e, f = (float(v) for v in m.group("cm").split())
+            ctm = (a, b, c, d, e, f)
+        elif m.group("do") is not None:
+            img = xobjects.get(m.group("do").decode())
+            if img is not None:
+                rgb, iw, ih = img
+                a, _, _, d, e, f = ctm
+                canvas.draw_image(rgb, iw, ih, e, f, a, d)
+
+
+def rasterize_pdf(data: bytes, dpi: int = 72) -> list[tuple[int, int, bytes]] | None:
+    """Render a pdf_lite-authored document: one (width_px, height_px,
+    png_bytes) per page at ``dpi``. Returns None for foreign PDFs (no
+    pdf_lite Producer marker) or unparseable structure — the caller
+    falls back to its fitz-gated or stub path, mirroring every other
+    lite codec's bail-out contract."""
+    if not data.startswith(b"%PDF") or PRODUCER.encode() not in data:
+        return None
+    objs = _objects(data)
+    pages = []
+    for num in sorted(objs):
+        body, _ = objs[num]
+        if b"/Type /Page" in body and b"/Kids" not in body:
+            pages.append((num, body))
+    if not pages:
+        return None
+    out = []
+    for _, body in pages:
+        mb = _MEDIABOX_RE.search(body)
+        if mb:
+            w_pt = float(mb.group(3)) - float(mb.group(1))
+            h_pt = float(mb.group(4)) - float(mb.group(2))
+        else:
+            w_pt, h_pt = 595.0, 842.0
+        cm_ = _CONTENTS_RE.search(body)
+        canvas = _Canvas(w_pt, h_pt, dpi)
+        if cm_:
+            cnum = int(cm_.group(1))
+            cdict, cstream = objs.get(cnum, (b"", None))
+            if cstream is not None:
+                content = cstream
+                if b"/FlateDecode" in cdict:
+                    try:
+                        content = zlib.decompress(cstream)
+                    except zlib.error:
+                        return None
+                xobjects = {}
+                for xm in _XOBJ_RE.finditer(body):
+                    name, ref = xm.group(1).decode(), int(xm.group(2))
+                    xd, xs = objs.get(ref, (b"", None))
+                    if xs is not None:
+                        dec = _decode_xobject(xd, xs)
+                        if dec is not None:
+                            xobjects[name] = dec
+                _render_stream(canvas, content, xobjects)
+        out.append((canvas.w, canvas.h, encode_png(canvas.w, canvas.h, "RGB", bytes(canvas.pix))))
+    return out

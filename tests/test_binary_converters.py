@@ -418,3 +418,104 @@ def test_luhn_counts_digits_not_characters(spark):
     df = spark.createDataFrame([("000000000000x",), ("0000000000000",)], ["s"])
     got = [r["ok"] for r in df.select(luhn_valid(F.col("s")).alias("ok")).collect()]
     assert got == [False, True]  # 12 digits + junk char rejected; 13 zeros pass
+
+
+# ---------------------------------------------------------------------------
+# pdf_raster: real rasterization of pdf_lite-authored documents
+# ---------------------------------------------------------------------------
+
+
+def test_rasterize_text_pdf_glyphs_and_dims():
+    """The 5x7 rasterizer draws the title's glyph dots where the layout
+    puts them (line 1 at y=788pt, x from 40pt), scaled by dpi."""
+    from magicxml_spark.sources.pdf_lite import write_table_pdf
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    pdf = write_table_pdf(["name"], [["x"]], title="T")
+    pages = rasterize_pdf(pdf, dpi=72)
+    assert len(pages) == 1
+    w, h, png = pages[0]
+    assert (w, h) == (595, 842)
+    dw, dh, mode, pix = decode_png(png)
+    assert (dw, dh, mode) == (595, 842, "RGB")
+
+    def black(px, py):
+        return pix[(py * dw + px) * 3] == 0
+
+    # 'T' at baseline (40, 788): crossbar spans x 40..45 at the cap line
+    # (y = 795pt -> row 842-795 = 47), stem at x=42 down to the baseline
+    assert all(black(40 + dx, 47) for dx in range(5))
+    assert black(42, 53) and not black(40, 53)
+    # at 2x dpi every coordinate doubles
+    w2, h2, png2 = rasterize_pdf(pdf, dpi=144)[0]
+    assert (w2, h2) == (1190, 1684)
+
+
+def test_rasterize_image_pdf_blit():
+    from magicxml_spark.sources.pdf_lite import write_image_pdf
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    rgb = bytes([10, 200, 40] * (4 * 4))
+    pdf = write_image_pdf(rgb, 4, 4, 100, 100, 60, 60, 20, 20, title="i")
+    w, h, png = rasterize_pdf(pdf, dpi=72)[0]
+    dw, dh, mode, pix = decode_png(png)
+
+    def at(px, py):
+        o = (py * dw + px) * 3
+        return tuple(pix[o : o + 3])
+
+    assert at(50, 50) == (10, 200, 40)  # inside the drawn rect
+    assert at(5, 5) == (255, 255, 255)  # outside stays white
+
+
+def test_rasterize_foreign_pdf_returns_none():
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf
+
+    assert rasterize_pdf(b"%PDF-1.7 some foreign file", dpi=72) is None
+    assert rasterize_pdf(b"not a pdf at all", dpi=72) is None
+
+
+def test_pdf_to_images_renders_lite_reports_for_real(spark, tmp_path):
+    """End-to-end K10 without fitz: render_pdf_report writes a 2-page
+    pdf_lite report; pdf_to_images (NO stub flag) rasterizes both pages
+    through the distributed mapInPandas path at the requested dpi."""
+    from magicxml_spark.sources.binary_docs import render_pdf_report
+    from magicxml_spark.sources.png_lite import decode_png
+
+    df = spark.createDataFrame(
+        [(i, f"item-{i}") for i in range(60)], "id int, name string"
+    )
+    # 60 rows + title + header = 62 lines > 54/page -> 2 pages; the
+    # 50-row table cap applies first -> 52 lines... still 1 page, so
+    # cap at the caller instead: write uncapped via pdf_lite directly
+    from magicxml_spark.sources import pdf_lite
+
+    rows = [[str(i), f"item-{i}"] for i in range(60)]
+    (tmp_path / "report.pdf").write_bytes(
+        pdf_lite.write_table_pdf(["id", "name"], rows, title="Items")
+    )
+    out = pdf_to_images(read_binary(spark, str(tmp_path)), dpi=36).collect()
+    assert len(out) == 2
+    assert sorted(r["page_filename"] for r in out) == ["page_001.png", "page_002.png"]
+    for r in out:
+        assert (r["width"], r["height"]) == (round(595 * 0.5), round(842 * 0.5))
+        dw, dh, mode, pix = decode_png(bytes(r["img_content"]))
+        assert (dw, dh) == (r["width"], r["height"])
+        assert any(pix[i] == 0 for i in range(0, len(pix), 3))  # drew ink
+
+
+def test_pdf_to_images_jpg_transcode(spark, tmp_path):
+    from magicxml_spark.sources import pdf_lite
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+
+    (tmp_path / "r.pdf").write_bytes(
+        pdf_lite.write_table_pdf(["a"], [["hello"]], title="J")
+    )
+    out = pdf_to_images(
+        read_binary(spark, str(tmp_path)), output_format="jpg", dpi=36
+    ).collect()
+    assert out[0]["page_filename"] == "r.jpg"
+    w, h, mode, pix = decode_jpeg(bytes(out[0]["img_content"]))
+    assert (w, h) == (out[0]["width"], out[0]["height"])
