@@ -114,15 +114,15 @@ def extract_image_meta(
                         mode = "RGB" if im.mode in ("RGBA", "LA") else im.mode
                         rows.append((path, im.format, im.width, im.height, mode))
                     continue
-                # no PIL: png_lite decodes the 8-bit PNG subset
-                # (sources/png_lite.py) — other formats fall through
-                from magicxml_spark.sources import png_lite
+                # no PIL: the lite codecs decode PNG/BMP/GIF/JPEG
+                # (sources/image_lite.py) — other formats fall through
+                from magicxml_spark.sources import image_lite
 
-                dec = png_lite.decode_png(bytes(content))
+                dec = image_lite.decode_image(bytes(content))
                 if dec is not None:
-                    w, h, mode, _ = dec
+                    fmt_, w, h, mode, _ = dec
                     rows.append(
-                        (path, "PNG", w, h, "RGB" if mode in ("RGBA", "LA") else mode)
+                        (path, fmt_, w, h, "RGB" if mode in ("RGBA", "LA") else mode)
                     )
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).digest()
@@ -131,8 +131,8 @@ def extract_image_meta(
                     )
                 else:
                     raise NotImplementedError(
-                        "PIL not installed and not an 8-bit PNG; "
-                        "pass deterministic_stub=True"
+                        "PIL not installed and not a lite-decodable "
+                        "PNG/BMP/GIF/JPEG; pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "format", "width", "height", "mode"]
@@ -166,13 +166,13 @@ def png_to_jpg(binary_df: DataFrame, deterministic_stub: bool = False) -> DataFr
                         im.convert("RGB").save(buf, "JPEG", quality=95)
                         rows.append((path, buf.getvalue()))
                     continue
-                # no PIL: png_lite decode + jpeg_lite baseline encode —
-                # the reference's undefined process_png_to_jpg, real
-                from magicxml_spark.sources import jpeg_lite, png_lite
+                # no PIL: lite decode (PNG/BMP/GIF) + jpeg_lite baseline
+                # encode — the reference's undefined process_png_to_jpg
+                from magicxml_spark.sources import image_lite, jpeg_lite, png_lite
 
-                dec = png_lite.decode_png(bytes(content))
+                dec = image_lite.decode_image(bytes(content))
                 if dec is not None:
-                    w0, h0, mode, px = dec
+                    _, w0, h0, mode, px = dec
                     rgb = png_lite.flatten_to_rgb(w0, h0, mode, px)
                     rows.append(
                         (path, jpeg_lite.encode_jpeg(w0, h0, "RGB", rgb, quality=95))
@@ -181,8 +181,8 @@ def png_to_jpg(binary_df: DataFrame, deterministic_stub: bool = False) -> DataFr
                     rows.append((path, hashlib.md5(bytes(content)).digest()))
                 else:
                     raise NotImplementedError(
-                        "PIL not installed and not an 8-bit PNG; "
-                        "pass deterministic_stub=True"
+                        "PIL not installed and not a lite-decodable "
+                        "PNG/BMP/GIF; pass deterministic_stub=True"
                     )
             yield pd.DataFrame(rows, columns=["path", "jpg_content"])
 
@@ -308,12 +308,13 @@ def resize_images(
                         im.resize((width, height)).save(buf, im.format or "PNG")
                         rows.append((path, width, height, buf.getvalue()))
                     continue
-                # no PIL: nearest-neighbor resample on the png_lite path
-                from magicxml_spark.sources import png_lite
+                # no PIL: nearest-neighbor resample on the lite-codec
+                # path (PNG/BMP/GIF/JPEG in, PNG out)
+                from magicxml_spark.sources import image_lite, png_lite
 
-                dec = png_lite.decode_png(bytes(content))
+                dec = image_lite.decode_image(bytes(content))
                 if dec is not None:
-                    w0, h0, mode, px = dec
+                    _, w0, h0, mode, px = dec
                     resized = png_lite.resize_nearest(w0, h0, mode, px, width, height)
                     rows.append(
                         (path, width, height, png_lite.encode_png(width, height, mode, resized))
@@ -324,8 +325,8 @@ def resize_images(
                     rows.append((path, width, height, fake))
                 else:
                     raise NotImplementedError(
-                        "PIL not installed and not an 8-bit PNG; "
-                        "pass deterministic_stub=True"
+                        "PIL not installed and not a lite-decodable "
+                        "PNG/BMP/GIF/JPEG; pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "width", "height", "resized"]
@@ -442,13 +443,13 @@ def image_to_pdf(binary_df: DataFrame, deterministic_stub: bool = False) -> Data
                         )
                     )
                     continue
-                # no PIL/reportlab: png_lite decode + pdf_lite image
-                # XObject embed — a real viewer-openable image PDF
-                from magicxml_spark.sources import pdf_lite, png_lite
+                # no PIL/reportlab: lite decode (PNG/BMP/GIF/JPEG) +
+                # pdf_lite image XObject embed — a real image PDF
+                from magicxml_spark.sources import image_lite, pdf_lite, png_lite
 
-                dec = png_lite.decode_png(bytes(content))
+                dec = image_lite.decode_image(bytes(content))
                 if dec is not None:
-                    w0, h0, mode, px = dec
+                    _, w0, h0, mode, px = dec
                     geo = fit_image_to_pdf_page(w0, h0)
                     payload = pdf_lite.write_image_pdf(
                         png_lite.flatten_to_rgb(w0, h0, mode, px),

@@ -519,3 +519,202 @@ def test_pdf_to_images_jpg_transcode(spark, tmp_path):
     assert out[0]["page_filename"] == "r.jpg"
     w, h, mode, pix = decode_jpeg(bytes(out[0]["img_content"]))
     assert (w, h) == (out[0]["width"], out[0]["height"])
+
+
+# ---------------------------------------------------------------------------
+# image_lite: BMP + GIF decoders and the format dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _make_bmp(w, h, rgb, bpp=24, top_down=False):
+    """Minimal BITMAPINFOHEADER writer (the test's independent
+    encoder): bottom-up unless top_down, 4-byte padded rows."""
+    import struct
+
+    stride = ((bpp * w + 31) // 32) * 4
+    lines = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            row += bytes((b, g, r)) + (b"\x00" if bpp == 32 else b"")
+        row += b"\x00" * (stride - len(row))
+        lines.append(bytes(row))
+    if not top_down:
+        lines.reverse()
+    pix = b"".join(lines)
+    hdr = struct.pack(
+        "<iiHHIIiiII", w, -h if top_down else h, 1, bpp, 0, len(pix), 2835, 2835, 0, 0
+    )
+    info = struct.pack("<I", 40) + hdr
+    off = 14 + 40
+    return b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off) + info + pix
+
+
+def _gif_lzw_encode(min_size, data):
+    clear = 1 << min_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for p in data:
+        cur = prev + bytes([p])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = cur[-1:]
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(w, h, palette_rgb, idx, interlace=False, transparent=None):
+    import struct
+
+    ncol = len(palette_rgb) // 3
+    n_field = max(0, (max(2, ncol) - 1).bit_length() - 1)
+    table_size = 2 << n_field
+    pal = bytes(palette_rgb) + b"\x00" * (3 * (table_size - ncol))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | n_field, 0, 0)
+    out += pal
+    if transparent is not None:
+        out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0))
+    rows = list(range(h))
+    if interlace:
+        rows = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+    seq = bytearray()
+    for y in rows:
+        seq += idx[y * w : (y + 1) * w]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    min_size = max(2, n_field + 1)
+    out.append(min_size)
+    lzw = _gif_lzw_encode(min_size, bytes(seq))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_bmp_roundtrip_all_variants():
+    import hashlib
+
+    from magicxml_spark.sources.image_lite import decode_bmp
+
+    w, h = 13, 7  # odd width exercises row padding
+    rgb = bytes(hashlib.md5(bytes([i % 256])).digest()[0] for i in range(w * h * 3))
+    for kwargs in ({}, {"top_down": True}, {"bpp": 32}):
+        got = decode_bmp(_make_bmp(w, h, rgb, **kwargs))
+        assert got is not None, kwargs
+        assert got[:3] == (w, h, "RGB")
+        assert bytes(got[3]) == rgb, kwargs
+    assert decode_bmp(_make_bmp(w, h, rgb)[:40]) is None  # truncated
+    assert decode_bmp(b"BMgarbage") is None
+
+
+def test_gif_roundtrip_with_code_growth():
+    import random
+
+    from magicxml_spark.sources.image_lite import decode_gif
+
+    rng = random.Random(7)
+    w, h = 40, 30
+    palette = bytes(rng.randrange(256) for _ in range(7 * 3))
+    idx = bytes(rng.randrange(7) for _ in range(w * h))  # ~hundreds of LZW entries
+    got = decode_gif(_make_gif(w, h, palette, idx))
+    assert got is not None and got[:3] == (w, h, "RGB")
+    expect = b"".join(palette[3 * p : 3 * p + 3] for p in idx)
+    assert bytes(got[3]) == expect
+    # interlaced file decodes to the same sequential pixels
+    got_i = decode_gif(_make_gif(w, h, palette, idx, interlace=True))
+    assert bytes(got_i[3]) == expect
+
+
+def test_gif_transparency_yields_rgba():
+    from magicxml_spark.sources.image_lite import decode_gif
+
+    palette = bytes((255, 0, 0, 0, 255, 0))
+    idx = bytes((0, 1, 1, 0))
+    w, h, mode, pix = decode_gif(_make_gif(2, 2, palette, idx, transparent=1))
+    assert mode == "RGBA"
+    assert pix[0:4] == bytes((255, 0, 0, 255))  # opaque palette 0
+    assert pix[4:8] == bytes((0, 255, 0, 0))  # transparent palette 1
+
+
+def test_decode_image_dispatch():
+    from magicxml_spark.sources.image_lite import decode_image
+    from magicxml_spark.sources.jpeg_lite import encode_jpeg
+    from magicxml_spark.sources.png_lite import encode_png
+
+    rgb = bytes(range(48))  # 4x4
+    assert decode_image(encode_png(4, 4, "RGB", rgb))[0] == "PNG"
+    assert decode_image(_make_bmp(4, 4, rgb))[0] == "BMP"
+    assert decode_image(encode_jpeg(4, 4, "RGB", rgb))[0] == "JPEG"
+    assert decode_image(b"\x00\x01not an image") is None
+
+
+def test_image_ops_accept_bmp_and_gif(spark, tmp_path):
+    """S11/K10 end-to-end on non-PNG inputs with NO stub flag: metadata,
+    resize, and to-jpg all run through the lite decoders."""
+    import hashlib
+
+    from magicxml_spark.sources.binary_docs import (
+        extract_image_meta,
+        png_to_jpg,
+        resize_images,
+    )
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+    from magicxml_spark.sources.png_lite import decode_png
+
+    w, h = 10, 6
+    rgb = bytes(hashlib.md5(bytes([i % 256])).digest()[0] for i in range(w * h * 3))
+    palette = bytes(range(24))
+    idx = bytes((i % 8) for i in range(w * h))
+    (tmp_path / "a.bmp").write_bytes(_make_bmp(w, h, rgb))
+    (tmp_path / "b.gif").write_bytes(_make_gif(w, h, palette, idx))
+    meta = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in extract_image_meta(read_binary(spark, str(tmp_path))).collect()
+    }
+    assert meta["a.bmp"]["format"] == "BMP" and meta["a.bmp"]["width"] == w
+    assert meta["b.gif"]["format"] == "GIF" and meta["b.gif"]["height"] == h
+
+    resized = resize_images(
+        read_binary(spark, str(tmp_path), glob="a.bmp"), width=5, height=3
+    ).collect()
+    rw, rh, rmode, rpix = decode_png(bytes(resized[0]["resized"]))
+    assert (rw, rh, rmode) == (5, 3, "RGB")
+
+    jpg = png_to_jpg(read_binary(spark, str(tmp_path), glob="b.gif")).collect()
+    jw, jh, jmode, _ = decode_jpeg(bytes(jpg[0]["jpg_content"]))
+    assert (jw, jh) == (w, h)
