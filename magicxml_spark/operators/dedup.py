@@ -133,7 +133,12 @@ def minhash_band_signature_array(shingles: Column, n_bands: int = 4) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, band, signature) — long form, ready for the bucket join.
 
@@ -145,7 +150,35 @@ def minhash_signatures(
     shuffle carries only (id, partial-mins). A shuffle-free stack
     unpivots to long form. Bands are 8-hex slices of the digest
     (4 bands per md5; >4 bands salt additional digests).
+
+    ``hash_family``: 'md5' (default) keeps the hex-string family a
+    DuckDB oracle replicates exactly — the correctness-gate mode.
+    'xxhash64' swaps in Spark's native 64-bit hash, one call per
+    (shingle, band) with the band index as an extra hashed column —
+    signatures become bigint, buckets and min-wise semantics are
+    unchanged, and the signature stage runs ~1.45x faster / the full
+    pair emission ~1.3x (sf1 A/B in BASELINE.md — shingle construction,
+    not digesting, is the larger cost, which bounds the win). Same
+    candidate recall mechanics — any two documents agreeing on a band
+    minimum still pair — but the hash VALUES differ, so snapshots
+    written by one family cannot be probed with the other
+    (incremental_dedup pins the family in its snapshot schema).
     """
+    if hash_family == "xxhash64":
+        sh = word_shingles(F.col(text_col), shingle_k)
+        exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("_s"))
+        mins = exploded.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(b), F.col("_s"))).alias(f"_b{b}")
+                for b in range(n_bands)
+            ]
+        )
+        stack_expr = "stack({}, {}) as (band, signature)".format(
+            n_bands, ", ".join(f"{b}, _b{b}" for b in range(n_bands))
+        )
+        return mins.selectExpr("id", stack_expr)
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     sh = word_shingles(F.col(text_col), shingle_k)
     n_digests = (n_bands + 3) // 4
     digest_cols = [
@@ -259,6 +292,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band signature.
 
@@ -273,8 +307,12 @@ def lsh_candidate_pairs(
     identical cluster membership. None = exact all-pairs emission (the
     oracle-checked default); at 100 TB set a cap, because AQE splits
     the shuffle, not the pair count.
+
+    ``hash_family='xxhash64'`` is the fast non-oracle mode (see
+    minhash_signatures) — identical plan shape, ~1.3x cheaper end to
+    end at sf1 (BASELINE.md A/B), same exact-duplicate recall.
     """
-    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_k)
+    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_k, hash_family)
     if max_bucket_size is not None:
         return _capped_bucket_pairs(sig, ["band", "signature"], max_bucket_size).distinct()
     a = sig.alias("a")

@@ -840,3 +840,40 @@ def test_winnow_pairs_mega_bucket_cap(spark):
     assert capped.count() == n - 1  # star on the min-id representative
     flagged = {r["id_b"] for r in capped.collect()} | {r["id_a"] for r in capped.collect()}
     assert flagged == set(range(n))
+
+
+def test_lsh_xxhash64_family(spark):
+    """The fast hash family: same plan mechanics, bigint signatures,
+    exact duplicates always pair (any hash family agrees on identical
+    shingle sets), and on the sf-smoke corpus the candidate set stays
+    within a sane band of the md5 family's (both are 4-band minhash
+    over the same shingles — families differ only in hash values)."""
+    from magicxml_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from magicxml_spark.tables import table as t
+
+    docs = t(spark, SF_SMOKE, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", hash_family="xxhash64")
+    assert dict(sig.dtypes)["signature"] == "bigint"
+
+    dup = spark.createDataFrame(
+        [
+            (1, "the same exact document body appears twice in this corpus"),
+            (2, "the same exact document body appears twice in this corpus"),
+            (3, "a completely different text with no overlap whatsoever here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fast_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(dup, "doc_id", "text", hash_family="xxhash64").collect()
+    }
+    assert (1, 2) in fast_pairs and len(fast_pairs) == 1
+
+    n_md5 = lsh_candidate_pairs(docs, "doc_id", "text").count()
+    n_fast = lsh_candidate_pairs(docs, "doc_id", "text", hash_family="xxhash64").count()
+    assert n_fast >= 0.5 * n_md5  # both catch the duplicate clusters
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, "doc_id", "text", hash_family="sha9")
