@@ -159,3 +159,54 @@ def pack_shards(
         )
         .drop("_pid", "_cum_in", "_off")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-source sampling weights to hit a target token mixture — the
+    corpus-balancing step of a pre-training pipeline (a Pile-style
+    recipe fixes each domain's share of TOKENS, not documents; the
+    weight is the rate at which a sampler must take or repeat each
+    source's documents to land on it).
+
+    * ``actual_share``  — source tokens / corpus tokens
+    * ``target_share``  — ``target[group]`` normalized over the groups
+      present (uniform when ``target`` is None; groups missing from
+      the dict get share 0 and weight 0.0 — dropped from the mix)
+    * ``weight``        — target_share / actual_share; >1 means
+      upsample (epochs over that source), <1 downsample
+
+    Plan: one projection for per-doc token counts, one aggregation
+    shuffle on the group key, then a global window over the GROUP table
+    for corpus totals — the window is over the dimension-sized
+    aggregate (one row per source), never the corpus, so the
+    single-partition stage is trivial at any scale.
+    """
+    from magicxml_spark.operators.text import token_count
+
+    per_group = (
+        df.select(F.col(group_col).alias("grp"), token_count(text_col).alias("_t"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    everything = Window.partitionBy()
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(everything)
+    else:
+        m = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+        raw = F.coalesce(m[F.col("grp")], F.lit(0.0))
+        tgt = raw / F.sum(raw).over(everything)
+    total = F.sum("n_tokens").over(everything)
+    actual = F.col("n_tokens") / total
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / actual, 6).alias("weight"),
+    )

@@ -74,6 +74,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_unigram_surprisal",
     "q_winnow_fingerprint",
     "q_winnow_pairs",
+    "q_mixture_weights",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

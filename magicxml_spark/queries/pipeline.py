@@ -468,6 +468,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# --- Source-mixture weights (token-share corpus balancing) -------------------
+@query(
+    "q_mixture_weights",
+    oracle=f"""
+    WITH t AS (SELECT source AS grp, CAST(len({_WORDS_SQL}) AS BIGINT) AS nt
+               FROM documents),
+    g AS (SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM t GROUP BY grp)
+    SELECT grp AS source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+               AS actual_share,
+           round(1.0 / count(*) OVER (), 6) AS target_share,
+           round((1.0 / count(*) OVER ())
+                 / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6)
+               AS weight
+    FROM g
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(table(spark, sf_dir, "documents"), "source", "text")
+
+
 # --- Deterministic train/val/test split -------------------------------------
 @query(
     "q_hash_split",

@@ -606,3 +606,34 @@ def test_minhash_band_signature_array_matches_per_band(spark):
     empty = next(r for r in rows if r["doc_id"] == 3)
     # doc 3 has zero tokens -> no shingles -> every band null
     assert all(v is None for v in empty["fused"]) or len(empty["fused"]) == n_bands
+
+
+def test_mixture_weights_explicit_target(spark):
+    """Dict-target arm: shares normalize over present groups, missing
+    groups get weight 0, and weights invert the token imbalance."""
+    from magicxml_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "web"),      # 8 tokens
+            (2, "a b", "web"),                   # 2 tokens -> web 10
+            (3, "x y z w v", "books"),           # books 5
+            (4, "q r s t u", "forums"),          # forums 5
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, "source", "text", target={"web": 1.0, "books": 3.0}
+        ).collect()
+    }
+    # normalized targets: web 0.25, books 0.75, forums 0 (absent from dict)
+    assert out["web"]["target_share"] == 0.25
+    assert out["books"]["target_share"] == 0.75
+    assert out["forums"]["weight"] == 0.0
+    # actual shares over 20 tokens: web 0.5, books 0.25
+    assert out["web"]["actual_share"] == 0.5
+    assert out["web"]["weight"] == 0.5       # downsample web
+    assert out["books"]["weight"] == 3.0     # upsample books
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 10
