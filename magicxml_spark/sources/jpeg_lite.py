@@ -9,11 +9,14 @@ symbols. With numpy (baked into the image) the 8x8 DCT is two matrix
 multiplies, so encoding is vectorized per block row rather than
 per-pixel Python.
 
-Encoder subset: 8-bit RGB or grayscale, 4:4:4 (no chroma
-subsampling — always valid, simpler), baseline sequential, JFIF APP0.
-Decoder subset: exactly what the encoder emits (and any other
-baseline 4:4:4 stream) — it exists so the round-trip is testable
-in-repo without Pillow: encode -> decode -> PSNR.
+Encoder subset: 8-bit RGB or grayscale, 4:4:4 or 4:2:0 chroma
+subsampling, optional DRI/RSTn restart intervals, baseline
+sequential, JFIF APP0. Decoder subset: any baseline sequential
+stream (SOF0/SOF1) — file-defined tables, arbitrary integer
+sampling factors with nearest chroma upsampling, restart markers;
+progressive/arithmetic/CMYK/12-bit raise, falling callers back to
+their PIL-gated path. The in-repo round-trip (encode -> decode ->
+PSNR) stays testable without Pillow.
 
 ``png_to_jpg`` (reference main.py:2078 — called but never defined
 there) runs for real through this module when Pillow is absent.
@@ -148,10 +151,18 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn — the marker is raw, not stuffed."""
+        self.align()
+        self.buf += bytes((0xFF, 0xD0 + (n & 7)))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -222,10 +233,39 @@ def _dht(cls: int, dest: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(w: int, h: int, mode: str, pixels: bytes, quality: int = 95) -> bytes:
-    """Baseline JFIF encode of 'RGB' or 'L' pixels (row-major)."""
+def _box_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average, odd edges replicated first — the 4:2:0 chroma
+    reduction."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        padded[0::2, 0::2] + padded[1::2, 0::2]
+        + padded[0::2, 1::2] + padded[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    mode: str,
+    pixels: bytes,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode of 'RGB' or 'L' pixels (row-major).
+
+    ``subsampling``: '444' (every component full resolution — always
+    valid) or '420' (chroma box-averaged 2x2, Y sampling factor 2x2 —
+    the dominant flavor in the wild, ~2x smaller color output).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (what camera/scanner pipelines write so one
+    bit error cannot corrupt the rest of the scan)."""
     q_lum, q_chrom = _scaled_tables(quality)
     gray = mode == "L"
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
     if gray:
         planes = [arr.reshape(h, w) - 128.0]
@@ -242,20 +282,66 @@ def encode_jpeg(w: int, h: int, mode: str, pixels: bytes, quality: int = 95) -> 
     dc_c = _canonical_codes(*_DC_CHROM)
     ac_c = _canonical_codes(*_AC_CHROM)
 
-    # interleaved MCU scan: 4:4:4 -> one 8x8 block per component per
-    # MCU. DCT + quantize + zigzag run vectorized over ALL blocks of a
-    # component up front; the Python loop only does entropy coding.
-    comp_rows = [
-        _quantized_rows(_component_blocks(p), q_lum if ci == 0 else q_chrom)
-        for ci, p in enumerate(planes)
-    ]
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for m in range(len(comp_rows[0])):
-        for ci in range(len(planes)):
-            dc = dc_l if ci == 0 else dc_c
-            ac = ac_l if ci == 0 else ac_c
-            preds[ci] = _entropy_block(writer, comp_rows[ci][m], dc, ac, preds[ci])
+    n_rst = 0
+    mcu_in_interval = 0
+
+    def maybe_restart() -> None:
+        nonlocal n_rst, mcu_in_interval, preds
+        if restart_interval and mcu_in_interval == restart_interval:
+            writer.restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            mcu_in_interval = 0
+            preds = [0] * len(planes)
+
+    if sub420:
+        # MCU = four Y blocks (2x2) + one Cb + one Cr. Y pads to the
+        # 16-px MCU grid; chroma downsamples then pads to its own 8-px
+        # grid, which is exactly the MCU grid again.
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        y_pad = np.pad(
+            planes[0],
+            ((0, mcuy * 16 - h), (0, mcux * 16 - w)),
+            mode="edge",
+        )
+        y_rows = _quantized_rows(_component_blocks(y_pad), q_lum)
+        cb_rows = _quantized_rows(
+            _component_blocks(_box_downsample2(planes[1])), q_chrom
+        )
+        cr_rows = _quantized_rows(
+            _component_blocks(_box_downsample2(planes[2])), q_chrom
+        )
+        nbx_y = mcux * 2
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        idx = (2 * my + dy) * nbx_y + (2 * mx + dx)
+                        preds[0] = _entropy_block(
+                            writer, y_rows[idx], dc_l, ac_l, preds[0]
+                        )
+                cidx = my * mcux + mx
+                preds[1] = _entropy_block(writer, cb_rows[cidx], dc_c, ac_c, preds[1])
+                preds[2] = _entropy_block(writer, cr_rows[cidx], dc_c, ac_c, preds[2])
+                mcu_in_interval += 1
+    else:
+        # interleaved MCU scan: 4:4:4 -> one 8x8 block per component
+        # per MCU. DCT + quantize + zigzag run vectorized over ALL
+        # blocks of a component up front; the Python loop only does
+        # entropy coding.
+        comp_rows = [
+            _quantized_rows(_component_blocks(p), q_lum if ci == 0 else q_chrom)
+            for ci, p in enumerate(planes)
+        ]
+        for m in range(len(comp_rows[0])):
+            maybe_restart()
+            for ci in range(len(planes)):
+                dc = dc_l if ci == 0 else dc_c
+                ac = ac_l if ci == 0 else ac_c
+                preds[ci] = _entropy_block(writer, comp_rows[ci][m], dc, ac, preds[ci])
+            mcu_in_interval += 1
     scan = writer.flush()
 
     def dqt(dest: int, q: np.ndarray) -> bytes:
@@ -266,7 +352,9 @@ def encode_jpeg(w: int, h: int, mode: str, pixels: bytes, quality: int = 95) -> 
 
     ncomp = 1 if gray else 3
     sof_comps = b"".join(
-        bytes([cid, 0x11, 0 if cid == 1 else 1]) for cid in range(1, ncomp + 1)
+        bytes([cid, (0x22 if sub420 else 0x11) if cid == 1 else 0x11,
+               0 if cid == 1 else 1])
+        for cid in range(1, ncomp + 1)
     )
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + sof_comps
     sos_comps = b"".join(
@@ -286,11 +374,13 @@ def encode_jpeg(w: int, h: int, mode: str, pixels: bytes, quality: int = 95) -> 
     out += _dht(0, 0, _DC_LUM) + _dht(1, 0, _AC_LUM)
     if not gray:
         out += _dht(0, 1, _DC_CHROM) + _dht(1, 1, _AC_CHROM)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += sos + scan + b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-# --- decoder (test harness for the encoder's subset) ---------------------------
+# --- decoder (general baseline sequential) -------------------------------------
 
 
 class _BitReader:
@@ -316,6 +406,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self) -> None:
+        """Drop pad bits and consume the next RSTn marker (scanning
+        forward past any residue keeps one bad interval from desyncing
+        the rest — the marker's whole point)."""
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
 
 
 def _decode_table(bits, values):
@@ -345,32 +447,89 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_block(reader: _BitReader, dc_t, ac_t, pred: int, q: np.ndarray):
+    """One 8x8 block: entropy decode -> dequantize -> inverse DCT.
+    Returns (pixel block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(reader, dc_t)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _read_symbol(reader, ac_t)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _extend(reader.read_bits(size), size)
+        i += 1
+    coefs = np.zeros(64)
+    coefs[_ZIGZAG] = zz
+    return _C.T @ (coefs.reshape(8, 8) * q) @ _C, pred
+
+
 def decode_jpeg(data: bytes):
-    """Decode the encoder's own subset (baseline, 4:4:4, Annex-K
-    tables) -> (w, h, mode, pixels). Raises on anything else."""
+    """Decode a baseline sequential JPEG (SOF0/SOF1) ->
+    (w, h, mode, pixels). File-defined quantization and Huffman
+    tables, any integer sampling-factor layout (4:4:4, 4:2:0, 4:2:2,
+    ...; subsampled chroma is nearest-upsampled), DRI/RSTn restart
+    intervals, APPn/COM segments skipped. Raises ValueError on
+    progressive (SOF2), arithmetic coding, CMYK, or 12-bit precision —
+    the callers' contract is raise/None -> fall to the PIL-gated
+    path."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    w = h = ncomp = 0
-    comp_q: list[int] = []
-    comp_tables: list[tuple[int, int]] = []
-    while pos < len(data):
-        assert data[pos] == 0xFF
+    w = h = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    restart_interval = 0
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while data[pos + 1] == 0xFF:  # fill bytes before a marker
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            dest = body[0]
-            q = np.zeros(64)
-            q[_ZIGZAG] = np.frombuffer(body[1:65], dtype=np.uint8)
-            qt[dest] = q.reshape(8, 8)
-        elif marker == 0xC0:
-            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            comp_q = [body[6 + 3 * i + 2] for i in range(ncomp)]
+            off = 0
+            while off < len(body):
+                if body[off] >> 4:  # 16-bit table
+                    raise ValueError("16-bit quantization not baseline")
+                q = np.zeros(64)
+                q[_ZIGZAG] = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                qt[body[off] & 0xF] = q.reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = [
+                (
+                    body[6 + 3 * i],
+                    body[6 + 3 * i + 1] >> 4,
+                    body[6 + 3 * i + 1] & 0xF,
+                    body[6 + 3 * i + 2],
+                )
+                for i in range(ncomp)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not baseline sequential (progressive/arithmetic)")
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -380,50 +539,63 @@ def decode_jpeg(data: bytes):
                 values = list(body[off + 17 : off + 17 + nvals])
                 huff[(cls_dest >> 4, cls_dest & 0xF)] = _decode_table(bits, values)
                 off += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            comp_tables = [
-                (body[1 + 2 * i + 1] >> 4, body[1 + 2 * i + 1] & 0xF)
+            scan_tables = {
+                body[1 + 2 * i]: (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)
-            ]
+            }
+            comp_tables = [scan_tables[cid] for cid, _, _, _ in comps]
             scan_start = pos + 2 + seglen
             scan_end = data.rindex(b"\xff\xd9")
             reader = _BitReader(data[scan_start:scan_end])
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+            ncomp = len(comps)
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * vs * 8, mcux * hs * 8))
+                for _, hs, vs, _ in comps
+            ]
             preds = [0] * ncomp
-            for by in range(bh):
-                for bx in range(bw):
-                    for ci in range(ncomp):
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                        reader.sync_restart()
+                        preds = [0] * ncomp
+                    for ci, (_, hs, vs, tq) in enumerate(comps):
                         dc_t = huff[(0, comp_tables[ci][0])]
                         ac_t = huff[(1, comp_tables[ci][1])]
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_symbol(reader, dc_t)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        i = 1
-                        while i < 64:
-                            sym = _read_symbol(reader, ac_t)
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                i += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            i += run
-                            zz[i] = _extend(reader.read_bits(size), size)
-                            i += 1
-                        coefs = np.zeros(64)
-                        coefs[_ZIGZAG] = zz
-                        block = coefs.reshape(8, 8) * qt[comp_q[ci]]
-                        pix = _C.T @ block @ _C
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-            planes = [p[:h, :w] + 128.0 for p in planes]
+                        for dy in range(vs):
+                            for dx in range(hs):
+                                block, preds[ci] = _decode_block(
+                                    reader, dc_t, ac_t, preds[ci], qt[tq]
+                                )
+                                py = (my * vs + dy) * 8
+                                px = (mx * hs + dx) * 8
+                                planes[ci][py : py + 8, px : px + 8] = block
+                    n_mcu += 1
+            up = []
+            for ci, (_, hs, vs, _) in enumerate(comps):
+                fy, fx = vmax // vs, hmax // hs
+                if vmax % vs or hmax % hs:
+                    raise ValueError("non-integer sampling ratio")
+                p = planes[ci]
+                if fy > 1:
+                    p = np.repeat(p, fy, axis=0)
+                if fx > 1:
+                    p = np.repeat(p, fx, axis=1)
+                up.append(p[:h, :w] + 128.0)
             if ncomp == 1:
-                out = np.clip(planes[0], 0, 255).astype(np.uint8)
+                out = np.clip(up[0], 0, 255).astype(np.uint8)
                 return w, h, "L", out.tobytes()
-            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
             r = y + 1.402 * cr
             g = y - 0.344136 * cb - 0.714136 * cr
             b = y + 1.772 * cb

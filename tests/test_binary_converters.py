@@ -718,3 +718,89 @@ def test_image_ops_accept_bmp_and_gif(spark, tmp_path):
     jpg = png_to_jpg(read_binary(spark, str(tmp_path), glob="b.gif")).collect()
     jw, jh, jmode, _ = decode_jpeg(bytes(jpg[0]["jpg_content"]))
     assert (jw, jh) == (w, h)
+
+
+# ---------------------------------------------------------------------------
+# jpeg_lite: 4:2:0 subsampling, restart intervals, foreign-baseline decode
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a: bytes, b: bytes) -> float:
+    import numpy as np
+
+    x = np.frombuffer(a, dtype=np.uint8).astype(float)
+    y = np.frombuffer(b, dtype=np.uint8).astype(float)
+    mse = ((x - y) ** 2).mean()
+    return 99.0 if mse == 0 else float(10 * np.log10(255**2 / mse))
+
+
+def _gradient_rgb(w: int, h: int) -> bytes:
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = (xx * 255 // (w - 1)).astype(np.uint8)
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    b = ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1).tobytes()
+
+
+def test_jpeg_420_and_restart_roundtrip():
+    """4:2:0 halves chroma resolution (lower but acceptable PSNR on a
+    smooth image); restart intervals change the byte stream (DRI + RSTn
+    markers present), not the decoded pixels."""
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+
+    w, h = 37, 23  # odd dims: MCU padding on both axes
+    rgb = _gradient_rgb(w, h)
+    plain = encode_jpeg(w, h, "RGB", rgb, quality=90)
+    sub = encode_jpeg(w, h, "RGB", rgb, quality=90, subsampling="420")
+    rst = encode_jpeg(w, h, "RGB", rgb, quality=90, restart_interval=2)
+    both = encode_jpeg(
+        w, h, "RGB", rgb, quality=90, subsampling="420", restart_interval=3
+    )
+    for enc, floor in ((plain, 44), (sub, 35), (rst, 44), (both, 35)):
+        dw, dh, mode, pix = decode_jpeg(enc)
+        assert (dw, dh, mode) == (w, h, "RGB")
+        assert _psnr(rgb, pix) > floor
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    # restart markers are transparent: identical pixels either way
+    assert decode_jpeg(plain)[3] == decode_jpeg(rst)[3]
+    # 420 sets the Y sampling factor to 2x2 in SOF0
+    sof_at = sub.index(b"\xff\xc0")
+    assert sub[sof_at + 11] == 0x22  # first component's h<<4|v
+
+    import pytest
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(w, h, "RGB", rgb, subsampling="422")
+
+
+def test_jpeg_decode_rejects_progressive():
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(8, 8, "L", bytes(64)))
+    enc[enc.index(b"\xff\xc0") + 1] = 0xC2  # flip SOF0 -> SOF2
+    import pytest
+
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_decode_skips_appn_and_fill_bytes():
+    """Foreign files carry APPn/COM segments and fill bytes between
+    markers — the parser must step over them."""
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+
+    enc = encode_jpeg(9, 5, "L", bytes(range(45)))
+    # splice an APP13 + COM + fill byte right after SOI
+    import struct
+
+    extra = (
+        b"\xff\xed" + struct.pack(">H", 12) + b"Photoshop\x00"
+        + b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+        + b"\xff"  # fill byte before the next marker
+    )
+    spliced = enc[:2] + extra + enc[2:]
+    dw, dh, mode, pix = decode_jpeg(spliced)
+    assert (dw, dh, mode) == (9, 5, "L")
+    assert _psnr(bytes(range(45)), pix) > 40
