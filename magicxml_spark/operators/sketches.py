@@ -1,0 +1,208 @@
+"""Deterministic cardinality / frequency sketches (HLL, Count-Min).
+
+At 100 TB you do not count distincts or term frequencies exactly on a
+whim — you sketch them. Spark's built-ins (approx_count_distinct's
+HLL++, count_min_sketch) are implementation-opaque, which is fine in
+production but unverifiable on this repo's cross-engine correctness
+gate. These operators implement the same two classic sketches
+(Flajolet et al. 2007 HyperLogLog; Cormode & Muthukrishnan 2005
+Count-Min) from their published definitions on the md5 hash family —
+every intermediate is integer-exact or a single deterministic double
+expression, so a DuckDB oracle reproduces the ESTIMATES bit-for-bit,
+and the queries can put estimate-vs-exact error on the gate itself.
+
+Scale shape: both sketches are one explode + one aggregation shuffle
+whose output is sketch-sized (m registers / d*w cells), not
+data-sized — the whole point. The exact counts computed alongside in
+the gate queries are for error measurement at test scale; production
+callers use the sketch alone.
+
+Numeric determinism notes:
+* register sums use 2^(RHO_MAX - r) in BIGINT — float summation order
+  never enters;
+* the bias constant and the combined numerator are inlined as ONE
+  Python-computed double literal, so JVM and DuckDB evaluate the same
+  single division;
+* ln() appears only in the linear-counting branch on identical inputs
+  (1-ulp libm differences are erased by round(. , 3); the proven
+  surprisal pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- HyperLogLog (p=10: m=1024 registers, 32-bit md5-slice hash) -----------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024
+_HLL_Q = 32 - HLL_P  # tail bits
+HLL_RHO_MAX = _HLL_Q + 1  # rho when the tail is all zeros
+#: alpha_m * m^2 * 2^RHO_MAX as ONE double literal (see module notes)
+HLL_NUMERATOR = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << HLL_RHO_MAX)
+#: linear-counting threshold 2.5 * m
+HLL_LC_THRESHOLD = 2.5 * HLL_M
+
+
+def _hash32(value: Column) -> Column:
+    """First 32 bits of md5 as a bigint — the engine-portable uniform
+    hash (DuckDB: ('0x' || substr(md5(v), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("bigint")
+
+
+def hll_register(value: Column) -> tuple[Column, Column]:
+    """(register index, rho) for one value: idx = top p hash bits,
+    rho = leading-zero count of the q-bit tail + 1. bit_length comes
+    from length(conv(tail, 10, 2)) — integer-exact, no log2 floats."""
+    h = _hash32(value)
+    idx = F.shiftright(h, _HLL_Q)
+    tail = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
+    rho = F.when(tail == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_Q) - F.length(F.conv(tail.cast("string"), 10, 2)) + 1
+    )
+    return idx, rho
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: (group, n_registers,
+    hll_estimate, method). Two aggregation shuffles, both on
+    sketch-bounded keys: (group, register) max-rho, then per-group
+    register folding. No correction above the 32-bit range (fine below
+    ~100M distinct per group; raise the hash width before the corpus
+    gets there).
+    """
+    idx, rho = hll_register(F.col(value_col))
+    regs = (
+        df.select(F.col(group_col).alias("grp"), idx.alias("_i"), rho.alias("_r"))
+        .groupBy("grp", "_i")
+        .agg(F.max("_r").alias("r"))
+    )
+    folded = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        # pyspark's shiftleft() binds numBits as a literal int only;
+        # the SQL twin takes an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - r)")).alias(
+            "_s_obs"
+        ),
+    )
+    s = F.col("_s_obs") + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << HLL_RHO_MAX)
+    raw = F.lit(HLL_NUMERATOR) / s
+    zeros = F.lit(HLL_M) - F.col("n_obs")
+    use_lc = (raw <= F.lit(HLL_LC_THRESHOLD)) & (zeros > 0)
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
+    return folded.select(
+        F.col("grp").alias(group_col),
+        F.col("n_obs").alias("n_registers"),
+        F.round(F.when(use_lc, lc).otherwise(raw), 3).alias("hll_estimate"),
+        F.when(use_lc, F.lit("linear_counting")).otherwise(F.lit("hll")).alias("method"),
+    )
+
+
+def hll_oracle_sql(table_expr: str, group_col: str, value_expr: str) -> str:
+    """The DuckDB twin of hll_distinct — generated next to the
+    constants so Spark and SQL can never drift apart on p / alpha /
+    thresholds."""
+    q = _HLL_Q
+    return f"""
+    WITH v AS (SELECT {group_col} AS grp, {value_expr} AS val FROM {table_expr}),
+    hr AS (SELECT grp,
+                  ('0x' || substr(md5(val), 1, 8))::BIGINT >> {q} AS i,
+                  ('0x' || substr(md5(val), 1, 8))::BIGINT & {(1 << q) - 1} AS tail
+           FROM v),
+    regs AS (SELECT grp, i,
+                    max(CASE WHEN tail = 0 THEN {HLL_RHO_MAX}
+                             ELSE {q} - length(bin(tail)) + 1 END) AS r
+             FROM hr GROUP BY grp, i),
+    folded AS (SELECT grp, count(*) AS n_obs,
+                      CAST(sum(1::BIGINT << ({HLL_RHO_MAX} - r)) AS BIGINT) AS s_obs
+               FROM regs GROUP BY grp),
+    est AS (SELECT grp, n_obs,
+                   {HLL_NUMERATOR!r} /
+                     (s_obs + ({HLL_M} - n_obs) * {1 << HLL_RHO_MAX}) AS raw,
+                   {HLL_M} - n_obs AS zeros
+            FROM folded)
+    SELECT grp AS {group_col}, CAST(n_obs AS BIGINT) AS n_registers,
+           round(CASE WHEN raw <= {HLL_LC_THRESHOLD!r} AND zeros > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                      ELSE raw END, 3) AS hll_estimate,
+           CASE WHEN raw <= {HLL_LC_THRESHOLD!r} AND zeros > 0
+                THEN 'linear_counting' ELSE 'hll' END AS method
+    FROM est
+    """
+
+
+# --- Count-Min (d=4 rows, w=256 cells; conservative point queries) ---------
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _cm_cell(j: int, value: Column, width: int = CM_WIDTH) -> Column:
+    """Row-j cell index: 32-bit md5 slice of 'j|value' mod width."""
+    return _hash32(F.concat(F.lit(f"{j}|"), value)) % width
+
+
+def countmin_sketch(
+    df: DataFrame, value_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """(row j, cell, cell_count) — the full d x w sketch in long form.
+    One explode to d rows per value, one aggregation shuffle onto at
+    most d*w grouped keys (map-side combine collapses the stream to
+    sketch size before the exchange)."""
+    v = F.col(value_col)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cm_cell(j, v, width).alias("cell"))
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(rows.alias("_r"))
+        .select(F.col("_r.j").alias("j"), F.col("_r.cell").alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: the classic
+    min over rows of the value's cell counts (never underestimates).
+    Candidates explode to d (j, cell) probes, equi-join the sketch
+    (broadcast — the sketch is d*w rows by construction), then a min
+    per value."""
+    v = F.col(value_col)
+    probes = candidates.select(
+        v.alias("val"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cm_cell(j, v, width).alias("cell"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("val", F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("val")
+        .agg(F.min("cell_count").alias("cm_estimate"))
+        .select(F.col("val").alias(value_col), "cm_estimate")
+    )
+
+
+def cm_cell_sql(j: int, value_expr: str, width: int = CM_WIDTH) -> str:
+    """DuckDB twin of _cm_cell."""
+    return (
+        f"('0x' || substr(md5('{j}|' || {value_expr}), 1, 8))::BIGINT % {width}"
+    )

@@ -75,6 +75,8 @@ _DRIVER_SAMPLE_ORDER = [
     "q_winnow_fingerprint",
     "q_winnow_pairs",
     "q_mixture_weights",
+    "q_hll_distinct",
+    "q_cm_heavy_hitters",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -170,6 +170,85 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cardinality / frequency sketches (HLL, Count-Min) ------------------------
+# The shingle-list SQL mirrors word_shingles' conventions: distinct
+# set, whole-doc gram for sub-k documents, none for empty ones (HLL is
+# set-semantics so per-doc distinctness is immaterial, but matching
+# conventions keeps the value domain identical).
+_SHINGLES_SQL = f"""
+    (SELECT lang, unnest(list_distinct(
+         list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                        i -> array_to_string(w[i:i+2], ' ')))) AS sh
+     FROM (SELECT lang, {_WORDS_SQL} AS w FROM documents)
+     WHERE len(w) > 0)
+"""
+
+
+def _hll_oracle() -> str:
+    from magicxml_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql(_SHINGLES_SQL, "lang", "sh")
+
+
+@query("q_hll_distinct", oracle=_hll_oracle())
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-shingle cardinality via the deterministic
+    md5 HyperLogLog (operators/sketches.py) — the estimate itself is on
+    the correctness gate, bit-for-bit."""
+    from magicxml_spark.operators.dedup import word_shingles
+    from magicxml_spark.operators.sketches import hll_distinct
+
+    docs = table(spark, sf_dir, "documents")
+    long = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return hll_distinct(long, "lang", "sh")
+
+
+def _cm_oracle() -> str:
+    from magicxml_spark.operators.sketches import CM_DEPTH, cm_cell_sql
+
+    cells = " ".join(f"WHEN {j} THEN {cm_cell_sql(j, 'term')}" for j in range(CM_DEPTH))
+    return f"""
+    WITH tok AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents),
+    sk AS (SELECT j.j, CASE j.j {cells} END AS cell, count(*) AS cell_count
+           FROM tok, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j
+           GROUP BY 1, 2),
+    exact AS (SELECT term, count(*) AS exact_count FROM tok GROUP BY term
+              ORDER BY exact_count DESC, term LIMIT 20),
+    probe AS (SELECT e.term, e.exact_count, j.j, CASE j.j {cells} END AS cell
+              FROM exact e, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j),
+    est AS (SELECT p.term, p.exact_count, min(sk.cell_count) AS cm_estimate
+            FROM probe p JOIN sk ON sk.j = p.j AND sk.cell = p.cell
+            GROUP BY 1, 2)
+    SELECT term, exact_count, cm_estimate,
+           cm_estimate - exact_count AS overestimate
+    FROM est
+    """
+
+
+@query("q_cm_heavy_hitters", oracle=_cm_oracle())
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the exact top-20 terms, with
+    the sketch's (always >= 0) overestimate alongside — the heavy-
+    hitter workflow at sketch cost, gate-checked cell by cell."""
+    from magicxml_spark.operators.sketches import countmin_estimate, countmin_sketch
+    from magicxml_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = countmin_sketch(tok, "term")
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "term").limit(20)
+    est = countmin_estimate(sketch, top.select("term"), "term")
+    return top.join(est, "term").select(
+        "term",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 # --- SimHash sketch -----------------------------------------------------------
 def _simhash_oracle() -> str:
     bit_terms = " + ".join(

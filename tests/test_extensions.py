@@ -877,3 +877,57 @@ def test_lsh_xxhash64_family(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         minhash_signatures(docs, "doc_id", "text", hash_family="sha9")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (HyperLogLog, Count-Min)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_and_branches(spark):
+    """p=10 HLL lands within the theoretical error band on 20k
+    distincts (hll branch), switches to linear counting when sparse,
+    and is multiset-invariant (duplicates don't move the estimate)."""
+    from magicxml_spark.operators.sketches import hll_distinct
+
+    big = spark.range(20_000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    small = spark.range(100).select(
+        F.lit("small").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    out = {
+        r["g"]: r for r in hll_distinct(big.unionByName(small), "g", "v").collect()
+    }
+    assert out["big"]["method"] == "hll"
+    assert abs(out["big"]["hll_estimate"] - 20_000) / 20_000 < 0.08
+    assert out["small"]["method"] == "linear_counting"
+    assert abs(out["small"]["hll_estimate"] - 100) / 100 < 0.05
+    # multiset invariance: union the same values three times
+    tripled = big.unionByName(big).unionByName(big)
+    trip = hll_distinct(tripled, "g", "v").collect()[0]
+    assert trip["hll_estimate"] == out["big"]["hll_estimate"]
+
+
+def test_countmin_never_underestimates(spark):
+    """The CM guarantee: min-over-rows estimates are >= the true count
+    for EVERY value, even when the width is squeezed until cells
+    collide; at generous width the estimates are exact."""
+    from magicxml_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    vals = spark.createDataFrame(
+        [(f"t{i % 37}",) for i in range(1000)], "v string"
+    )
+    exact = {r["v"]: r["c"] for r in vals.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    cands = vals.select("v").distinct()
+
+    tight = countmin_estimate(
+        countmin_sketch(vals, "v", depth=2, width=4), cands, "v", depth=2, width=4
+    ).collect()
+    assert any(r["cm_estimate"] > exact[r["v"]] for r in tight)  # collisions real
+    assert all(r["cm_estimate"] >= exact[r["v"]] for r in tight)
+
+    wide = countmin_estimate(
+        countmin_sketch(vals, "v", depth=4, width=512), cands, "v", depth=4, width=512
+    ).collect()
+    assert all(r["cm_estimate"] == exact[r["v"]] for r in wide)
