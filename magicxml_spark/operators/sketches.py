@@ -64,6 +64,33 @@ def hll_register(value: Column) -> tuple[Column, Column]:
     return idx, rho
 
 
+def hll_fold_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold observed (group..., r) max-rho register rows into the
+    estimate columns (group..., n_registers, hll_estimate, method).
+    Shared by the batch operator and the streaming twin — the
+    streaming query's bounded STATE is exactly the register table, and
+    this finish step runs on the drained sink."""
+    folded = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        # pyspark's shiftleft() binds numBits as a literal int only;
+        # the SQL twin takes an expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - r)")).alias(
+            "_s_obs"
+        ),
+    )
+    s = F.col("_s_obs") + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << HLL_RHO_MAX)
+    raw = F.lit(HLL_NUMERATOR) / s
+    zeros = F.lit(HLL_M) - F.col("n_obs")
+    use_lc = (raw <= F.lit(HLL_LC_THRESHOLD)) & (zeros > 0)
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
+    return folded.select(
+        *group_cols,
+        F.col("n_obs").alias("n_registers"),
+        F.round(F.when(use_lc, lc).otherwise(raw), 3).alias("hll_estimate"),
+        F.when(use_lc, F.lit("linear_counting")).otherwise(F.lit("hll")).alias("method"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -80,25 +107,7 @@ def hll_distinct(
         .groupBy("grp", "_i")
         .agg(F.max("_r").alias("r"))
     )
-    folded = regs.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        # pyspark's shiftleft() binds numBits as a literal int only;
-        # the SQL twin takes an expression
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - r)")).alias(
-            "_s_obs"
-        ),
-    )
-    s = F.col("_s_obs") + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << HLL_RHO_MAX)
-    raw = F.lit(HLL_NUMERATOR) / s
-    zeros = F.lit(HLL_M) - F.col("n_obs")
-    use_lc = (raw <= F.lit(HLL_LC_THRESHOLD)) & (zeros > 0)
-    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
-    return folded.select(
-        F.col("grp").alias(group_col),
-        F.col("n_obs").alias("n_registers"),
-        F.round(F.when(use_lc, lc).otherwise(raw), 3).alias("hll_estimate"),
-        F.when(use_lc, F.lit("linear_counting")).otherwise(F.lit("hll")).alias("method"),
-    )
+    return hll_fold_registers(regs, ["grp"]).withColumnRenamed("grp", group_col)
 
 
 def hll_oracle_sql(table_expr: str, group_col: str, value_expr: str) -> str:

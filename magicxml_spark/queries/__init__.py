@@ -77,6 +77,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_mixture_weights",
     "q_hll_distinct",
     "q_cm_heavy_hitters",
+    "q_stream_hll_users",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

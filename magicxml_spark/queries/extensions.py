@@ -34,6 +34,30 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+# --- Streaming HLL distinct users per window --------------------------------
+# The streaming state is the (window, register) max-rho table — bounded
+# at windows x 1024 rows regardless of user cardinality — and max()
+# merges monotonically across micro-batches, so the drained register
+# table equals the batch computation exactly and the BATCH HLL SQL is
+# an exact oracle for the streamed estimate.
+def _stream_hll_oracle() -> str:
+    from magicxml_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "(SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        " AS window_start, user_id FROM events)",
+        "window_start",
+        "CAST(user_id AS VARCHAR)",
+    )
+
+
+@query("q_stream_hll_users", oracle=_stream_hll_oracle())
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_stream_hll_to_memory
+
+    return run_stream_hll_to_memory(spark, sf_dir)
+
+
 # --- Stream-stream interval join (click -> purchase within 10 min) ----------
 # Inner stream-stream joins emit on match (the watermark bounds state,
 # not emission), and availableNow drains the source, so the batch

@@ -487,3 +487,68 @@ def run_interval_join_to_memory(
         q.awaitTermination()
         shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)
+
+
+# --- Streaming HLL: distinct users per window at bounded state --------------
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming HyperLogLog register state: max-rho per (tumbling
+    window, register index) for ``value_col``.
+
+    Exact distinct-count in a stream needs one state row per distinct
+    value — unbounded. The HLL register table IS the streaming-safe
+    formulation: state is capped at windows x 1024 rows no matter how
+    many distinct users flow through, and max() merges monotonically
+    across micro-batches, so the drained register table is IDENTICAL
+    to the batch computation on the same rows (test- and gate-pinned).
+    The estimate fold (operators/sketches.hll_fold_registers) runs on
+    the sink output — finishing in the query would need a second
+    stateful aggregation."""
+    from magicxml_spark.operators.sketches import hll_register
+
+    idx, rho = hll_register(F.col(value_col).cast("string"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), idx.alias("register"))
+        .agg(F.max(rho).alias("r"))
+    )
+
+
+def run_stream_hll_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "user_id",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive the streaming register aggregation (availableNow,
+    complete mode), then fold registers to per-window estimates
+    batch-side. Output: (window_start, n_registers, hll_estimate,
+    method)."""
+    from magicxml_spark.operators.sketches import hll_fold_registers
+
+    name = f"events_hll_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        regs = windowed_hll_registers(read_events_stream(spark, sf_dir), value_col)
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    drained = spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "r",
+    )
+    return hll_fold_registers(drained, ["window_start"])

@@ -931,3 +931,48 @@ def test_countmin_never_underestimates(spark):
         countmin_sketch(vals, "v", depth=4, width=512), cands, "v", depth=4, width=512
     ).collect()
     assert all(r["cm_estimate"] == exact[r["v"]] for r in wide)
+
+
+def test_stream_hll_equals_batch(spark):
+    """The streaming HLL register state drains to the identical
+    register table the batch computation produces — estimates equal to
+    the last bit, and the exact per-window distincts bracket them."""
+    from magicxml_spark.operators.sketches import hll_fold_registers, hll_register
+    from magicxml_spark.streaming.events import run_stream_hll_to_memory
+
+    streamed = {
+        r["window_start"]: r for r in run_stream_hll_to_memory(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    idx, rho = hll_register(F.col("user_id").cast("string"))
+    regs = (
+        ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            idx.alias("_i"),
+            rho.alias("_r"),
+        )
+        .groupBy("window_start", "_i")
+        .agg(F.max("_r").alias("r"))
+    )
+    batch = {
+        r["window_start"]: r
+        for r in hll_fold_registers(regs, ["window_start"]).collect()
+    }
+    assert streamed.keys() == batch.keys() and len(streamed) > 0
+    for k in streamed:
+        assert streamed[k]["hll_estimate"] == batch[k]["hll_estimate"], k
+        assert streamed[k]["method"] == batch[k]["method"], k
+    exact = {
+        r["window_start"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            )
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, r in streamed.items():
+        assert abs(r["hll_estimate"] - exact[k]) / max(exact[k], 1) < 0.15, (k, r)
