@@ -215,3 +215,69 @@ def cm_cell_sql(j: int, value_expr: str, width: int = CM_WIDTH) -> str:
     return (
         f"('0x' || substr(md5('{j}|' || {value_expr}), 1, 8))::BIGINT % {width}"
     )
+
+
+# --- Bloom filter (m bits, k md5 hashes; join-prefilter pattern) -----------
+
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_bit(j: int, value: Column, m: int = BLOOM_M) -> Column:
+    return _hash32(F.concat(F.lit(f"b{j}|"), value)) % m
+
+
+def bloom_bits_table(
+    df: DataFrame, value_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """Build the filter as its distinct set-bit table (single column
+    ``bit``) — at most m rows regardless of the build side's size,
+    hence always broadcastable. The classic 100 TB use: build on the
+    small/reference side, broadcast, and prefilter the fact side
+    BEFORE its shuffle — only maybe-members pay the exact join."""
+    v = F.col(value_col)
+    return (
+        df.select(
+            F.explode(F.array(*[_bloom_bit(j, v, m) for j in range(k)])).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    id_cols: list[str],
+    value_col: str,
+    bits: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Append ``bloom_maybe``: true iff ALL k of the value's bits are
+    set (the Bloom guarantee: never a false negative, bounded false
+    positives). Probes explode to k rows, inner-join the broadcast bit
+    table, and a count==k per (ids, value) recovers the AND."""
+    v = F.col(value_col)
+    probes = df.select(
+        *id_cols,
+        v.alias("_val"),
+        F.explode(F.array(*[_bloom_bit(j, v, m) for j in range(k)])).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(*id_cols, "_val")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+    )
+    return (
+        df.select(*id_cols, v.alias("_val"))
+        .join(hits, [*id_cols, "_val"], "left")
+        .select(
+            *id_cols,
+            F.col("_val").alias(value_col),
+            (F.coalesce(F.col("_nbits"), F.lit(0)) == k).alias("bloom_maybe"),
+        )
+    )
+
+
+def bloom_bit_sql(j: int, value_expr: str, m: int = BLOOM_M) -> str:
+    """DuckDB twin of _bloom_bit."""
+    return f"('0x' || substr(md5('b{j}|' || {value_expr}), 1, 8))::BIGINT % {m}"

@@ -346,6 +346,87 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, eval_set, "doc_id", "text", k=3)
 
 
+# --- Bloom-prefiltered contamination probe -----------------------------------
+# The 100 TB shape of q_contamination: build a Bloom filter over the
+# eval set's n-grams (bit table <= 65536 rows -> broadcast), probe every
+# corpus gram, and only maybe-members would pay the exact join. The
+# gate query scores the prefilter itself: per corpus doc, how many
+# grams the filter flags vs how many truly overlap (false positives
+# >= 0, false negatives impossible — both visible in the output).
+def _bloom_oracle() -> str:
+    from magicxml_spark.operators.sketches import BLOOM_K, bloom_bit_sql
+
+    bit_cases = " ".join(
+        f"WHEN {j} THEN {bloom_bit_sql(j, 'gram')}" for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+           FROM w WHERE len(w) > 0),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    bits AS (SELECT DISTINCT CASE j.j {bit_cases} END AS bit
+             FROM ev, (SELECT unnest(range(0, {BLOOM_K})) AS j) j),
+    corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+    probes AS (SELECT doc_id, gram, CASE j.j {bit_cases} END AS bit
+               FROM corp, (SELECT unnest(range(0, {BLOOM_K})) AS j) j),
+    maybe AS (SELECT doc_id, gram FROM probes JOIN bits USING (bit)
+              GROUP BY 1, 2 HAVING count(*) = {BLOOM_K}),
+    agg AS (SELECT c.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bloom_maybe,
+                   CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_exact_shared
+            FROM corp c
+            LEFT JOIN maybe m ON m.doc_id = c.doc_id AND m.gram = c.gram
+            LEFT JOIN ev e ON e.gram = c.gram
+            GROUP BY 1)
+    SELECT doc_id, n_grams, n_bloom_maybe, n_exact_shared,
+           n_bloom_maybe - n_exact_shared AS n_false_positive
+    FROM agg
+    """
+
+
+@query("q_bloom_prefilter", oracle=_bloom_oracle())
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import word_shingles
+    from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram")
+    )
+    ev = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corp = g.filter(F.col("doc_id") % 97 != 0)
+    bits = bloom_bits_table(ev, "gram")
+    probed = bloom_probe(corp, ["doc_id"], "gram", bits)
+    exact = corp.join(ev.withColumn("_hit", F.lit(1)), "gram", "left").select(
+        "doc_id", "gram", F.coalesce("_hit", F.lit(0)).alias("_hit")
+    )
+    return (
+        probed.join(exact, ["doc_id", "gram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_maybe").cast("int")).alias("n_bloom_maybe"),
+            F.sum("_hit").alias("n_exact_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_maybe",
+            "n_exact_shared",
+            (F.col("n_bloom_maybe") - F.col("n_exact_shared")).alias(
+                "n_false_positive"
+            ),
+        )
+    )
+
+
 # --- Decontamination: the enforcement half of q_contamination ----------------
 # Same eval split (doc_id % 97); corpus docs sharing >= 2 distinct
 # 3-grams with ANY eval doc are removed before shipping.

@@ -976,3 +976,26 @@ def test_stream_hll_equals_batch(spark):
     }
     for k, r in streamed.items():
         assert abs(r["hll_estimate"] - exact[k]) / max(exact[k], 1) < 0.15, (k, r)
+
+
+def test_bloom_filter_guarantees(spark):
+    """No false negatives ever; false positives appear when m is
+    squeezed and vanish at generous m; the bit table is m-bounded."""
+    from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "v string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(500)], "v string")
+    both = members.unionByName(others)
+
+    # tight filter: 64 bits for 200 members -> saturated, heavy FPs
+    tight_bits = bloom_bits_table(members, "v", k=2, m=64)
+    assert tight_bits.count() <= 64
+    tight = {r["v"]: r["bloom_maybe"] for r in bloom_probe(both, [], "v", tight_bits, k=2, m=64).collect()}
+    assert all(tight[f"m{i}"] for i in range(200))  # never a false negative
+    assert any(tight[f"x{i}"] for i in range(500))  # saturation -> FPs
+
+    # generous filter: FP rate ~ (1-e^-kn/m)^k ~ 1e-4 -> none expected here
+    wide_bits = bloom_bits_table(members, "v", k=4, m=1 << 16)
+    wide = {r["v"]: r["bloom_maybe"] for r in bloom_probe(both, [], "v", wide_bits, k=4, m=1 << 16).collect()}
+    assert all(wide[f"m{i}"] for i in range(200))
+    assert not any(wide[f"x{i}"] for i in range(500))
