@@ -56,7 +56,22 @@ def dependency_parse(
     convention points a root at itself); every later token attaches to
     the previous one; pos/dep are md5-derived picks from fixed label
     sets so values are stable across runs and engines.
+
+    Without spaCy and without the stub flag, the call falls back to
+    the RULE-BASED declarative parse (analytics/heuristic_parse.py —
+    lexicon/suffix POS tagging + deterministic head attachment, pure
+    window expressions, oracle-checked) instead of raising — the same
+    degrade-to-real-heuristic contract as P17's html.parser arm. The
+    spaCy probe runs driver-side; clusters with spaCy on executors
+    only should set an explicit env marker and call the mapInPandas
+    path directly.
     """
+    if not deterministic_stub and not _have_spacy():
+        from magicxml_spark.analytics.heuristic_parse import (
+            heuristic_dependency_parse,
+        )
+
+        return heuristic_dependency_parse(df, id_col, text_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_real = _have_spacy()

@@ -79,6 +79,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_cm_heavy_hitters",
     "q_stream_hll_users",
     "q_bloom_prefilter",
+    "q_dependency_parse",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -170,6 +170,25 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Heuristic dependency parse (A5's declarative arm) ------------------------
+def _parse_oracle() -> str:
+    from magicxml_spark.analytics.heuristic_parse import heuristic_parse_oracle_sql
+
+    return heuristic_parse_oracle_sql()
+
+
+@query("q_dependency_parse", oracle=_parse_oracle())
+def q_dependency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level (pos, dep, head) triples from the rule-based parser
+    (analytics/heuristic_parse.py) over a doc_id % 17 sample — the
+    POS cascade and attachment CASE text is shared verbatim with the
+    oracle, so the whole rule system sits on the hard gate."""
+    from magicxml_spark.analytics.heuristic_parse import heuristic_dependency_parse
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return heuristic_dependency_parse(docs, "doc_id", "text")
+
+
 # --- Cardinality / frequency sketches (HLL, Count-Min) ------------------------
 # The shingle-list SQL mirrors word_shingles' conventions: distinct
 # set, whole-doc gram for sub-k documents, none for empty ones (HLL is

@@ -149,10 +149,24 @@ def test_dependency_parse_stub(spark):
     }
 
 
-def test_dependency_parse_ungated_raises(spark):
-    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-    with pytest.raises(Exception, match="spacy not installed|NotImplemented"):
-        dependency_parse(docs).collect()
+def test_dependency_parse_falls_back_to_heuristic(spark):
+    """No spaCy + no stub flag -> the declarative rule-based parse
+    (not an exception): real POS tags and a coherent tree — the root
+    is the first verb/aux, self-headed; the subject precedes it; the
+    determiner attaches forward to its noun."""
+    docs = spark.createDataFrame(
+        [(1, "The big cat sat on the mat")], ["doc_id", "text"]
+    )
+    rows = {r["token_index"]: r for r in dependency_parse(docs).collect()}
+    assert len(rows) == 7
+    # "big" has no lexicon/suffix evidence -> NOUN default, so "The"
+    # attaches forward to it (nearest nominal)
+    assert rows[0]["pos"] == "DET" and rows[0]["dep"] == "det" and rows[0]["head_index"] == 1
+    assert rows[3]["token"] == "sat" and rows[3]["dep"] == "ROOT" and rows[3]["head_index"] == 3
+    assert rows[2]["token"] == "cat" and rows[2]["dep"] == "nsubj" and rows[2]["head_index"] == 3
+    assert rows[4]["pos"] == "ADP" and rows[4]["dep"] == "prep"
+    assert rows[5]["dep"] == "det" and rows[5]["head_index"] == 6
+    assert rows[6]["token"] == "mat" and rows[6]["dep"] == "pobj" and rows[6]["head_index"] == 4
 
 
 def test_pdf_report_roundtrip_real_path(spark, tmp_path):
