@@ -205,7 +205,14 @@ def countmin_estimate(
     return (
         probes.join(F.broadcast(sketch), ["j", "cell"])
         .groupBy("val")
-        .agg(F.min("cell_count").alias("cm_estimate"))
+        .agg(
+            F.min("cell_count").alias("cm_estimate"),
+            F.count(F.lit(1)).alias("_nj"),
+        )
+        # a value absent from the data may miss sketch cells entirely;
+        # a partial join must read as absent (dropped), not as the min
+        # of foreign cells
+        .filter(F.col("_nj") == depth)
         .select(F.col("val").alias(value_col), "cm_estimate")
     )
 
@@ -281,3 +288,120 @@ def bloom_probe(
 def bloom_bit_sql(j: int, value_expr: str, m: int = BLOOM_M) -> str:
     """DuckDB twin of _bloom_bit."""
     return f"('0x' || substr(md5('b{j}|' || {value_expr}), 1, 8))::BIGINT % {m}"
+
+
+# --- Histogram quantiles (fixed-bin approximate percentiles) ---------------
+
+HIST_BINS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate percentiles by equi-width histogram — the at-scale
+    quantile path (Spark's percentile_approx is a similar idea with an
+    opaque internal sketch; this one is deterministic and
+    oracle-checkable). Two passes: an exact (min, max, count) fold,
+    then one aggregation onto at most ``bins`` keys; the error bound
+    is one bin width, reported alongside.
+
+    Output: (quantile, approx_value, bin_width, n_rows) — approx is
+    the selected bin's midpoint, the smallest bin whose running count
+    reaches ceil-free ``q * n`` (double compare; both engines evaluate
+    the identical expression). Degenerate all-equal columns collapse
+    to bin 0 with width 0.
+    """
+    v = F.col(value_col).cast("double")
+    minmax = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"), F.count(v).alias("_n")
+    )
+    binned = (
+        df.select(v.alias("_v"))
+        .crossJoin(F.broadcast(minmax))
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("_v") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * bins
+                    ),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+            "_lo",
+            "_hi",
+            "_n",
+        )
+        .groupBy("bin", "_lo", "_hi", "_n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = binned.select(
+        "bin",
+        "_lo",
+        "_hi",
+        "_n",
+        F.expr(
+            "sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum"),
+    )
+    qs = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("quantile")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    return (
+        qs.groupBy("quantile", "_lo", "_hi", "_n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("quantile") * F.col("_n"), F.col("bin"))
+            ).alias("_bin")
+        )
+        .select(
+            "quantile",
+            F.round(F.col("_lo") + (F.col("_bin") + 0.5) * width, 4).alias(
+                "approx_value"
+            ),
+            F.round(width, 4).alias("bin_width"),
+            F.col("_n").alias("n_rows"),
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table_expr: str, value_expr: str, quantiles: list[float] = (0.5, 0.9, 0.99),
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin — identical arithmetic and parenthesization so the
+    doubles agree to the bit."""
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in quantiles)
+    return f"""
+    WITH mm AS (SELECT min(CAST({value_expr} AS DOUBLE)) AS lo,
+                       max(CAST({value_expr} AS DOUBLE)) AS hi,
+                       count({value_expr}) AS n
+                FROM {table_expr}),
+    b AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                      ELSE CAST(least({bins - 1},
+                           floor((CAST({value_expr} AS DOUBLE) - mm.lo)
+                                 / (mm.hi - mm.lo) * {bins})) AS INTEGER)
+                 END AS bin, mm.lo, mm.hi, mm.n
+          FROM {table_expr}, mm),
+    g AS (SELECT bin, lo, hi, n, count(*) AS c FROM b GROUP BY 1, 2, 3, 4),
+    cum AS (SELECT bin, lo, hi, n,
+                   sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM g),
+    q AS (SELECT cum.*, q.quantile FROM cum,
+          (SELECT unnest([{qlist}]) AS quantile) q)
+    SELECT quantile,
+           round(lo + (min(CASE WHEN cum >= quantile * n THEN bin END) + 0.5)
+                 * ((hi - lo) / {bins}), 4) AS approx_value,
+           round((hi - lo) / {bins}, 4) AS bin_width,
+           CAST(n AS BIGINT) AS n_rows
+    FROM q GROUP BY quantile, lo, hi, n
+    """

@@ -80,6 +80,8 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_hll_users",
     "q_bloom_prefilter",
     "q_dependency_parse",
+    "q_histogram_quantiles",
+    "q_stream_cm_events",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

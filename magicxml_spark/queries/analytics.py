@@ -170,6 +170,22 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Histogram quantiles (approximate percentiles, sketch path) ---------------
+def _hist_oracle() -> str:
+    from magicxml_spark.operators.sketches import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql("lineitem", "l_extendedprice")
+
+
+@query("q_histogram_quantiles", oracle=_hist_oracle())
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
 # --- Heuristic dependency parse (A5's declarative arm) ------------------------
 def _parse_oracle() -> str:
     from magicxml_spark.analytics.heuristic_parse import heuristic_parse_oracle_sql

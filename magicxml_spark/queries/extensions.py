@@ -58,6 +58,43 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_hll_to_memory(spark, sf_dir)
 
 
+# --- Streaming Count-Min per-window event-type frequencies -------------------
+# The additive dual of the HLL twin: count cells sum-merge across
+# micro-batches, state caps at windows x d x w, and the batch sketch
+# SQL over the same rows is an exact oracle. Candidates (distinct
+# event types) probe the drained sketch; the HAVING keeps a value that
+# never touched a window from reading foreign cells as its count.
+def _stream_cm_oracle() -> str:
+    from magicxml_spark.operators.sketches import CM_DEPTH, cm_cell_sql
+
+    cells = " ".join(
+        f"WHEN {j} THEN {cm_cell_sql(j, 'val')}" for j in range(CM_DEPTH)
+    )
+    return f"""
+    WITH tok AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                        AS window_start,
+                        CAST(event_type AS VARCHAR) AS val
+                 FROM events),
+    sk AS (SELECT window_start, j.j, CASE j.j {cells} END AS cell,
+                  count(*) AS cell_count
+           FROM tok, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j
+           GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS val FROM events),
+    probe AS (SELECT c.val, j.j, CASE j.j {cells} END AS cell
+              FROM cand c, (SELECT unnest(range(0, {CM_DEPTH})) AS j) j)
+    SELECT s.window_start, p.val AS event_type, min(s.cell_count) AS cm_estimate
+    FROM probe p JOIN sk s ON s.j = p.j AND s.cell = p.cell
+    GROUP BY 1, 2 HAVING count(*) = {CM_DEPTH}
+    """
+
+
+@query("q_stream_cm_events", oracle=_stream_cm_oracle())
+def q_stream_cm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.events import run_stream_cm_to_memory
+
+    return run_stream_cm_to_memory(spark, sf_dir)
+
+
 # --- Stream-stream interval join (click -> purchase within 10 min) ----------
 # Inner stream-stream joins emit on match (the watermark bounds state,
 # not emission), and availableNow drains the source, so the batch

@@ -552,3 +552,103 @@ def run_stream_hll_to_memory(
         "r",
     )
     return hll_fold_registers(drained, ["window_start"])
+
+
+# --- Streaming Count-Min: per-window frequency sketch -----------------------
+
+
+def windowed_cm_cells(
+    events: DataFrame,
+    value_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming Count-Min cell state per tumbling window: counts are
+    sum-mergeable across micro-batches (the additive dual of the HLL
+    twin's max-merge), so state caps at windows x depth x width rows
+    and the drained cells equal the batch sketch exactly."""
+    from magicxml_spark.operators.sketches import CM_DEPTH, CM_WIDTH, _cm_cell
+
+    v = F.col(value_col).cast("string")
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cm_cell(j, v, CM_WIDTH).alias("cell"))
+                for j in range(CM_DEPTH)
+            ]
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", probes.alias("_p"))
+        .groupBy(F.window("ts", window), F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def run_stream_cm_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    value_col: str = "event_type",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drain the streaming sketch, then point-query it batch-side for
+    every distinct value of ``value_col`` (dimension-bounded) —
+    output (window_start, value, cm_estimate)."""
+    import os
+
+    from magicxml_spark.operators.sketches import CM_DEPTH, CM_WIDTH, _cm_cell
+
+    name = f"events_cm_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        cells = windowed_cm_cells(read_events_stream(spark, sf_dir), value_col)
+        q = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    sketch = spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "j",
+        "cell",
+        "cell_count",
+    )
+    from magicxml_spark.tables import table as _table
+
+    cands = (
+        _table(spark, sf_dir, "events")
+        .select(F.col(value_col).cast("string").alias("_val"))
+        .distinct()
+    )
+    v = F.col("_val")
+    probes = cands.select(
+        v,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cm_cell(j, v, CM_WIDTH).alias("cell"))
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("_p"),
+    ).select("_val", F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
+    return (
+        probes.join(sketch, ["j", "cell"])
+        .groupBy("window_start", "_val")
+        .agg(
+            F.min("cell_count").alias("cm_estimate"),
+            F.count(F.lit(1)).alias("_nj"),
+        )
+        # all depth cells must exist in that window — a partial join
+        # (value absent, some cells never touched) must read as absent,
+        # not as the min of whichever cells other values populated
+        .filter(F.col("_nj") == CM_DEPTH)
+        .select("window_start", F.col("_val").alias(value_col), "cm_estimate")
+    )

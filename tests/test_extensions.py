@@ -999,3 +999,45 @@ def test_bloom_filter_guarantees(spark):
     wide = {r["v"]: r["bloom_maybe"] for r in bloom_probe(both, [], "v", wide_bits, k=4, m=1 << 16).collect()}
     assert all(wide[f"m{i}"] for i in range(200))
     assert not any(wide[f"x{i}"] for i in range(500))
+
+
+def test_histogram_quantiles_accuracy(spark):
+    """Bin-midpoint estimates land within one bin width of the true
+    quantile on a uniform column; degenerate constant columns report
+    width 0 at the constant."""
+    from magicxml_spark.operators.sketches import histogram_quantiles
+
+    n = 10_000
+    uni = spark.range(n).select((F.col("id") / (n - 1) * 100.0).alias("v"))
+    got = {r["quantile"]: r for r in histogram_quantiles(uni, "v").collect()}
+    for q in (0.5, 0.9, 0.99):
+        r = got[q]
+        assert abs(r["approx_value"] - q * 100.0) <= r["bin_width"] + 1e-9, (q, r)
+        assert r["n_rows"] == n
+    const = spark.range(100).select(F.lit(7.5).alias("v"))
+    c = histogram_quantiles(const, "v").collect()[0]
+    assert c["approx_value"] == 7.5 and c["bin_width"] == 0.0
+
+
+def test_stream_cm_equals_batch_counts(spark):
+    """event_type cardinality is far below the sketch width, so the
+    streamed Count-Min estimates must EQUAL the exact per-window
+    type counts (no collisions) — proving cells merged additively
+    across micro-batches with no loss or double count."""
+    from magicxml_spark.streaming.events import run_stream_cm_to_memory
+
+    streamed = {
+        (r["window_start"], r["event_type"]): r["cm_estimate"]
+        for r in run_stream_cm_to_memory(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    exact = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == exact and len(streamed) > 0
