@@ -82,6 +82,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_dependency_parse",
     "q_histogram_quantiles",
     "q_stream_cm_events",
+    "q_zorder_key",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -170,6 +170,41 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z-order layout key (multi-dimensional clustering) ------------------------
+def _zorder_oracle() -> str:
+    from magicxml_spark.plans.layout import bucketize_sql, interleave_sql
+
+    return f"""
+    WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS alo,
+                       max(CAST(l_extendedprice AS DOUBLE)) AS ahi,
+                       min(CAST(l_quantity AS DOUBLE)) AS blo,
+                       max(CAST(l_quantity AS DOUBLE)) AS bhi
+                FROM lineitem),
+    b AS (SELECT l_orderkey, l_linenumber,
+                 {bucketize_sql('l_extendedprice', 'mm.alo', 'mm.ahi')} AS ba,
+                 {bucketize_sql('l_quantity', 'mm.blo', 'mm.bhi')} AS bb
+          FROM lineitem, mm WHERE l_orderkey % 997 = 0)
+    SELECT l_orderkey, l_linenumber,
+           CAST({interleave_sql('ba', 'bb')} AS BIGINT) AS zkey
+    FROM b
+    """
+
+
+@query("q_zorder_key", oracle=_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (price, quantity) for a deterministic sample —
+    bit-for-bit against the oracle's generated twin expression. NOTE
+    the bounds aggregate runs over the FULL table (layout keys must
+    be consistent corpus-wide); only the output is sampled."""
+    from magicxml_spark.plans.layout import zorder_key
+
+    li = table(spark, sf_dir, "lineitem")
+    keyed = zorder_key(li, "l_extendedprice", "l_quantity")
+    return keyed.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey", "l_linenumber", "zkey"
+    )
+
+
 # --- Histogram quantiles (approximate percentiles, sketch path) ---------------
 def _hist_oracle() -> str:
     from magicxml_spark.operators.sketches import histogram_quantiles_oracle_sql
