@@ -78,13 +78,21 @@ def extract_pdf_tables(
                 if lite:
                     for pageno, rno, cells in lite:
                         rows.append((path, pageno, 1, rno, json.dumps(cells)))
+                    continue
+                # foreign TEXT pdf: whitespace-column layout detection
+                # (pdf_lite.extract_table_rows_heuristic) — the
+                # pdfplumber-free arm; image-only/exotic PDFs fall on
+                heur = pdf_lite.extract_table_rows_heuristic(bytes(content))
+                if heur:
+                    for pageno, tno, rno, cells in heur:
+                        rows.append((path, pageno, tno, rno, json.dumps(cells)))
                 elif deterministic_stub:
                     digest = hashlib.md5(bytes(content)).hexdigest()
                     rows.append((path, 1, 1, 0, json.dumps([digest[:8], digest[8:16]])))
                 else:
                     raise NotImplementedError(
-                        "pdfplumber not installed and not a pdf_lite table PDF; "
-                        "pass deterministic_stub=True"
+                        "pdfplumber not installed and no table-like text "
+                        "layout found; pass deterministic_stub=True"
                     )
             yield pd.DataFrame(
                 rows, columns=["path", "pdf_page", "table_number", "cell_row", "cell_json"]

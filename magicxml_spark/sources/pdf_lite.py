@@ -272,3 +272,66 @@ def extract_table_rows(data: bytes) -> list[tuple[int, int, list[str]]]:
             out.append((pageno, rowno, cells))
             rowno += 1
     return out
+
+
+def extract_table_rows_heuristic(
+    data: bytes, min_rows: int = 2
+) -> list[tuple[int, int, int, list[str]]]:
+    """(page_no, table_no, row_no, cells) for FOREIGN text PDFs — the
+    pdfplumber-free arm of S9's table extraction (reference
+    main.py:914-978 uses pdfplumber's layout engine; this is the
+    text-layout analog of the heuristic parse/lang-id family).
+
+    Method: consecutive lines whose text splits into >= 2 segments on
+    2+-space runs form a table block; within a block, character
+    columns that are whitespace in EVERY line mark the separators
+    (runs of >= 2 such columns split cells positionally — the classic
+    monospace-layout detection), with a per-line 2+-space split as the
+    ragged fallback. Cells that are pure table furniture (|, +, -, :)
+    are dropped. Returns [] when the bytes yield no text pages or no
+    block qualifies — callers keep their stub path."""
+    pages = extract_text_pages(data)
+    out: list[tuple[int, int, int, list[str]]] = []
+    furniture = re.compile(r"^[|+\-:=]*$")
+    for pageno, lines in enumerate(pages, 1):
+        blocks: list[list[str]] = []
+        cur: list[str] = []
+        for ln in lines:
+            segs = [s for s in re.split(r"\s{2,}", ln.strip()) if s]
+            if len(segs) >= 2:
+                cur.append(ln)
+            else:
+                if len(cur) >= min_rows:
+                    blocks.append(cur)
+                cur = []
+        if len(cur) >= min_rows:
+            blocks.append(cur)
+        for tno, block in enumerate(blocks, 1):
+            width = max(len(ln) for ln in block)
+            padded = [ln.ljust(width) for ln in block]
+            is_sep = [all(p[i] == " " for p in padded) for i in range(width)]
+            # split points: runs of >= 2 all-line whitespace columns
+            spans: list[tuple[int, int]] = []
+            start, run_start = 0, None
+            i = 0
+            while i <= width:
+                if i < width and is_sep[i]:
+                    if run_start is None:
+                        run_start = i
+                else:
+                    if run_start is not None and i - run_start >= 2:
+                        if run_start > start:
+                            spans.append((start, run_start))
+                        start = i
+                    run_start = None
+                i += 1
+            if width > start:
+                spans.append((start, width))
+            for rno, ln in enumerate(padded):
+                if len(spans) >= 2:
+                    cells = [ln[a:b].strip() for a, b in spans]
+                else:  # ragged layout: per-line split fallback
+                    cells = [s for s in re.split(r"\s{2,}", ln.strip()) if s]
+                cells = [c for c in cells if not furniture.match(c)] or [""]
+                out.append((pageno, tno, rno, cells))
+    return out

@@ -818,3 +818,64 @@ def test_jpeg_decode_skips_appn_and_fill_bytes():
     dw, dh, mode, pix = decode_jpeg(spliced)
     assert (dw, dh, mode) == (9, 5, "L")
     assert _psnr(bytes(range(45)), pix) > 40
+
+
+# ---------------------------------------------------------------------------
+# Heuristic table extraction from foreign text PDFs
+# ---------------------------------------------------------------------------
+
+
+def _foreign_text_pdf(lines):
+    """A minimal text PDF from a DIFFERENT producer (no pdf_lite
+    markers) — simulates third-party generators whose text layer uses
+    space-aligned columns."""
+    from magicxml_spark.sources.pdf_lite import _page_stream, _serialize
+
+    stream = _page_stream(lines)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+        ),
+        5: b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream",
+        6: b"<< /Producer (SomeOtherTool 9.1) >>",
+    }
+    return _serialize(objs, 6)
+
+
+def test_heuristic_table_extraction_foreign_pdf(spark, tmp_path):
+    """A space-aligned table inside a non-pdf_lite PDF extracts via the
+    whitespace-column heuristic — correct cells, prose lines excluded."""
+    from magicxml_spark.sources.binary_docs import extract_pdf_tables
+
+    lines = [
+        "Quarterly report, fiscal 2031",
+        "",
+        "region      units    revenue",
+        "north         120     4400.5",
+        "south          75     2810.0",
+        "west            9      301.2",
+        "",
+        "Notes: numbers are unaudited.",
+    ]
+    (tmp_path / "foreign.pdf").write_bytes(_foreign_text_pdf(lines))
+    import json
+
+    rows = extract_pdf_tables(read_binary(spark, str(tmp_path))).collect()
+    cells = [json.loads(r["cell_json"]) for r in sorted(rows, key=lambda r: r["cell_row"])]
+    assert cells[0] == ["region", "units", "revenue"]
+    assert cells[1] == ["north", "120", "4400.5"]
+    assert cells[3] == ["west", "9", "301.2"]
+    assert len(cells) == 4  # prose and blank lines are not table rows
+    assert all(r["table_number"] == 1 for r in rows)
+
+
+def test_heuristic_table_extraction_returns_empty_for_prose():
+    from magicxml_spark.sources.pdf_lite import extract_table_rows_heuristic
+
+    pdf = _foreign_text_pdf(["just a paragraph of text", "another line here"])
+    assert extract_table_rows_heuristic(pdf) == []
+    assert extract_table_rows_heuristic(b"not a pdf") == []
