@@ -71,7 +71,7 @@ def pos_case_sql(token_expr: str, idx_expr: str, regexp_fn: str = "regexp_like")
         WHEN {lt} IN {_in_list(AUX_WORDS)} THEN 'AUX'
         WHEN {lt} IN {_in_list(CCONJ_WORDS)} THEN 'CCONJ'
         WHEN {lt} IN {_in_list(VERB_WORDS)} THEN 'VERB'
-        WHEN {regexp_fn}({lt}, '^[0-9]+(\\.[0-9]+)?$') THEN 'NUM'
+        WHEN {regexp_fn}({lt}, '^[0-9]+([.][0-9]+)?$') THEN 'NUM'
         WHEN {lt} LIKE '%ly' AND length({lt}) > 3 THEN 'ADV'
         WHEN ({lt} LIKE '%ing' OR {lt} LIKE '%ed') AND length({lt}) > 4 THEN 'VERB'
         WHEN substr({token_expr}, 1, 1) BETWEEN 'A' AND 'Z' AND {idx_expr} > 0 THEN 'PROPN'

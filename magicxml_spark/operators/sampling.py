@@ -194,19 +194,27 @@ def mixture_weights(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens"))
     )
     everything = Window.partitionBy()
+    # ANSI mode makes x/0 a JOB FAILURE, not a NULL, and degenerate
+    # inputs are expected corpus states: a source whose documents are
+    # all empty (zero tokens), a target dict naming no present group.
+    # Every division below is therefore guarded; a zero-token source
+    # gets weight 0 (nothing to sample), an all-zero target mix gets
+    # share 0 everywhere.
     if target is None:
-        tgt = F.lit(1.0) / F.count(F.lit(1)).over(everything)
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(everything)  # >= 1 group
     else:
         m = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
         raw = F.coalesce(m[F.col("grp")], F.lit(0.0))
-        tgt = raw / F.sum(raw).over(everything)
+        raw_sum = F.sum(raw).over(everything)
+        tgt = F.when(raw_sum > 0, raw / raw_sum).otherwise(F.lit(0.0))
     total = F.sum("n_tokens").over(everything)
-    actual = F.col("n_tokens") / total
+    actual = F.when(total > 0, F.col("n_tokens") / total).otherwise(F.lit(0.0))
+    weight = F.when(F.col("n_tokens") > 0, tgt / actual).otherwise(F.lit(0.0))
     return per_group.select(
         F.col("grp").alias(group_col),
         "n_docs",
         "n_tokens",
         F.round(actual, 6).alias("actual_share"),
         F.round(tgt, 6).alias("target_share"),
-        F.round(tgt / actual, 6).alias("weight"),
+        F.round(weight, 6).alias("weight"),
     )

@@ -154,6 +154,21 @@ def _cm_cell(j: int, value: Column, width: int = CM_WIDTH) -> Column:
     return _hash32(F.concat(F.lit(f"{j}|"), value)) % width
 
 
+def cm_probes(value: Column, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> Column:
+    """ONE definition of the (j, cell) probe fan-out — explode of the
+    per-row struct array. Sketch build, batch point-query, and both
+    streaming twins all route through this, so the cell addressing can
+    never drift between the writer and any reader."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cm_cell(j, value, width).alias("cell"))
+                for j in range(depth)
+            ]
+        )
+    )
+
+
 def countmin_sketch(
     df: DataFrame, value_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
 ) -> DataFrame:
@@ -162,16 +177,8 @@ def countmin_sketch(
     most d*w grouped keys (map-side combine collapses the stream to
     sketch size before the exchange)."""
     v = F.col(value_col)
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("j"), _cm_cell(j, v, width).alias("cell"))
-                for j in range(depth)
-            ]
-        )
-    )
     return (
-        df.select(rows.alias("_r"))
+        df.select(cm_probes(v, depth, width).alias("_r"))
         .select(F.col("_r.j").alias("j"), F.col("_r.cell").alias("cell"))
         .groupBy("j", "cell")
         .agg(F.count(F.lit(1)).alias("cell_count"))
@@ -192,15 +199,7 @@ def countmin_estimate(
     per value."""
     v = F.col(value_col)
     probes = candidates.select(
-        v.alias("val"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), _cm_cell(j, v, width).alias("cell"))
-                    for j in range(depth)
-                ]
-            )
-        ).alias("_p"),
+        v.alias("val"), cm_probes(v, depth, width).alias("_p")
     ).select("val", F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
     return (
         probes.join(F.broadcast(sketch), ["j", "cell"])

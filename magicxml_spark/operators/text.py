@@ -201,16 +201,32 @@ def luhn_valid(digits: Column | str) -> Column:
     return (F.size(rev) >= 13) & (total % 10 == 0)
 
 
-def card_counts(text: Column | str) -> dict[str, Column]:
-    """(candidate, Luhn-valid) card-number counts in free text. The
-    extraction is regexp_extract_all; validation maps luhn_valid over
-    the match array — still pure Column expressions, no UDF."""
+def card_candidates(text: Column | str) -> Column:
+    """The 13-19-digit candidate runs as an array — materialize THIS
+    as a concrete attribute before counting: the two counts below each
+    reference the array, and Catalyst does no cross-expression CSE, so
+    inlining would regex-scan every document twice."""
     c = F.col(text) if isinstance(text, str) else text
-    cands = F.regexp_extract_all(c, F.lit(CARD_PATTERN), F.lit(0))
+    return F.regexp_extract_all(c, F.lit(CARD_PATTERN), F.lit(0))
+
+
+def card_counts_from(cands: Column | str) -> dict[str, Column]:
+    """(candidate, Luhn-valid) counts from a materialized candidates
+    array column — pure Column expressions, no UDF."""
+    c = F.col(cands) if isinstance(cands, str) else cands
     return {
-        "card_candidates": F.size(cands),
-        "cards_valid": F.size(F.filter(cands, luhn_valid)),
+        "card_candidates": F.size(c),
+        "cards_valid": F.size(F.filter(c, luhn_valid)),
     }
+
+
+def card_counts(text: Column | str) -> dict[str, Column]:
+    """One-projection convenience over ``card_candidates`` +
+    ``card_counts_from``. NOTE: projecting both returned counts side
+    by side evaluates the candidate regex twice (no cross-expression
+    CSE); hot paths should materialize ``card_candidates`` in a first
+    projection and count with ``card_counts_from``."""
+    return card_counts_from(card_candidates(text))
 
 
 def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -193,13 +193,15 @@ def _card_aug_spark() -> F.Column:
     """,
 )
 def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from magicxml_spark.operators.text import card_counts
+    from magicxml_spark.operators.text import card_candidates, card_counts_from
 
     docs = table(spark, sf_dir, "documents").select(
         "source", _card_aug_spark().alias("t")
     )
-    counts = card_counts(F.col("t"))
-    per_doc = docs.select(
+    # candidates materialized first: one regex scan, two counts
+    with_cands = docs.select("source", card_candidates(F.col("t")).alias("_cands"))
+    counts = card_counts_from(F.col("_cands"))
+    per_doc = with_cands.select(
         "source", *[c.alias(name) for name, c in counts.items()]
     )
     return per_doc.groupBy("source").agg(
@@ -558,12 +560,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
           FROM t GROUP BY grp)
     SELECT grp AS source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
-               AS actual_share,
+           round(CASE WHEN sum(n_tokens) OVER () > 0
+                      THEN CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()
+                      ELSE 0.0 END, 6) AS actual_share,
            round(1.0 / count(*) OVER (), 6) AS target_share,
-           round((1.0 / count(*) OVER ())
-                 / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6)
-               AS weight
+           round(CASE WHEN n_tokens > 0
+                      THEN (1.0 / count(*) OVER ())
+                           / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())
+                      ELSE 0.0 END, 6) AS weight
     FROM g
     """,
 )

@@ -42,9 +42,13 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     header, rows = xlsx_lite.read_rows(path)
     if not header:
         raise ValueError(f"Excel file has no rows: {path}")
-    return spark.createDataFrame(
-        [tuple(r) for r in rows], ", ".join(f"`{c}` string" for c in header)
-    )
+    # StructType, not a DDL string: foreign headers may be empty cells
+    # (read_rows pads ragged headers with '') or contain backticks —
+    # both break DDL parsing, neither bothers a StructField name
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType()) for c in header])
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
 
 
 def write_excel(df: DataFrame, path: str, max_rows: int = 1_000_000) -> str:

@@ -479,10 +479,21 @@ def decode_jpeg(data: bytes):
     (w, h, mode, pixels). File-defined quantization and Huffman
     tables, any integer sampling-factor layout (4:4:4, 4:2:0, 4:2:2,
     ...; subsampled chroma is nearest-upsampled), DRI/RSTn restart
-    intervals, APPn/COM segments skipped. Raises ValueError on
-    progressive (SOF2), arithmetic coding, CMYK, or 12-bit precision —
-    the callers' contract is raise/None -> fall to the PIL-gated
-    path."""
+    intervals, APPn/COM segments skipped. Raises ValueError on ANY
+    out-of-subset or malformed input — progressive (SOF2), arithmetic
+    coding, CMYK, 12-bit precision, truncated/corrupt streams,
+    multi-scan files — so callers can honor one except-ValueError
+    contract (the structural errors the parser hits on such files are
+    wrapped, not leaked)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error, ZeroDivisionError) as exc:
+        raise ValueError(f"malformed or out-of-subset JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(data: bytes):
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

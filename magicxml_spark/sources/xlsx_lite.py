@@ -195,9 +195,11 @@ def write_rows(
     """Write (columns, rows) as a single-sheet .xlsx. All cells are
     inline strings; column widths follow the reference auto-width rule
     computed over the first ``width_sample`` rows."""
+    # ragged rows are legal everywhere else in this writer (row_xml
+    # emits what it gets) — the width sampler must tolerate them too
     cols_xml = "".join(
         f'<col min="{i + 1}" max="{i + 1}" '
-        f'width="{column_width(str(c), [str(r[i]) for r in rows[:width_sample]])}" '
+        f'width="{column_width(str(c), [str(r[i]) for r in rows[:width_sample] if i < len(r)])}" '
         'customWidth="1"/>'
         for i, c in enumerate(columns)
     )

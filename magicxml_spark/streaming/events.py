@@ -288,6 +288,10 @@ def interval_join_events(
     Output: (user_id, click_id, purchase_id, ms_after) with ms_after an
     exact integer millisecond difference (unix_micros subtraction, not
     float epoch math, so batch/stream/oracle agree bit-for-bit)."""
+    if how not in ("inner", "left_semi", "left_outer"):
+        # a typo like 'left'/'leftOuter' must not silently run an inner
+        # join — unmatched rows would vanish without any signal
+        raise ValueError(f"how must be inner|left_semi|left_outer, got {how!r}")
     c = (
         clicks.select(
             F.col("event_id").alias("click_id"),
@@ -374,6 +378,11 @@ def run_interval_join_outer_to_memory(
             "user_id", "event_type", "value", "props",
         )
         max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        if max_ts is None:
+            # zero events: the sentinel timestamps would interpolate the
+            # literal "None" into SQL — fail clearly before writing the
+            # feed instead of with a parser error mid-protocol
+            raise ValueError(f"events table in {sf_dir} has no rows")
         _write_single_parquet(batch, os.path.join(feed, "b0.parquet"))
 
         def sentinel(days: int, ida: int, idb: int) -> DataFrame:
@@ -567,20 +576,12 @@ def windowed_cm_cells(
     sum-mergeable across micro-batches (the additive dual of the HLL
     twin's max-merge), so state caps at windows x depth x width rows
     and the drained cells equal the batch sketch exactly."""
-    from magicxml_spark.operators.sketches import CM_DEPTH, CM_WIDTH, _cm_cell
+    from magicxml_spark.operators.sketches import cm_probes
 
     v = F.col(value_col).cast("string")
-    probes = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("j"), _cm_cell(j, v, CM_WIDTH).alias("cell"))
-                for j in range(CM_DEPTH)
-            ]
-        )
-    )
     return (
         events.withWatermark("ts", watermark)
-        .select("ts", probes.alias("_p"))
+        .select("ts", cm_probes(v).alias("_p"))
         .groupBy(F.window("ts", window), F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("cell_count"))
     )
@@ -595,9 +596,7 @@ def run_stream_cm_to_memory(
     """Drain the streaming sketch, then point-query it batch-side for
     every distinct value of ``value_col`` (dimension-bounded) —
     output (window_start, value, cm_estimate)."""
-    import os
-
-    from magicxml_spark.operators.sketches import CM_DEPTH, CM_WIDTH, _cm_cell
+    from magicxml_spark.operators.sketches import CM_DEPTH, cm_probes
 
     name = f"events_cm_{uuid.uuid4().hex[:8]}"
     with _stream_tuning(spark, state_partitions):
@@ -628,17 +627,9 @@ def run_stream_cm_to_memory(
         .distinct()
     )
     v = F.col("_val")
-    probes = cands.select(
-        v,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), _cm_cell(j, v, CM_WIDTH).alias("cell"))
-                    for j in range(CM_DEPTH)
-                ]
-            )
-        ).alias("_p"),
-    ).select("_val", F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell"))
+    probes = cands.select(v, cm_probes(v).alias("_p")).select(
+        "_val", F.col("_p.j").alias("j"), F.col("_p.cell").alias("cell")
+    )
     return (
         probes.join(sketch, ["j", "cell"])
         .groupBy("window_start", "_val")

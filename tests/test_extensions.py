@@ -1041,3 +1041,33 @@ def test_stream_cm_equals_batch_counts(spark):
         .collect()
     }
     assert streamed == exact and len(streamed) > 0
+
+
+def test_heuristic_parse_num_rule_cross_engine(spark):
+    """The NUM regex must read identically through Spark's SQL string
+    parser (which strips backslashes) and DuckDB's — pinned on the
+    tokens that exposed the divergence: '3.5' is NUM, '1,000' and
+    '3-4' are NOT (comma/dash are not in the rule), on BOTH engines."""
+    import duckdb
+
+    from magicxml_spark.analytics.heuristic_parse import (
+        heuristic_dependency_parse,
+        pos_case_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "weight 3.5 versus 1,000 and 3-4 or 42")], ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: r["pos"] for r in heuristic_dependency_parse(docs).collect()
+    }
+    assert got["3.5"] == "NUM" and got["42"] == "NUM"
+    assert got["1,000"] == "NOUN" and got["3-4"] == "NOUN"
+
+    con = duckdb.connect()
+    for tok in ("3.5", "1,000", "3-4", "42"):
+        duck_pos = con.execute(
+            f"SELECT {pos_case_sql('t', 'i', 'regexp_matches')} "
+            f"FROM (SELECT '{tok}' AS t, 1 AS i)"
+        ).fetchone()[0]
+        assert duck_pos == got[tok], tok

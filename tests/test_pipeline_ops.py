@@ -637,3 +637,27 @@ def test_mixture_weights_explicit_target(spark):
     assert out["web"]["weight"] == 0.5       # downsample web
     assert out["books"]["weight"] == 3.0     # upsample books
     assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 10
+
+
+def test_mixture_weights_degenerate_inputs(spark):
+    """ANSI mode makes x/0 fatal, so the guards matter: a zero-token
+    source gets weight 0; a target dict naming no present group yields
+    all-zero shares; neither aborts the job."""
+    from magicxml_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "some real tokens here", "full"), (2, "   ", "empty"), (3, "", "empty")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["source"]: r for r in mixture_weights(docs, "source", "text").collect()}
+    assert out["empty"]["n_tokens"] == 0
+    assert out["empty"]["actual_share"] == 0.0 and out["empty"]["weight"] == 0.0
+    assert out["full"]["actual_share"] == 1.0
+
+    absent = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, "source", "text", target={"nonexistent": 1.0}
+        ).collect()
+    }
+    assert all(r["target_share"] == 0.0 and r["weight"] == 0.0 for r in absent.values())
