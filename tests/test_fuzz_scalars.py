@@ -65,3 +65,97 @@ def test_digit_like_tag_rule_fuzz():
         s = "".join(rng.choice("0123456789..ab") for _ in range(rng.randrange(0, 6)))
         ref = s.replace(".", "", 1).isdigit()
         assert bool(pat.fullmatch(s)) == ref, s
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second-pass fuzz: codecs round-trip byte-exactly, winnowing
+# matches its independent reimplementation — seeded random inputs,
+# no hypothesis shrinkage needed (failures print the seed case).
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_gif_lzw_roundtrip():
+    """Random palette images (varied sizes, palette widths, interlace)
+    survive the in-test encoder -> decode_gif byte-exactly — exercises
+    LZW code growth across width boundaries and deferred-clear."""
+    import random
+
+    from magicxml_spark.sources.image_lite import decode_gif
+    from tests.test_binary_converters import _make_gif
+
+    rng = random.Random(2024)
+    for trial in range(12):
+        w = rng.randrange(1, 50)
+        h = rng.randrange(1, 40)
+        ncol = rng.choice([2, 4, 7, 16, 64])
+        palette = bytes(rng.randrange(256) for _ in range(ncol * 3))
+        idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+        interlace = rng.random() < 0.5
+        got = decode_gif(_make_gif(w, h, palette, idx, interlace=interlace))
+        assert got is not None, (trial, w, h, ncol, interlace)
+        expect = b"".join(palette[3 * p : 3 * p + 3] for p in idx)
+        assert bytes(got[3]) == expect, (trial, w, h, ncol, interlace)
+
+
+def test_fuzz_bmp_roundtrip():
+    import random
+
+    from magicxml_spark.sources.image_lite import decode_bmp
+    from tests.test_binary_converters import _make_bmp
+
+    rng = random.Random(77)
+    for trial in range(12):
+        w = rng.randrange(1, 40)
+        h = rng.randrange(1, 30)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        kwargs = rng.choice([{}, {"top_down": True}, {"bpp": 32}])
+        got = decode_bmp(_make_bmp(w, h, rgb, **kwargs))
+        assert got is not None and bytes(got[3]) == rgb, (trial, w, h, kwargs)
+
+
+def test_fuzz_winnowing_matches_reference(spark):
+    """Random token streams (tiny vocab maximizes window-min tie
+    cases) — Spark winnowing equals the pure-Python reimplementation
+    on every doc."""
+    import random
+
+    from magicxml_spark.operators.dedup import winnow_fingerprint_sets
+    from tests.test_extensions import _ref_winnow
+
+    rng = random.Random(13)
+    vocab = ["a", "bb", "ccc", "Dd", "e1", "ff-g", "zz"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 60)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["id"]: list(r["fps"])
+        for r in winnow_fingerprint_sets(docs, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow(t), (i, t)
+
+
+def test_fuzz_jpeg_decoder_rejects_corrupt_bytes():
+    """Truncations and byte flips of valid files must raise ValueError
+    (the documented contract), never KeyError/IndexError/struct.error."""
+    import random
+
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+
+    rng = random.Random(5)
+    base = encode_jpeg(16, 12, "RGB", bytes(rng.randrange(256) for _ in range(16 * 12 * 3)))
+    for trial in range(30):
+        broken = bytearray(base)
+        if trial % 2:
+            broken = broken[: rng.randrange(4, len(broken))]  # truncate
+        else:
+            for _ in range(rng.randrange(1, 6)):  # corrupt
+                broken[rng.randrange(2, len(broken))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(broken))  # decoding to junk pixels is fine
+        except ValueError:
+            pass  # the contract
