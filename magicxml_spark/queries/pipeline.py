@@ -429,6 +429,91 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Curation v2: the round-4 second-pass operators composed -----------------
+# winnow near-dup removal (local-overlap pairs, containment >= 0.5
+# drops the larger id) -> Bloom-PREFILTERED exact decontamination (the
+# filter has no false negatives, so the prefiltered exact join returns
+# the identical dirty set — the oracle states the plain exact join and
+# the gate proves the optimized physical strategy changes nothing) ->
+# token-share mixture weights over the survivors.
+def _curation_v2_oracle() -> str:
+    from magicxml_spark.queries.analytics import _WINNOW_FPS_SQL
+
+    return f"""
+    WITH {_WINNOW_FPS_SQL},
+    long AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                 count(*) AS n_shared
+          FROM long a JOIN long b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING count(*) >= 3),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM p
+                WHERE round(CAST(n_shared AS DOUBLE) / least(na, nb), 6) >= 0.5),
+    surv AS (SELECT d.doc_id, d.source, d.text FROM documents d
+             WHERE d.doc_id % 97 <> 0
+               AND d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+    dsh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+           FROM w WHERE len(w) > 0),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM dsh),
+    ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+    dirty AS (SELECT dg.doc_id FROM dg JOIN ev USING (gram)
+              WHERE dg.doc_id IN (SELECT doc_id FROM surv)
+              GROUP BY dg.doc_id HAVING count(*) >= 2),
+    clean AS (SELECT s.* FROM surv s
+              WHERE s.doc_id NOT IN (SELECT doc_id FROM dirty)),
+    t AS (SELECT source AS grp,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS nt
+          FROM clean),
+    agg AS (SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY grp)
+    SELECT grp AS source, n_docs, n_tokens,
+           round(CASE WHEN sum(n_tokens) OVER () > 0
+                      THEN CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()
+                      ELSE 0.0 END, 6) AS actual_share,
+           round(1.0 / count(*) OVER (), 6) AS target_share,
+           round(CASE WHEN n_tokens > 0
+                      THEN (1.0 / count(*) OVER ())
+                           / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())
+                      ELSE 0.0 END, 6) AS weight
+    FROM agg
+    """
+
+
+@query("q_curation_v2", oracle=_curation_v2_oracle())
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import winnow_pairs, word_shingles
+    from magicxml_spark.operators.sampling import mixture_weights
+    from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, "doc_id", "text", min_shared=3)
+    dropped = (
+        pairs.filter(F.col("containment") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = docs.filter(F.col("doc_id") % 97 != 0).join(dropped, "doc_id", "left_anti")
+    g = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram"))
+    ev = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corp_g = g.join(surv.select("doc_id"), "doc_id")
+    # Bloom prefilter, then the exact verify join on the survivors only
+    bits = bloom_bits_table(ev, "gram")
+    maybe = bloom_probe(corp_g, ["doc_id"], "gram", bits).filter("bloom_maybe")
+    dirty = (
+        maybe.join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("doc_id")
+    )
+    clean = surv.join(dirty, "doc_id", "left_anti")
+    return mixture_weights(clean, "source", "text")
+
+
 # --- Decontamination: the enforcement half of q_contamination ----------------
 # Same eval split (doc_id % 97); corpus docs sharing >= 2 distinct
 # 3-grams with ANY eval doc are removed before shipping.
