@@ -6,11 +6,12 @@ the standard library, so the image operators (S11 metadata, K10
 resize / image->PDF) run for real without Pillow.
 
 Subset: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced. ``decode_png`` returns
-``None`` for anything else (16-bit, Adam7) — callers keep their gated
-path for exotic files, exactly like pdf_lite returns [] for image-only
-PDFs. All five scanline filters (None/Sub/Up/Average/Paeth) are
-implemented, so files from real encoders decode correctly.
+4 (gray+alpha), 6 (RGBA), non-interlaced or Adam7-interlaced.
+``decode_png`` returns ``None`` for anything else (16-bit) — callers
+keep their gated path for exotic files, exactly like pdf_lite returns
+[] for image-only PDFs. All five scanline filters
+(None/Sub/Up/Average/Paeth) are implemented per pass, so files from
+real encoders decode correctly.
 
 Decoded form: (width, height, mode, pixels) with mode 'L'/'LA'/'RGB'/
 'RGBA' (palette expands to RGB) and pixels one flat bytearray,
@@ -34,6 +35,49 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, off: int, w: int, h: int, ch: int):
+    """Reverse the five scanline filters over an h x (1 + w*ch) block
+    starting at ``off``; None on truncation or an unknown filter tag.
+    One call decodes a whole non-interlaced image; Adam7 calls it once
+    per pass (each pass filters against its OWN previous row)."""
+    stride = w * ch
+    if len(raw) < off + h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row_at = off + y * (stride + 1)
+        f = raw[row_at]
+        line = bytearray(raw[row_at + 1 : row_at + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return out
 
 
 def decode_png(data: bytes):
@@ -66,7 +110,7 @@ def _decode_png_inner(data: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
     if ctype_i not in _CHANNELS:
         return None
@@ -75,34 +119,27 @@ def _decode_png_inner(data: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif f != 0:
+    if interlace == 1:  # Adam7: 7 sequentially-filtered sub-images
+        out = bytearray(h * w * ch)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _unfilter(raw, pos2, pw, ph, ch)
+            if sub is None:
+                return None
+            pos2 += ph * (pw * ch + 1)
+            for sy in range(ph):
+                for sx in range(pw):
+                    src = (sy * pw + sx) * ch
+                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * ch
+                    out[dst : dst + ch] = sub[src : src + ch]
+    else:
+        out = _unfilter(raw, 0, w, h, ch)
+        if out is None:
             return None
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
     if ctype_i == 3:  # palette -> RGB
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):

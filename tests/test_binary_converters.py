@@ -879,3 +879,55 @@ def test_heuristic_table_extraction_returns_empty_for_prose():
     pdf = _foreign_text_pdf(["just a paragraph of text", "another line here"])
     assert extract_table_rows_heuristic(pdf) == []
     assert extract_table_rows_heuristic(b"not a pdf") == []
+
+
+def _encode_png_adam7(w, h, mode, pixels):
+    """In-test Adam7 encoder (filter 0 per pass) — independent of the
+    decoder's pass table."""
+    import struct
+    import zlib
+
+    from magicxml_spark.sources.png_lite import _SIG, _chunk
+
+    ctype = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}[mode]
+    ch = len(mode)
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for sy in range(ph):
+            raw.append(0)
+            for sx in range(pw):
+                src = ((y0 + sy * dy) * w + (x0 + sx * dx)) * ch
+                raw += pixels[src : src + ch]
+    return (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 files decode to the identical pixels as the sequential
+    encoding — odd dims exercise partial passes, and a tiny 1x1 image
+    exercises the passes that are empty entirely."""
+    import hashlib
+
+    from magicxml_spark.sources.png_lite import decode_png
+
+    for w, h, mode in ((13, 7, "RGB"), (8, 8, "L"), (1, 1, "RGB"), (5, 3, "RGBA")):
+        ch = len(mode)
+        pix = bytes(
+            hashlib.md5(bytes([i % 251])).digest()[0] for i in range(w * h * ch)
+        )
+        got = decode_png(_encode_png_adam7(w, h, mode, pix))
+        assert got is not None, (w, h, mode)
+        assert got[:3] == (w, h, mode)
+        assert bytes(got[3]) == pix, (w, h, mode)
