@@ -1080,6 +1080,7 @@ def winnow_fingerprint_sets(
     text_col: str = "text",
     k: int = 3,
     window: int = 4,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, fps) — per-document sorted distinct winnowing fingerprints
     (8-hex md5 slices, the engine-portable hash family used by the
@@ -1103,6 +1104,7 @@ def winnow_fingerprint_sets(
     """
     hashed = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],  # e.g. the streaming event time
         F.transform(
             _positional_kgrams(F.col(text_col), k),
             lambda g: F.substring(F.md5(g), 1, 8),
@@ -1126,7 +1128,9 @@ def winnow_fingerprint_sets(
         .when(m < window, F.array(F.array_min(hs)))
         .otherwise(full_windows)
     )
-    return hashed.select("id", F.array_sort(F.array_distinct(selected)).alias("fps"))
+    return hashed.select(
+        "id", *extra_cols, F.array_sort(F.array_distinct(selected)).alias("fps")
+    )
 
 
 def winnow_pairs(

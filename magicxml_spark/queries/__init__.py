@@ -84,6 +84,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_cm_events",
     "q_zorder_key",
     "q_curation_v2",
+    "q_stream_winnow_pairs",
     # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",

@@ -238,6 +238,29 @@ def q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_minhash_to_memory(spark, sf_dir)
 
 
+# --- Streaming winnow candidate emission --------------------------------------
+# Same stateful bucket emitter keyed by winnow fingerprint; the oracle
+# is the batch fingerprint self-join as a MULTISET (one row per shared
+# fingerprint, no distinct/min_shared — a consumer aggregates
+# multiplicity downstream exactly like batch winnow_pairs does).
+def _stream_winnow_oracle() -> str:
+    from magicxml_spark.queries.analytics import _WINNOW_FPS_SQL
+
+    return f"""
+    WITH {_WINNOW_FPS_SQL},
+    long AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM long a JOIN long b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_stream_winnow_pairs", oracle=_stream_winnow_oracle())
+def q_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.dedup import run_stream_winnow_to_memory
+
+    return run_stream_winnow_to_memory(spark, sf_dir)
+
+
 # --- Dedup clustering: connected components over LSH candidate pairs --------
 @query(
     "q_dedup_clusters",

@@ -174,9 +174,6 @@ def minhash_pairs_stateful(
     standard streaming trade-off — size ``watermark`` as the longest
     gap across which a near-dup must still be flagged.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     # ONE md5 per shingle via the fused band array (the per-band
     # spelling re-digests every shingle n_bands times — no CSE);
     # posexplode unpivots (band, signature) rows, same values
@@ -191,6 +188,22 @@ def minhash_pairs_stateful(
     sig_rows = sig_rows.filter(F.col("signature").isNotNull()).withWatermark(
         "_ts", watermark
     )
+    return _stateful_bucket_pairs(sig_rows, ["band", "signature"], max_bucket_size)
+
+
+def _stateful_bucket_pairs(
+    rows: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """The shared stateful emitter behind every payload-free streaming
+    bucket-pair operator (minhash bands, winnow fingerprints): ``rows``
+    is the watermarked long form (id, _ts, *bucket_cols); each bucket's
+    state remembers its membership (capped, emit-and-freeze above the
+    cap) plus its newest event time for EventTimeTimeout eviction. One
+    definition so the cap/eviction contract cannot drift between
+    operators — the batch-side analog of operators/dedup's
+    ``_capped_bucket_pairs`` sharing."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     def emit_pairs(key, pdfs, state):
         if state.hasTimedOut:
@@ -231,7 +244,7 @@ def minhash_pairs_stateful(
         state.setTimeoutTimestamp(max(newest_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    return sig_rows.groupBy("band", "signature").applyInPandasWithState(
+    return rows.groupBy(*bucket_cols).applyInPandasWithState(
         emit_pairs,
         outputStructType="id_a bigint, id_b bigint",
         stateStructType="ids array<bigint>, newest_ms bigint",
@@ -400,6 +413,62 @@ def run_stream_simhash_wide_to_memory(
         pairs = simhash_wide_pairs_stateful(
             read_documents_stream(spark, sf_dir), max_hamming=max_hamming
         )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)
+
+
+# --- Streaming winnowing: local-overlap candidate emission ------------------
+
+
+def winnow_pairs_stateful(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    k: int = 3,
+    window: int = 4,
+    watermark: str = "30 days",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Streaming winnow-fingerprint candidate pairs — the ingest-time
+    twin of operators/dedup.winnow_pairs, through the SAME stateful
+    bucket emitter as the minhash stream (state per fingerprint:
+    capped membership + EventTimeTimeout eviction; see
+    ``_stateful_bucket_pairs``).
+
+    Output is the candidate-pair MULTISET (a pair sharing several
+    fingerprints appears once per shared fingerprint) — the batch
+    fingerprint self-join WITHOUT the min_shared aggregation is its
+    exact oracle; a production consumer aggregates multiplicity
+    downstream exactly like the batch operator's groupBy does."""
+    from magicxml_spark.operators.dedup import winnow_fingerprint_sets
+
+    sets_ = winnow_fingerprint_sets(
+        docs, id_col, text_col, k, window, extra_cols=(ts_col,)
+    ).filter(F.size("fps") > 0)
+    rows = sets_.select(
+        "id", F.col(ts_col).alias("_ts"), F.explode("fps").alias("fp")
+    ).withWatermark("_ts", watermark)
+    return _stateful_bucket_pairs(rows, ["fp"], max_bucket_size)
+
+
+def run_stream_winnow_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    state_partitions: int = 8,
+) -> DataFrame:
+    name = f"stream_winnow_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        pairs = winnow_pairs_stateful(read_documents_stream(spark, sf_dir))
         q = (
             pairs.writeStream.outputMode("append")
             .format("memory")

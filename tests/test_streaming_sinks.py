@@ -587,3 +587,59 @@ def test_stream_simhash_wide_state_eviction_under_churn(spark, tmp_path):
     # never across waves (those buckets were evicted)
     got = {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
     assert got == {(w * 1000, w * 1000 + 1) for w in range(n_waves)}, got
+
+
+def test_stream_winnow_cap_freezes_bucket(spark, tmp_path):
+    """The shared stateful emitter's cap contract holds for the winnow
+    key too: above the cap, arrivals still emit against the first cap
+    members but are not remembered (O(cap) per arrival)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.streaming.dedup import winnow_pairs_stateful
+    from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    n, cap = 12, 3
+    docs = spark.createDataFrame(
+        [(i, "the very same boilerplate paragraph repeated in every mirror copy")
+         for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    docs.coalesce(1).write.parquet(str(feed / "documents.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .load(str(feed / "documents.parquet"))
+        .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
+    )
+    name = f"winnow_cap_{_uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, 4):
+        q = (
+            winnow_pairs_stateful(stream, max_bucket_size=cap)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    pairs = spark.table(name).collect()
+    n_fps = len({r["id_a"] for r in pairs} )  # noqa: just ensure emission
+    # every doc beyond the first emits against at most cap members per
+    # fingerprint; all docs are identical so every fingerprint bucket
+    # behaves the same: distinct partners of any id_b are exactly the
+    # first cap doc ids
+    partners = {}
+    for r in pairs:
+        partners.setdefault(r["id_b"], set()).add(r["id_a"])
+    for id_b, ps in partners.items():
+        assert ps <= set(range(cap)), (id_b, ps)
+    assert set(partners) == set(range(1, n))  # everyone after doc 0 flagged
