@@ -5,13 +5,15 @@ container is zlib + per-scanline filters, both fully implementable on
 the standard library, so the image operators (S11 metadata, K10
 resize / image->PDF) run for real without Pillow.
 
-Subset: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced or Adam7-interlaced.
-``decode_png`` returns ``None`` for anything else (16-bit) — callers
-keep their gated path for exotic files, exactly like pdf_lite returns
-[] for image-only PDFs. All five scanline filters
-(None/Sub/Up/Average/Paeth) are implemented per pass, so files from
-real encoders decode correctly.
+Subset: 8- and 16-bit samples (16-bit downsamples to 8 — the high
+byte is the correctly truncated value), color types 0 (gray), 2
+(RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced or
+Adam7-interlaced. ``decode_png`` returns ``None`` for anything else
+(1/2/4-bit depths) — callers keep their gated path for exotic files,
+exactly like pdf_lite returns [] for image-only PDFs. All five
+scanline filters (None/Sub/Up/Average/Paeth) are implemented per pass
+at the correct byte distance, so files from real encoders decode
+correctly.
 
 Decoded form: (width, height, mode, pixels) with mode 'L'/'LA'/'RGB'/
 'RGBA' (palette expands to RGB) and pixels one flat bytearray,
@@ -44,12 +46,15 @@ _ADAM7 = (
 )
 
 
-def _unfilter(raw: bytes, off: int, w: int, h: int, ch: int):
-    """Reverse the five scanline filters over an h x (1 + w*ch) block
+def _unfilter(raw: bytes, off: int, w: int, h: int, bpb: int):
+    """Reverse the five scanline filters over an h x (1 + w*bpb) block
     starting at ``off``; None on truncation or an unknown filter tag.
-    One call decodes a whole non-interlaced image; Adam7 calls it once
-    per pass (each pass filters against its OWN previous row)."""
-    stride = w * ch
+    ``bpb`` is BYTES per pixel (channels x bytes-per-sample) — the
+    filters' "left" reference is bpb bytes back, which is what makes
+    the same loop correct for 8- and 16-bit samples. One call decodes
+    a whole non-interlaced image; Adam7 calls it once per pass (each
+    pass filters against its OWN previous row)."""
+    stride = w * bpb
     if len(raw) < off + h * (stride + 1):
         return None
     out = bytearray(h * stride)
@@ -59,19 +64,19 @@ def _unfilter(raw: bytes, off: int, w: int, h: int, ch: int):
         f = raw[row_at]
         line = bytearray(raw[row_at + 1 : row_at + 1 + stride])
         if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpb, stride):
+                line[i] = (line[i] + line[i - bpb]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpb] if i >= bpb else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
+                left = line[i - bpb] if i >= bpb else 0
+                ul = prev[i - bpb] if i >= bpb else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif f != 0:
             return None
@@ -110,36 +115,42 @@ def _decode_png_inner(data: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
-    if ctype_i not in _CHANNELS:
-        return None
+    if ctype_i not in _CHANNELS or (depth == 16 and ctype_i == 3):
+        return None  # 16-bit palette indices are illegal per spec
     ch = _CHANNELS[ctype_i]
+    bps = depth // 8
+    bpb = ch * bps  # filter distance: bytes per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
     if interlace == 1:  # Adam7: 7 sequentially-filtered sub-images
-        out = bytearray(h * w * ch)
+        out = bytearray(h * w * bpb)
         pos2 = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub = _unfilter(raw, pos2, pw, ph, ch)
+            sub = _unfilter(raw, pos2, pw, ph, bpb)
             if sub is None:
                 return None
-            pos2 += ph * (pw * ch + 1)
+            pos2 += ph * (pw * bpb + 1)
             for sy in range(ph):
                 for sx in range(pw):
-                    src = (sy * pw + sx) * ch
-                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * ch
-                    out[dst : dst + ch] = sub[src : src + ch]
+                    src = (sy * pw + sx) * bpb
+                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * bpb
+                    out[dst : dst + bpb] = sub[src : src + bpb]
     else:
-        out = _unfilter(raw, 0, w, h, ch)
+        out = _unfilter(raw, 0, w, h, bpb)
         if out is None:
             return None
+    if bps == 2:
+        # 16-bit samples are big-endian: the high byte at every even
+        # offset IS the correctly rounded-down 8-bit value
+        out = bytearray(out[0::2])
     if ctype_i == 3:  # palette -> RGB
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):

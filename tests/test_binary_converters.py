@@ -931,3 +931,43 @@ def test_png_adam7_interlace_roundtrip():
         assert got is not None, (w, h, mode)
         assert got[:3] == (w, h, mode)
         assert bytes(got[3]) == pix, (w, h, mode)
+
+
+def test_png_16bit_downsamples_to_8bit():
+    """16-bit-per-sample files decode with the high byte per sample,
+    including a Sub-filtered row (the filter's left reference must be
+    bytes-per-PIXEL, 6 bytes for 16-bit RGB, not 3)."""
+    import struct
+    import zlib
+
+    from magicxml_spark.sources.png_lite import _SIG, _chunk, decode_png
+
+    w, h = 3, 2
+    hi = [[10, 20, 30, 40, 50, 60, 70, 80, 90],
+          [15, 25, 35, 45, 55, 65, 75, 85, 95]]  # per-row sample high bytes
+    rows16 = [
+        b"".join(struct.pack(">H", (v << 8) | 0xAB) for v in r) for r in hi
+    ]
+    # row 0: filter 0; row 1: Sub-filter it manually at 6-byte distance
+    r1 = bytearray(rows16[1])
+    bpb = 6
+    for i in range(len(r1) - 1, bpb - 1, -1):
+        r1[i] = (r1[i] - rows16[1][i - bpb]) & 0xFF
+    raw = b"\x00" + rows16[0] + b"\x01" + bytes(r1)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got is not None and got[:3] == (w, h, "RGB")
+    assert list(got[3]) == hi[0] + hi[1]
+    # 1-bit depth stays out-of-subset -> None
+    bad = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bad) is None
