@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 
 _WS = "\\s+"
 
+# Default mega-bucket guard for EVERY pair emitter (batch and the
+# streaming twins import it): buckets above this star-emit against the
+# min-id representative instead of all-pairs. The sf10 probe
+# (tools/dedup_cap_probe.py, BASELINE.md) shows uncapped emission grows
+# quadratically on boilerplate-dense corpora (384M pairs; winnow OOMs at
+# sf1) while capped stays linear — so capped IS the operating mode, and
+# exact all-pairs is the explicit opt-out (``max_bucket_size=None``) for
+# oracle-parity checks at test scale.
+DEFAULT_MAX_BUCKET_SIZE = 64
+
 
 def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), _WS), lambda t: t != F.lit(""))
@@ -291,7 +301,7 @@ def lsh_candidate_pairs(
     text_col: str,
     n_bands: int = 4,
     shingle_k: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     hash_family: str = "md5",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band signature.
@@ -304,9 +314,11 @@ def lsh_candidate_pairs(
     cap star-emit against their min-id representative — O(b) pairs
     instead of O(b²) for a boilerplate cluster of b docs — and the
     downstream transitive closure (dedup_clusters) reconstructs the
-    identical cluster membership. None = exact all-pairs emission (the
-    oracle-checked default); at 100 TB set a cap, because AQE splits
-    the shuffle, not the pair count.
+    identical cluster membership. The cap defaults ON
+    (``DEFAULT_MAX_BUCKET_SIZE``) because AQE splits the shuffle, not
+    the pair count — uncapped emission is quadratic on boilerplate
+    clusters (sf10 probe: 384M pairs). ``None`` is the explicit
+    opt-out for exact all-pairs emission at oracle/test scale.
 
     ``hash_family='xxhash64'`` is the fast non-oracle mode (see
     minhash_signatures) — identical plan shape, ~1.3x cheaper end to
@@ -493,7 +505,7 @@ def simhash_wide_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Hamming near-dup pairs over the 64-bit sketch: distinct
     (id_a < id_b, hamming) with hamming <= ``max_hamming`` summed over
@@ -506,7 +518,8 @@ def simhash_wide_near_dup_pairs(
     ``max_bucket_size`` star-emits against the bucket's min-id
     representative above the cap (same contract and caveat as
     ``simhash_near_dup_pairs``): identical-boilerplate clusters
-    mega-bucket at ANY sketch width, so the cap stays available."""
+    mega-bucket at ANY sketch width, so the cap defaults ON
+    (``DEFAULT_MAX_BUCKET_SIZE``; ``None`` = explicit exact opt-out)."""
     if max_hamming > 7:
         raise ValueError(
             f"max_hamming={max_hamming} breaks exact pigeonhole coverage "
@@ -942,7 +955,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_slices: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Hamming-distance SimHash near-dup: distinct (id_a < id_b) pairs
     whose 16-bit sketches differ in at most ``max_hamming`` bits — the
@@ -973,8 +986,9 @@ def simhash_near_dup_pairs(
     to the rep exceeds ``max_hamming`` is dropped from the pair list
     even if some other in-bucket partner was within range (transitive
     closure over the surviving pairs still clusters exact-duplicate
-    boilerplate, which is what mega-buckets are in practice). None =
-    exact all-pairs emission.
+    boilerplate, which is what mega-buckets are in practice). The cap
+    defaults ON (``DEFAULT_MAX_BUCKET_SIZE``); ``None`` is the explicit
+    opt-out for exact all-pairs emission at oracle/test scale.
     """
     if max_hamming > n_slices - 1:
         raise ValueError(
@@ -1140,7 +1154,7 @@ def winnow_pairs(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
     with containment = shared / min(|fps_a|, |fps_b|) — the
@@ -1151,25 +1165,34 @@ def winnow_pairs(
     shuffle to bucket by fp, self-join inside buckets, then a pair-key
     aggregation. At corpus scale a stop-fingerprint (ubiquitous
     boilerplate gram) would make one bucket quadratic, so
-    ``max_bucket_size`` applies the shared mega-bucket star-emission
-    guard; capped mode returns DISTINCT candidate pairs through the
-    bucket representative (no counts — the cap changes multiplicity by
-    design), matching ``lsh_candidate_pairs`` semantics.
+    ``max_bucket_size`` (default ON) applies the shared mega-bucket
+    star-emission guard with the per-doc set size riding along as the
+    emitter payload — the output schema is IDENTICAL in both modes,
+    and for corpora whose fp buckets all fit under the cap the capped
+    result EQUALS the exact one row-for-row. Above the cap, a member's
+    ``n_shared`` counts fingerprints shared with the bucket
+    REPRESENTATIVE (min id) rather than with every partner — O(b)
+    pairs per boilerplate cluster instead of O(b²), with transitive
+    closure (``dedup_clusters``) recovering full cluster membership.
+    ``None`` = exact all-pairs emission (oracle/test scale only).
     """
     sets_ = winnow_fingerprint_sets(df, id_col, text_col, k, window).filter(
         F.size("fps") > 0
     )
     long = sets_.select("id", F.size("fps").alias("_n_fps"), F.explode("fps").alias("fp"))
     if max_bucket_size is not None:
-        return _capped_bucket_pairs(long, ["fp"], max_bucket_size).distinct()
-    a = long.alias("wa")
-    b = long.alias("wb")
-    return (
-        a.join(
+        cand = _capped_bucket_pairs(
+            long, ["fp"], max_bucket_size, payload_col="_n_fps"
+        ).select(
+            "id_a", "id_b", F.col("_pay_a").alias("_na"), F.col("_pay_b").alias("_nb")
+        )
+    else:
+        a = long.alias("wa")
+        b = long.alias("wb")
+        cand = a.join(
             b,
             (F.col("wa.fp") == F.col("wb.fp")) & (F.col("wa.id") < F.col("wb.id")),
-        )
-        .groupBy(
+        ).select(
             F.col("wa.id").alias("id_a"),
             F.col("wb.id").alias("id_b"),
             # per-doc set sizes ride the long rows — grouping keys, not
@@ -1177,6 +1200,8 @@ def winnow_pairs(
             F.col("wa._n_fps").alias("_na"),
             F.col("wb._n_fps").alias("_nb"),
         )
+    return (
+        cand.groupBy("id_a", "id_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(

@@ -69,8 +69,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size=None pins exact all-pairs emission — the oracle's
+    # semantics; the library default is the capped mode (DEFAULT_MAX_BUCKET_SIZE)
     return lsh_candidate_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4, shingle_k=3
+        table(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4,
+        shingle_k=3, max_bucket_size=None,
     )
 
 
@@ -166,7 +169,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=2
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=2,
+        max_bucket_size=None,  # oracle = exact all-pairs semantics
     )
 
 
@@ -432,7 +436,8 @@ def q_simhash_wide_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.dedup import simhash_wide_near_dup_pairs
 
     return simhash_wide_near_dup_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7,
+        max_bucket_size=None,  # oracle = exact all-pairs semantics
     )
 
 
@@ -441,7 +446,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3,
+        max_bucket_size=None,  # oracle = exact all-pairs semantics
     )
 
 
@@ -471,7 +477,8 @@ def _simhash_wide_stream_oracle() -> str:
 def q_stream_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.streaming.dedup import run_stream_simhash_wide_to_memory
 
-    return run_stream_simhash_wide_to_memory(spark, sf_dir)
+    # explicit uncapped pin: the oracle is the exact batch-join multiset
+    return run_stream_simhash_wide_to_memory(spark, sf_dir, max_bucket_size=None)
 
 
 # --- Text profile: token counts, quality, language ID, fingerprint -----------

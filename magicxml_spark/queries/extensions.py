@@ -235,7 +235,8 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.streaming.dedup import run_stream_minhash_to_memory
 
-    return run_stream_minhash_to_memory(spark, sf_dir)
+    # explicit uncapped pin: the oracle is the exact batch-join multiset
+    return run_stream_minhash_to_memory(spark, sf_dir, max_bucket_size=None)
 
 
 # --- Streaming winnow candidate emission --------------------------------------
@@ -258,7 +259,8 @@ def _stream_winnow_oracle() -> str:
 def q_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.streaming.dedup import run_stream_winnow_to_memory
 
-    return run_stream_winnow_to_memory(spark, sf_dir)
+    # explicit uncapped pin: the oracle is the exact batch-join multiset
+    return run_stream_winnow_to_memory(spark, sf_dir, max_bucket_size=None)
 
 
 # --- Dedup clustering: connected components over LSH candidate pairs --------
@@ -290,7 +292,9 @@ def q_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, shingle_k=3)
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", n_bands=4, shingle_k=3, max_bucket_size=None
+    )  # oracle = exact all-pairs semantics
     nodes = docs.select(F.col("doc_id").alias("id"))
     return dedup_clusters(nodes, pairs)
 

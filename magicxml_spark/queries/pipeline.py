@@ -490,7 +490,9 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
 
     docs = table(spark, sf_dir, "documents")
-    pairs = winnow_pairs(docs, "doc_id", "text", min_shared=3)
+    pairs = winnow_pairs(
+        docs, "doc_id", "text", min_shared=3, max_bucket_size=None
+    )  # oracle = exact all-pairs semantics
     dropped = (
         pairs.filter(F.col("containment") >= 0.5)
         .select(F.col("id_b").alias("doc_id"))

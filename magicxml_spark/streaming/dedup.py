@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magicxml_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     minhash_band_signature_array,
     word_shingles,
 )
@@ -136,7 +137,7 @@ def minhash_pairs_stateful(
     n_bands: int = 4,
     shingle_k: int = 3,
     watermark: str = "30 days",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Streaming LSH candidate emission (applyInPandasWithState).
 
@@ -161,7 +162,11 @@ def minhash_pairs_stateful(
     representatives — but are not added to state. Per-arrival work and
     state are then O(cap) instead of O(bucket), which is the difference
     between a hot boilerplate signature costing quadratic pairs and a
-    bounded pair budget. None = unbounded (exact batch-join multiset).
+    bounded pair budget. The cap defaults ON
+    (``DEFAULT_MAX_BUCKET_SIZE``); ``None`` is the explicit opt-out
+    yielding the exact batch-join multiset — oracle/test scale only,
+    because an uncapped hot bucket's state and per-arrival emission
+    are unbounded.
 
     State is bounded in BOTH dimensions: ``max_bucket_size`` caps each
     bucket's membership, and an EventTimeTimeout tied to the watermark
@@ -259,6 +264,7 @@ def run_stream_minhash_to_memory(
     n_bands: int = 4,
     shingle_k: int = 3,
     state_partitions: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     name = f"stream_minhash_{uuid.uuid4().hex[:8]}"
     with _stream_tuning(spark, state_partitions):
@@ -266,6 +272,7 @@ def run_stream_minhash_to_memory(
             read_documents_stream(spark, sf_dir),
             n_bands=n_bands,
             shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
         )
         q = (
             pairs.writeStream.outputMode("append")
@@ -287,7 +294,7 @@ def simhash_wide_pairs_stateful(
     ts_col: str = "ingest_ts",
     max_hamming: int = 7,
     watermark: str = "30 days",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Streaming wide-SimHash near-dup emission — the stateful twin of
     ``operators.dedup.simhash_wide_near_dup_pairs``, shaped exactly
@@ -407,11 +414,14 @@ def run_stream_simhash_wide_to_memory(
     sf_dir: str,
     max_hamming: int = 7,
     state_partitions: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     name = f"stream_simhash_wide_{uuid.uuid4().hex[:8]}"
     with _stream_tuning(spark, state_partitions):
         pairs = simhash_wide_pairs_stateful(
-            read_documents_stream(spark, sf_dir), max_hamming=max_hamming
+            read_documents_stream(spark, sf_dir),
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
         )
         q = (
             pairs.writeStream.outputMode("append")
@@ -437,7 +447,7 @@ def winnow_pairs_stateful(
     k: int = 3,
     window: int = 4,
     watermark: str = "30 days",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Streaming winnow-fingerprint candidate pairs — the ingest-time
     twin of operators/dedup.winnow_pairs, through the SAME stateful
@@ -465,10 +475,13 @@ def run_stream_winnow_to_memory(
     spark: SparkSession,
     sf_dir: str,
     state_partitions: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     name = f"stream_winnow_{uuid.uuid4().hex[:8]}"
     with _stream_tuning(spark, state_partitions):
-        pairs = winnow_pairs_stateful(read_documents_stream(spark, sf_dir))
+        pairs = winnow_pairs_stateful(
+            read_documents_stream(spark, sf_dir), max_bucket_size=max_bucket_size
+        )
         q = (
             pairs.writeStream.outputMode("append")
             .format("memory")

@@ -1071,3 +1071,71 @@ def test_heuristic_parse_num_rule_cross_engine(spark):
             f"FROM (SELECT '{tok}' AS t, 1 AS i)"
         ).fetchone()[0]
         assert duck_pos == got[tok], tok
+
+
+def test_default_max_bucket_size_caps_batch_emitters(spark):
+    """The DEFAULT path is the capped mode on every batch pair emitter
+    (VERDICT r4 #1): a boilerplate cluster larger than
+    DEFAULT_MAX_BUCKET_SIZE star-emits O(b) pairs out of the box —
+    quadratic emission now requires the explicit ``max_bucket_size=None``
+    opt-out. Also pins that capped winnow_pairs keeps the SAME output
+    schema (n_shared + containment) as the exact mode."""
+    from magicxml_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+        simhash_wide_near_dup_pairs,
+        winnow_pairs,
+    )
+
+    n = DEFAULT_MAX_BUCKET_SIZE + 6
+    docs = spark.createDataFrame(
+        [(i, "the very same boilerplate footer text repeated everywhere") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    star, quad = n - 1, n * (n - 1) // 2
+
+    assert lsh_candidate_pairs(docs, "doc_id", "text").count() == star
+    assert (
+        lsh_candidate_pairs(docs, "doc_id", "text", max_bucket_size=None).count()
+        == quad
+    )
+    assert simhash_near_dup_pairs(docs).count() == star
+    assert simhash_wide_near_dup_pairs(docs).count() == star
+
+    capped_w = winnow_pairs(docs, "doc_id", "text")
+    assert capped_w.columns == ["id_a", "id_b", "n_shared", "containment"]
+    rows = capped_w.collect()
+    assert len(rows) == star
+    # identical docs: full fingerprint containment through the star rep
+    assert all(r["id_a"] == 0 and r["containment"] == 1.0 for r in rows)
+    exact_w = winnow_pairs(docs, "doc_id", "text", max_bucket_size=None)
+    assert exact_w.columns == capped_w.columns
+    assert exact_w.count() == quad
+
+
+def test_winnow_pairs_capped_equals_exact_under_cap(spark):
+    """For corpora whose fingerprint buckets all fit under the cap, the
+    capped default must EQUAL the exact mode row-for-row (the property
+    that lets oracle-gated queries pin None while users get the capped
+    default with no behavior change at sane bucket sizes)."""
+    from magicxml_spark.operators.dedup import winnow_pairs
+
+    quoted = (
+        "to be or not to be that is the question whether tis nobler "
+        "in the mind to suffer the slings and arrows of outrageous fortune"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"essay introduction paragraph {quoted} concluding remarks follow"),
+            (2, f"a review citing the passage {quoted} with commentary afterwards"),
+            (3, "completely unrelated shopping list milk eggs bread butter cheese"),
+            (4, "completely unrelated shopping list milk eggs bread butter cheese"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = sorted(
+        map(tuple, winnow_pairs(docs, "doc_id", "text", max_bucket_size=None).collect())
+    )
+    capped = sorted(map(tuple, winnow_pairs(docs, "doc_id", "text").collect()))
+    assert capped == exact and len(exact) > 0

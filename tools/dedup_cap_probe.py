@@ -94,7 +94,7 @@ def main() -> None:
     if "mu" in runs:
         run(
             "minhash_lsh uncapped",
-            lambda: lsh_candidate_pairs(docs, "doc_id", "text"),
+            lambda: lsh_candidate_pairs(docs, "doc_id", "text", max_bucket_size=None),
         )
     if "mc" in runs:
         run(
@@ -104,7 +104,7 @@ def main() -> None:
     if "su" in runs:
         run(
             "simhash_wide uncapped",
-            lambda: simhash_wide_near_dup_pairs(docs, "doc_id", "text"),
+            lambda: simhash_wide_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=None),
         )
     if "sc" in runs:
         run(
