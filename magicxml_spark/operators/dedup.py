@@ -326,7 +326,14 @@ def lsh_candidate_pairs(
     """
     sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_k, hash_family)
     if max_bucket_size is not None:
-        return _capped_bucket_pairs(sig, ["band", "signature"], max_bucket_size).distinct()
+        # blank docs carry null signatures; the uncapped equi-join drops
+        # them implicitly (null != null), but the window partition would
+        # group them into ONE bucket and star-emit blank-doc pairs
+        return _capped_bucket_pairs(
+            sig.filter(F.col("signature").isNotNull()),
+            ["band", "signature"],
+            max_bucket_size,
+        ).distinct()
     a = sig.alias("a")
     b = sig.alias("b")
     return (

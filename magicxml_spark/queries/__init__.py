@@ -48,26 +48,75 @@ from magicxml_spark.queries import pipeline  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-4 rotation:
-# the flagship, then the four queries whose code or oracle changed this
-# round (the r3 hash-red fixes + the re-oracled refit plan), then the
-# two round-4 additions (first driver row), then the 30 queries the
-# round-3 sample missed (driver-green in r1/r2, parity-green every
-# round since — rotating them in refreshes their hard-signal row), then
-# spot-checks of the heavier r3-green families. The tail is everything
-# with a fresh r3 driver-green row. Names missing from the list (future
-# additions) append in registration order; the assertion keeps the list
-# honest.
+# get a driver-recorded correctness row each round. Round-5 rotation
+# (VERDICT r4 "Next #2"): the two round-5 additions (first driver row:
+# the capped-emission oracle twin + the xxhash64 recall invariant),
+# then the two r2-stale queries (q_md5_user_hash, q_html_clean — their
+# last driver row is CORRECTNESS_r02), then ALL 45 remaining queries
+# unsampled in r4 (similarity family and the emitters whose call sites
+# changed this round lead), closing with the flagship at slot 50.
+# After r5 no query's latest driver row is older than 2 rounds. The
+# tail is everything driver-green in r4. Names missing from the list
+# (future additions) append in registration order; the assertion keeps
+# the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
+    "q_lsh_pairs_capped",
+    "q_lsh_xxhash64_recall",
+    "q_md5_user_hash",
+    "q_html_clean",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_auto",
+    "q_cosine_topk_int8",
+    "q_ann_recall",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_stock_aggregate",
+    "q_category_path",
+    "q_minhash_lsh_pairs",
+    "q_simhash_wide_near_dup",
+    "q_simhash_near_dup",
+    "q_simhash",
+    "q_curation_pipeline",
+    "q_stream_interval_join",
+    "q_stream_simhash_wide_pairs",
+    "q_decontaminate",
+    "q_exact_dedup",
+    "q_category_path_recursive",
+    "q_snapshot_dedup",
+    "q_asof_join",
+    "q_range_join",
+    "q_asof_prev_purchase",
+    "q_salted_agg",
+    "q_session_window",
+    "q_key_skew",
+    "q_repetition_profile",
+    "q_contamination",
+    "q_incremental_dedup",
+    "q_quota_sample",
+    "q_stratified_sample",
+    "q_hash_split",
+    "q_json_props",
+    "q_line_dedup",
+    "q_chunk_text",
+    "q_ivf_snapshot_search",
+    "q_chunks_to_shards",
+    "q_simhash_wide",
+    "q_stream_interval_semi",
+    "q_jaccard_pairs",
+    "q_text_profile",
+    "q_tfidf_top_terms",
+    "q_corpus_filter",
+    "q_events_stream_windowed",
     "q_flagship_revenue",
-    # round-4 changed (r3 red rows, type-canonicalized + re-oracled)
+    # --- r4-green tail (sampled last round) ---
     "q_pii_scrub",
     "q_moving_sum",
     "q_token_shards",
     "q_ivf_refit_plan",
-    # round-4 additions (need their first driver row)
     "q_pii_luhn",
     "q_url_dedup",
     "q_stream_interval_outer",
@@ -85,7 +134,6 @@ _DRIVER_SAMPLE_ORDER = [
     "q_zorder_key",
     "q_curation_v2",
     "q_stream_winnow_pairs",
-    # round-3 unsampled (driver window priority this round)
     "q_events_stream_sessionize",
     "q_events_stream_dedup",
     "q_stream_minhash_pairs",
@@ -114,55 +162,6 @@ _DRIVER_SAMPLE_ORDER = [
     "q_size_strip",
     "q_defaults",
     "q_csv_normalize",
-    "q_md5_user_hash",
-    "q_html_clean",
-    # spot-checks of heavier r3-green families (fills the ~50 window)
-    "q_minhash_lsh_pairs",
-    "q_simhash_wide_near_dup",
-    "q_cosine_topk",
-    "q_cosine_topk_ivf",
-    "q_curation_pipeline",
-    "q_stream_interval_join",
-    "q_stream_simhash_wide_pairs",
-    "q_decontaminate",
-    "q_exact_dedup",
-    "q_category_path_recursive",
-    "q_snapshot_dedup",
-    "q_asof_join",
-    "q_range_join",
-    # r3 driver-green + pytest-replayed every round
-    "q_asof_prev_purchase",
-    "q_salted_agg",
-    "q_session_window",
-    "q_key_skew",
-    "q_repetition_profile",
-    "q_contamination",
-    "q_incremental_dedup",
-    "q_quota_sample",
-    "q_stratified_sample",
-    "q_hash_split",
-    "q_json_props",
-    "q_line_dedup",
-    "q_chunk_text",
-    "q_ivf_snapshot_search",
-    "q_chunks_to_shards",
-    "q_simhash_wide",
-    "q_stream_interval_semi",
-    "q_stock_aggregate",
-    "q_category_path",
-    "q_jaccard_pairs",
-    "q_simhash",
-    "q_simhash_near_dup",
-    "q_text_profile",
-    "q_tfidf_top_terms",
-    "q_cosine_topk_lsh",
-    "q_cosine_topk_auto",
-    "q_ann_recall",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_cosine_topk_int8",
-    "q_corpus_filter",
-    "q_events_stream_windowed",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

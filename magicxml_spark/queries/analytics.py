@@ -77,6 +77,135 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Capped LSH emission (the library-default mode, oracle-guarded) ----------
+# The DuckDB oracle replicates the CAPPED semantics exactly: all-pairs
+# within (band, signature) buckets of <= cap members, star pairs
+# (min-id representative, member) above — mirroring
+# _capped_bucket_pairs so the default operating mode at 100 TB has its
+# own hard correctness gate, not just the uncapped oracle plus tests.
+# The testdata corpus has no exact-duplicate clusters, so the gate
+# plants a deterministic boilerplate cluster (every 25th doc's text is
+# replaced by a constant footer — 20 docs at sf0.01, one >cap bucket
+# per band) to force the star branch; the oracle applies the identical
+# CASE rewrite. Everything else stays real corpus text exercising the
+# small-bucket all-pairs branch.
+_BOILER = "subscribe to our newsletter for weekly updates and exclusive offers"
+_LSH_SIG_BOILER_SQL = f"""
+    d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 25 = 0 THEN '{_BOILER}' ELSE text END AS text
+          FROM documents),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM d),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                 i -> array_to_string(w[i:i+2], ' ')) AS sh
+           FROM w WHERE len(w) > 0),
+    sig AS (SELECT doc_id, b.band,
+                   list_aggregate(list_transform(sh, s -> substr(md5(s), 1 + b.band * 8, 8)),
+                                  'min') AS signature
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b)
+"""
+
+
+@query(
+    "q_lsh_pairs_capped",
+    oracle=f"""
+    WITH {_LSH_SIG_BOILER_SQL},
+    sized AS (SELECT doc_id, band, signature,
+                     count(*) OVER (PARTITION BY band, signature) AS n,
+                     min(doc_id) OVER (PARTITION BY band, signature) AS rep
+              FROM sig),
+    small AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM sized a JOIN sized b2
+                ON a.band = b2.band AND a.signature = b2.signature
+               AND a.doc_id < b2.doc_id
+              WHERE a.n <= 8),
+    star AS (SELECT rep AS id_a, doc_id AS id_b
+             FROM sized WHERE n > 8 AND doc_id <> rep)
+    SELECT DISTINCT id_a, id_b
+    FROM (SELECT * FROM small UNION ALL SELECT * FROM star)
+    """,
+)
+def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_candidate_pairs in the CAPPED mode (cap=8) against a DuckDB
+    twin of the star-emission semantics; the planted boilerplate
+    cluster guarantees the star branch runs at every SF."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 25 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", n_bands=4, shingle_k=3, max_bucket_size=8
+    )
+
+
+# --- xxhash64 LSH family: oracle-guarded recall invariant ---------------------
+# DuckDB has no xxhash64 builtin, so the fast hash family cannot be
+# value-replicated. Oracle the INVARIANT instead (VERDICT r4 #4): any
+# min-wise family buckets exact duplicates identically — every pair of
+# documents with equal normalized text (and a non-empty shingle set)
+# MUST appear in the xxhash64 candidate set. The result is the
+# family-INDEPENDENT exact-duplicate pair list with a `missed` flag the
+# Spark side computes by probing the actual xxhash64 pairs; the oracle
+# pins every flag to FALSE. A recall regression in the fast path
+# flips flags to TRUE -> hash mismatch -> red driver row.
+# The corpus has no exact duplicates, so the gate mirrors every 10th
+# document under a high id offset (a deterministic re-crawl twin) —
+# the oracle applies the identical UNION ALL — giving a non-vacuous
+# family-independent duplicate pair list to probe recall against.
+_MIRROR_SQL = """
+    dd AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+@query(
+    "q_lsh_xxhash64_recall",
+    oracle=f"""
+    WITH {_MIRROR_SQL},
+    n AS (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS nw
+          FROM dd)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, FALSE AS missed
+    FROM n a JOIN n b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.nw > 0 AND b.nw > 0
+    """,
+)
+def q_lsh_xxhash64_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    normed = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    n_words = F.size(
+        F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    )
+    fp = docs.select(
+        F.col("doc_id").alias("id"), F.md5(normed).alias("fp")
+    ).filter(n_words > 0)
+    dup = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.expr("a.fp = b.fp AND a.id < b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    # max_bucket_size=None: star emission keeps only rep-anchored pairs,
+    # which would legitimately drop non-rep duplicate pairs from the
+    # candidate LIST (clusters recover them) — the recall invariant is
+    # on the exact emission mode.
+    cand = lsh_candidate_pairs(
+        docs, "doc_id", "text", n_bands=4, shingle_k=3,
+        max_bucket_size=None, hash_family="xxhash64",
+    )
+    return dup.join(
+        cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select("id_a", "id_b", F.col("_hit").isNull().alias("missed"))
+
+
 # --- Exact n-gram Jaccard (verify step, over consecutive-doc pairs) ----------
 @query(
     "q_jaccard_pairs",
