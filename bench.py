@@ -52,6 +52,22 @@ def main() -> None:
         "q_salted_agg",
         "q_events_stream_windowed",
     ]
+    # Secondary list: the round-4 operator class (sketches, winnowing,
+    # layout, parse) plus the round-5 capped-emission gate — timed and
+    # reported under "secondary" so regressions in the NEW operator
+    # class are machine-visible round-over-round (VERDICT r4 #7), while
+    # "value" stays the headline total comparable to every prior round.
+    secondary = [
+        "q_winnow_fingerprint",
+        "q_winnow_pairs",
+        "q_hll_distinct",
+        "q_cm_heavy_hitters",
+        "q_bloom_prefilter",
+        "q_histogram_quantiles",
+        "q_dependency_parse",
+        "q_zorder_key",
+        "q_lsh_pairs_capped",
+    ]
     spark = get_spark("magicxml-bench")
     # Warm-up: run every headline query once at the smallest SF so the
     # timed runs measure data-proportional work, not whole-stage-codegen
@@ -60,7 +76,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in headline:
+    for name in headline + secondary:
         if name in QUERIES:
             try:
                 _measure(QUERIES[name](spark, warm_dir))
@@ -74,17 +90,22 @@ def main() -> None:
     # min-of-n is the standard way to report the machine-independent
     # cost. Both runs execute the full plan (no Spark-level result
     # caching between calls — each call rebuilds the DataFrame).
-    timings: dict[str, float] = {}
-    for name in headline:
-        if name not in QUERIES:
-            continue
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _measure(QUERIES[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    def _time_list(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            if name not in QUERIES:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _measure(QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        return out
+
+    timings = _time_list(headline)
+    sec_timings = _time_list(secondary)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -94,6 +115,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "secondary": sec_timings,
+                "secondary_value": round(sum(sec_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
