@@ -91,3 +91,80 @@ def asof_join_backward(
             *[F.col(f"_asof_{c}").alias(c) for c in payload],
         )
     )
+
+
+def interval_lookup_join(
+    facts: DataFrame,
+    dim: DataFrame | list[dict],
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    max_compiled_intervals: int = 256,
+) -> DataFrame:
+    """Range join of a fact table against a SMALL interval dimension
+    (``lo <= value < hi``), compiled to a constant lookup expression.
+
+    Spark plans a non-equi join against a broadcast dimension as
+    BroadcastNestedLoopJoin — every fact row linearly evaluates every
+    interval's two comparisons. For the common case (a static tier /
+    bucket / SLA table of tens of rows) the dimension is known at plan
+    time, so this operator collects it (bounded by
+    ``max_compiled_intervals`` — the same driver-side contract as a
+    broadcast hint) and compiles the interval set into ONE
+    CASE-expression lookup per dimension column: a fact row costs
+    O(log t)-ish branch prediction instead of O(t) predicate
+    evaluations, the join disappears from the plan entirely, and the
+    scan stays a single whole-stage-codegen pass. Measured 2.6x on the
+    q_range_join shape at sf1 forced (0.58 s BNLJ -> 0.22 s compiled;
+    BASELINE.md round-5 residue table).
+
+    Facts matching no interval are dropped (inner-join semantics);
+    overlapping intervals would duplicate BNLJ output rows, which a
+    single CASE cannot express — the guard rejects overlaps so the
+    compiled form is exactly the join. Dimensions larger than the cap
+    raise: fall back to the plain non-equi join there (at that size the
+    linear predicate scan is the lesser cost and the CASE would blow
+    past the codegen method-size limit anyway).
+    """
+    # A dimension that is ALREADY driver-side literals (the static
+    # tier-table case) skips the collect round-trip entirely — even a
+    # 3-row local collect costs ~0.5-0.9 s of job latency per call.
+    if isinstance(dim, list):
+        rows = dim
+        dim_columns = list(rows[0].keys()) if rows else []
+    else:
+        rows = dim.limit(max_compiled_intervals + 1).collect()
+        dim_columns = dim.columns
+    if len(rows) > max_compiled_intervals:
+        raise ValueError(
+            f"interval dimension exceeds max_compiled_intervals="
+            f"{max_compiled_intervals}; use a plain non-equi join"
+        )
+    ivs = sorted(rows, key=lambda r: (r[lo_col], r[hi_col]))
+    for a, b in zip(ivs, ivs[1:]):
+        if b[lo_col] < a[hi_col]:
+            raise ValueError(
+                f"overlapping intervals [{a[lo_col]}, {a[hi_col]}) and "
+                f"[{b[lo_col]}, {b[hi_col]}): compiled lookup would drop "
+                "the duplicate match a join would emit"
+            )
+    v = F.col(value_col)
+    payload_cols = [c for c in dim_columns if c not in (lo_col, hi_col)]
+    # ONE value-comparison CASE producing the interval index; payload
+    # columns look up by integer index. Building a comparison chain per
+    # payload column would re-evaluate every interval bound per column —
+    # Catalyst performs no cross-expression CSE (the simhash lesson) —
+    # and CollapseProject keeps `_iv_idx` a concrete attribute because
+    # it is non-cheap and multiply referenced.
+    idx = F.lit(None).cast("int")
+    for i, r in enumerate(ivs):
+        idx = F.when(
+            (v >= F.lit(r[lo_col])) & (v < F.lit(r[hi_col])), F.lit(i)
+        ).otherwise(idx)
+    out = facts.withColumn("_iv_idx", idx).filter(F.col("_iv_idx").isNotNull())
+    for c in [*payload_cols, lo_col, hi_col]:
+        expr = F.lit(None)
+        for i, r in enumerate(ivs):
+            expr = F.when(F.col("_iv_idx") == i, F.lit(r[c])).otherwise(expr)
+        out = out.withColumn(c, expr)
+    return out.drop("_iv_idx")

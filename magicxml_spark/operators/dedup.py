@@ -439,6 +439,51 @@ def simhash16(text: Column | str) -> Column:
     ).cast("int")
 
 
+def simhash16_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — the same 16-bit sketch as ``simhash16``, computed
+    via explode + hash-aggregate instead of a higher-order-function
+    aggregate. Output is bit-identical (hash-equality A/B at sf1).
+
+    Why two spellings: higher-order-function lambdas run in Catalyst's
+    INTERPRETED expression evaluator — md5/conv per token never enter
+    whole-stage codegen — while the exploded form keeps the token hash
+    and the 16 conditional vote sums inside codegen: measured 5.5 s ->
+    3.1 s forced at sf1 (50k docs; BASELINE.md round-5 residue table).
+    Trade-off: the explode adds one doc-count-sized shuffle (tokens
+    collapse to one 16-vote row per doc in the map-side partial
+    aggregate), where ``simhash16`` is a pure zero-shuffle projection —
+    so the Column form stays the right choice when composing into an
+    existing per-doc projection (near-dup slicing), and this table form
+    is the right standalone materializer.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        # explode_outer keeps zero-token docs (sketch 0, matching the
+        # Column form's empty-aggregate result)
+        F.explode_outer(_words(F.col(text_col))).alias("_t"),
+    )
+    h = tok.withColumn(
+        "_h", F.conv(F.substring(F.md5("_t"), 1, 4), 16, 10).cast("int")
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_t").isNull(), 0)
+                .when(F.shiftright(F.col("_h"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(16)
+        ]
+    )
+    sketch = sum(
+        [
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(0)
+            for b in range(16)
+        ]
+    )
+    return votes.select("id", sketch.cast("int").alias("simhash"))
+
+
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group by exact 16-bit sketch; returns (simhash, keeper_id, n_docs)."""
     return (

@@ -470,8 +470,14 @@ def _simhash_oracle() -> str:
 
 @query("q_simhash", oracle=_simhash_oracle())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    """Standalone sketch materialization -> the explode/hash-agg form
+    (codegen'd md5; 1.8x the HOF-aggregate Column form at sf1 — see
+    simhash16_table docstring). Bit-identical output, same oracle."""
+    from magicxml_spark.operators.dedup import simhash16_table
+
+    return simhash16_table(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
 
 
 # --- SimHash Hamming near-dup (bit-sliced pigeonhole banding) -----------------
@@ -693,14 +699,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE explode pass: the naive n_docs spelling
+    (tok.agg(countDistinct(doc_id))) re-tokenizes AND re-explodes the
+    whole corpus on the second crossJoin branch — Spark re-executes
+    shared DataFrame subtrees per branch. n_docs is just "documents
+    with >= 1 token", computable from a split-only projection (no
+    explode, no token shuffle). Local sf1 times are inside host noise
+    either way (tokenize dominates; BASELINE.md round-5 residue table),
+    but at 100 TB this halves the exploded volume."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
-        ).alias("term"),
+    words = F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    tok = docs.select("doc_id", F.explode(words).alias("term"))
+    n_docs = docs.agg(
+        F.sum(F.when(F.size(words) > 0, 1).otherwise(0)).alias("n_docs")
     )
-    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     stats = tok.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq"), F.count("*").alias("total_tf")
     )

@@ -445,16 +445,22 @@ def q_tfidf_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small disjoint interval dimension -> compiled lookup
+    (operators.asof.interval_lookup_join): the broadcast non-equi join
+    plans as BroadcastNestedLoopJoin evaluating every tier's predicates
+    per event row; compiling the known-at-plan-time dimension into one
+    CASE keeps the scan a single codegen pass — 2.6x at sf1 forced,
+    hash-identical (BASELINE.md round-5 residue table)."""
+    from magicxml_spark.operators.asof import interval_lookup_join
+
     ev = table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e18)],
-        "tier string, lo double, hi double",
-    )
+    tiers = [
+        {"tier": "low", "lo": 0.0, "hi": 25.0},
+        {"tier": "mid", "lo": 25.0, "hi": 75.0},
+        {"tier": "high", "lo": 75.0, "hi": 1e18},
+    ]
     return (
-        ev.join(
-            F.broadcast(tiers),
-            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
-        )
+        interval_lookup_join(ev, tiers, "value")
         .groupBy("tier")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )

@@ -1139,3 +1139,84 @@ def test_winnow_pairs_capped_equals_exact_under_cap(spark):
     )
     capped = sorted(map(tuple, winnow_pairs(docs, "doc_id", "text").collect()))
     assert capped == exact and len(exact) > 0
+
+
+def test_interval_lookup_join_matches_nonequi_join(spark):
+    """The compiled interval lookup must equal the broadcast non-equi
+    join row-for-row (inner semantics: no-match facts dropped), reject
+    overlapping intervals, and reject dimensions above the compile cap."""
+    import pytest
+
+    from magicxml_spark.operators.asof import interval_lookup_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-3, 0, 5, 24.999, 25, 60, 74.9, 75, 99, 1000])],
+        "fact_id bigint, value double",
+    )
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 100.0)],
+        "tier string, lo double, hi double",
+    )
+    ref = sorted(
+        map(
+            tuple,
+            facts.join(
+                F.broadcast(tiers),
+                (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            )
+            .select("fact_id", "value", "tier", "lo", "hi")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            interval_lookup_join(facts, tiers, "value")
+            .select("fact_id", "value", "tier", "lo", "hi")
+            .collect(),
+        )
+    )
+    assert got == ref
+    # -3 (below all) and 1000 (above all) dropped by both
+    assert len(got) == 8
+
+    overlap = spark.createDataFrame(
+        [("a", 0.0, 30.0), ("b", 25.0, 75.0)], "tier string, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        interval_lookup_join(facts, overlap, "value")
+
+    big = spark.range(10).selectExpr(
+        "concat('t', id) AS tier", "CAST(id AS DOUBLE) AS lo", "CAST(id+1 AS DOUBLE) AS hi"
+    )
+    with pytest.raises(ValueError, match="max_compiled_intervals"):
+        interval_lookup_join(facts, big, "value", max_compiled_intervals=5)
+
+
+def test_simhash16_table_matches_column_form(spark):
+    """The explode/hash-agg materializer is bit-identical to the
+    HOF-aggregate Column form, including empty and whitespace-only
+    docs (sketch 0, the empty-aggregate result)."""
+    from magicxml_spark.operators.dedup import simhash16, simhash16_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with other words entirely"),
+            (4, ""),
+            (5, "   "),
+            (6, "one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash16(F.col("text")).alias("s")).collect()
+    }
+    tbl_form = {
+        r["id"]: r["simhash"] for r in simhash16_table(docs, "doc_id", "text").collect()
+    }
+    assert tbl_form == col_form
+    assert tbl_form[4] == 0 and tbl_form[5] == 0
+    assert tbl_form[1] == tbl_form[2] != tbl_form[3]
