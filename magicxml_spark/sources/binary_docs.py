@@ -554,7 +554,10 @@ def pdf_to_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
 
-        from magicxml_spark.sources.pdf_raster import rasterize_pdf
+        from magicxml_spark.sources.pdf_raster import (
+            rasterize_pdf,
+            rasterize_text_pdf,
+        )
 
         use_real = _have("fitz") or _have("pdf2image")
         for pdf in it:
@@ -562,6 +565,12 @@ def pdf_to_images(
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = os.path.splitext(os.path.basename(path))[0]
                 lite = None if use_real else rasterize_pdf(bytes(content), dpi)
+                if lite is None and not use_real:
+                    # foreign TEXT PDFs render through the same 5x7-font
+                    # interpreter (layout-faithful, substituted glyphs);
+                    # only image-only / compressed-xref foreign PDFs
+                    # still fall to the fitz gate below
+                    lite = rasterize_text_pdf(bytes(content), dpi)
                 if use_real:  # pragma: no cover - codecs not in image
                     pages = _render_pdf_pages(bytes(content), fmt, dpi)
                 elif lite is not None:

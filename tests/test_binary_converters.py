@@ -971,3 +971,102 @@ def test_png_16bit_downsamples_to_8bit():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# Foreign text-PDF rasterization (round 5: K10 gate narrowed to
+# image-only / compressed-xref foreign PDFs)
+# ---------------------------------------------------------------------------
+
+
+def _foreign_positioned_pdf():
+    """A handwritten foreign PDF (no pdf_lite markers) exercising Tm
+    positioning, two text blocks, and a kerned TJ array."""
+    from magicxml_spark.sources.pdf_lite import _serialize
+
+    stream = (
+        b"BT\n/F1 12 Tf\n1 0 0 1 50 700 Tm\n(AB) Tj\nET\n"
+        b"BT\n/F1 10 Tf\n1 0 0 1 50 100 Tm\n[(C) -500 (D)] TJ\nET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+        ),
+        5: b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream",
+        6: b"<< /Producer (SomeOtherTool 9.1) >>",
+    }
+    return _serialize(objs, 6)
+
+
+def test_rasterize_foreign_text_pdf_layout():
+    """rasterize_text_pdf renders a FOREIGN text PDF with real page
+    geometry: glyph ink lands where Tm put it, TJ kern numbers shift
+    the pen, and the pdf_lite entry point still refuses the document."""
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf, rasterize_text_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    pdf = _foreign_positioned_pdf()
+    assert rasterize_pdf(pdf, dpi=72) is None  # foreign -> lite bails
+    pages = rasterize_text_pdf(pdf, dpi=72)
+    assert pages is not None and len(pages) == 1
+    w, h, png = pages[0]
+    assert (w, h) == (612, 792)
+    dw, dh, mode, pix = decode_png(png)
+    assert (dw, dh, mode) == (612, 792, "RGB")
+
+    def ink(x0, x1, y0, y1):
+        return any(
+            pix[(py * dw + px) * 3] == 0
+            for py in range(y0, y1)
+            for px in range(x0, x1)
+        )
+
+    # 'AB' at 12pt baseline (50, 700): glyph band rows ~792-709..792-700
+    assert ink(50, 65, 83, 93)
+    assert not ink(200, 280, 83, 93)  # nothing drawn right of the text
+    # TJ block at 10pt baseline (50, 100): 'C' cell starts at x=50
+    assert ink(50, 56, 684, 693)
+    # kern -500/1000 * 10pt pushes 'D' to x ~61 (not the unkerned 56):
+    # the inter-glyph gap 55..60 stays white, D ink appears 61..66
+    assert not ink(55, 60, 684, 693)
+    assert ink(61, 67, 684, 693)
+    # junk / marker misuse still bail out
+    assert rasterize_text_pdf(b"not a pdf", dpi=72) is None
+
+
+def test_pdf_to_images_renders_foreign_text_pdf(spark, tmp_path):
+    """K10 end-to-end: a foreign text PDF now renders through the lite
+    interpreter (no stub flag, no fitz) with dpi honored; the remaining
+    gate is only for PDFs with no extractable text/image content."""
+    import pytest
+
+    from magicxml_spark.sources.png_lite import decode_png
+
+    (tmp_path / "foreign.pdf").write_bytes(_foreign_positioned_pdf())
+    out = pdf_to_images(read_binary(spark, str(tmp_path)), dpi=36).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (306, 396)
+    dw, dh, mode, pix = decode_png(bytes(r["img_content"]))
+    assert (dw, dh) == (306, 396)
+    assert any(pix[i] == 0 for i in range(0, len(pix), 3))  # drew ink
+
+    # a contentless foreign PDF still requires the stub/gate path
+    from magicxml_spark.sources.pdf_lite import _serialize
+
+    empty = _serialize(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [] /Count 0 >>",
+            3: b"<< /Producer (SomeOtherTool) >>",
+        },
+        3,
+    )
+    (tmp_path / "sub" ).mkdir()
+    (tmp_path / "sub" / "empty.pdf").write_bytes(empty)
+    with pytest.raises(Exception, match="fitz|pdf2image|NotImplemented"):
+        pdf_to_images(read_binary(spark, str(tmp_path / "sub")), dpi=36).collect()
