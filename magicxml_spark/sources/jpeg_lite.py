@@ -13,8 +13,11 @@ Encoder subset: 8-bit RGB or grayscale, 4:4:4 or 4:2:0 chroma
 subsampling, optional DRI/RSTn restart intervals, baseline
 sequential, JFIF APP0. Decoder subset: any baseline sequential
 stream (SOF0/SOF1) — file-defined tables, arbitrary integer
-sampling factors with nearest chroma upsampling, restart markers;
-progressive/arithmetic/CMYK/12-bit raise, falling callers back to
+sampling factors with nearest chroma upsampling, restart markers —
+plus PROGRESSIVE streams (SOF2, T.81 Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB
+runs, interleaved DC scans, per-scan table redefinition);
+arithmetic/CMYK/12-bit/hierarchical raise, falling callers back to
 their PIL-gated path. The in-repo round-trip (encode -> decode ->
 PSNR) stays testable without Pillow.
 
@@ -474,6 +477,49 @@ def _decode_block(reader: _BitReader, dc_t, ac_t, pred: int, q: np.ndarray):
     return _C.T @ (coefs.reshape(8, 8) * q) @ _C, pred
 
 
+
+
+def _planes_to_image(comps, planes, w, h, hmax, vmax):
+    """Shared decode tail: nearest-upsample each component plane to the
+    full grid, crop, level-shift, and color-convert (both the baseline
+    and the progressive paths end here)."""
+    up = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        fy, fx = vmax // vs, hmax // hs
+        if vmax % vs or hmax % hs:
+            raise ValueError("non-integer sampling ratio")
+        p = planes[ci]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        up.append(p[:h, :w] + 128.0)
+    if len(comps) == 1:
+        out = np.clip(up[0], 0, 255).astype(np.uint8)
+        return w, h, "L", out.tobytes()
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, "RGB", np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """First byte index at/after ``start`` where a REAL marker begins
+    (0xFF followed by neither a stuffed 0x00 nor an RSTn) — the end of
+    one scan's entropy-coded span."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(data: bytes):
     """Decode a baseline sequential JPEG (SOF0/SOF1) ->
     (w, h, mode, pixels). File-defined quantization and Huffman
@@ -539,8 +585,11 @@ def _decode_jpeg_inner(data: bytes):
                 )
                 for i in range(ncomp)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("not baseline sequential (progressive/arithmetic)")
+        elif marker == 0xC2:
+            # progressive DCT: restart the walk in the multi-scan decoder
+            return _decode_progressive_inner(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not baseline/progressive DCT (arithmetic/hierarchical)")
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -592,25 +641,266 @@ def _decode_jpeg_inner(data: bytes):
                                 px = (mx * hs + dx) * 8
                                 planes[ci][py : py + 8, px : px + 8] = block
                     n_mcu += 1
-            up = []
-            for ci, (_, hs, vs, _) in enumerate(comps):
-                fy, fx = vmax // vs, hmax // hs
-                if vmax % vs or hmax % hs:
-                    raise ValueError("non-integer sampling ratio")
-                p = planes[ci]
-                if fy > 1:
-                    p = np.repeat(p, fy, axis=0)
-                if fx > 1:
-                    p = np.repeat(p, fx, axis=1)
-                up.append(p[:h, :w] + 128.0)
-            if ncomp == 1:
-                out = np.clip(up[0], 0, 255).astype(np.uint8)
-                return w, h, "L", out.tobytes()
-            y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            rgb = np.stack([r, g, b], axis=-1)
-            return w, h, "RGB", np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
+            return _planes_to_image(comps, planes, w, h, hmax, vmax)
         pos += 2 + seglen
     raise ValueError("no scan found")
+
+
+# --- Progressive decode (ITU-T T.81 Annex G) --------------------------------
+# Scans accumulate quantized coefficients per block; spectral selection
+# splits the zigzag band, successive approximation splits bit planes
+# (DC point transform = arithmetic shift, AC = magnitude shift with the
+# sign reapplied — G.1.2.1/G.1.2.2). Dequantize + IDCT run ONCE after
+# the last scan. The refinement algorithms mirror the spec's flowcharts
+# (G-7..G-10): correction bits ride along while advancing over
+# already-nonzero coefficients, EOB runs count whole blocks.
+
+
+def _dc_first_op(reader, coef, dc_t, pred, al):
+    s = _read_symbol(reader, dc_t)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred << al
+    return pred
+
+
+def _dc_refine_op(reader, coef, al):
+    if reader.read_bit():
+        coef[0] |= 1 << al
+
+
+def _ac_first_op(reader, coef, ac_t, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, ac_t)
+        r, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(reader, coef, k, p1):
+    """One correction bit for an already-nonzero coefficient: append
+    the next lower magnitude bit when it arrives as 1."""
+    if reader.read_bit():
+        if (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _ac_refine_op(reader, coef, ac_t, ss, se, al, eobrun):
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, ac_t)
+            r, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if reader.read_bit() else -p1
+            # advance: correct nonzero-history coefficients in passing,
+            # count down r zero-history positions
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(reader, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # whole-block EOB: only correction bits for nonzero history
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_inner(data: bytes):
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    coef: list[np.ndarray] = []  # per comp: (bh_pad, bw_pad, 64) zigzag ints
+    hmax = vmax = mcux = mcuy = 0
+    nblocks: list[tuple[int, int]] = []  # non-interleaved (bh, bw) per comp
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                if body[off] >> 4:
+                    raise ValueError("16-bit quantization not supported")
+                q = np.zeros(64)
+                q[_ZIGZAG] = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                qt[body[off] & 0xF] = q.reshape(8, 8)
+                off += 65
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = [
+                (
+                    body[6 + 3 * i],
+                    body[6 + 3 * i + 1] >> 4,
+                    body[6 + 3 * i + 1] & 0xF,
+                    body[6 + 3 * i + 2],
+                )
+                for i in range(ncomp)
+            ]
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _, hs, vs, _ in comps:
+                coef.append(
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                )
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls_dest = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                values = list(body[off + 17 : off + 17 + nvals])
+                huff[(cls_dest >> 4, cls_dest & 0xF)] = _decode_table(bits, values)
+                off += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_sel = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (G.1.1.1.1)"
+                )
+            cids = [cid for cid, _, _, _ in comps]
+            sel = [(cids.index(cid), td, ta) for cid, td, ta in scan_sel]
+            scan_start = pos + 2 + seglen
+            scan_stop = _entropy_end(data, scan_start)
+            reader = _BitReader(data[scan_start:scan_stop])
+            eobrun = 0
+            preds = [0] * len(comps)
+            if ns > 1:
+                if ss != 0 or se != 0:
+                    raise ValueError("interleaved progressive scan must be DC")
+                n_mcu = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                            reader.sync_restart()
+                            preds = [0] * len(comps)
+                        for ci, td, _ in sel:
+                            _, hs, vs, _ = comps[ci]
+                            for dy in range(vs):
+                                for dx in range(hs):
+                                    blk = coef[ci][my * vs + dy, mx * hs + dx]
+                                    if ah == 0:
+                                        preds[ci] = _dc_first_op(
+                                            reader, blk, huff[(0, td)], preds[ci], al
+                                        )
+                                    else:
+                                        _dc_refine_op(reader, blk, al)
+                        n_mcu += 1
+            else:
+                ci, td, ta = sel[0]
+                bh, bw = nblocks[ci]
+                n_blk = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if restart_interval and n_blk and n_blk % restart_interval == 0:
+                            reader.sync_restart()
+                            preds = [0] * len(comps)
+                            eobrun = 0
+                        blk = coef[ci][by, bx]
+                        if ss == 0:
+                            if ah == 0:
+                                preds[ci] = _dc_first_op(
+                                    reader, blk, huff[(0, td)], preds[ci], al
+                                )
+                            else:
+                                _dc_refine_op(reader, blk, al)
+                        elif ah == 0:
+                            eobrun = _ac_first_op(
+                                reader, blk, huff[(1, ta)], ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _ac_refine_op(
+                                reader, blk, huff[(1, ta)], ss, se, al, eobrun
+                            )
+                        n_blk += 1
+            pos = scan_stop
+            continue
+        pos += 2 + seglen
+    if not comps or not coef:
+        raise ValueError("no SOF2/scan data found")
+    # dequantize + IDCT every block of every component, then the shared
+    # upsample/color tail
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        bh_pad, bw_pad, _ = coef[ci].shape
+        zz = coef[ci].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG.reshape(-1)] = zz
+        blocks = nat.reshape(-1, 8, 8) * qt[tq]
+        pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C)
+        plane = (
+            pix.reshape(bh_pad, bw_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_pad * 8, bw_pad * 8)
+        )
+        planes.append(plane)
+    return _planes_to_image(comps, planes, w, h, hmax, vmax)

@@ -789,14 +789,25 @@ def test_jpeg_420_and_restart_roundtrip():
         encode_jpeg(w, h, "RGB", rgb, subsampling="422")
 
 
-def test_jpeg_decode_rejects_progressive():
+def test_jpeg_decode_rejects_arithmetic_and_hierarchical():
+    """Progressive (SOF2) is decoded for real since round 5; the
+    still-gated processes are arithmetic/hierarchical SOFs."""
     from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
 
-    enc = bytearray(encode_jpeg(8, 8, "L", bytes(64)))
-    enc[enc.index(b"\xff\xc0") + 1] = 0xC2  # flip SOF0 -> SOF2
     import pytest
 
-    with pytest.raises(ValueError, match="baseline"):
+    for sof in (0xC3, 0xC9, 0xCA, 0xCB):
+        enc = bytearray(encode_jpeg(8, 8, "L", bytes(64)))
+        enc[enc.index(b"\xff\xc0") + 1] = sof
+        with pytest.raises(ValueError, match="arithmetic|hierarchical"):
+            decode_jpeg(bytes(enc))
+
+    # a SOF0->SOF2 flip alone yields a spec-ILLEGAL progressive scan
+    # (Ss=0 with Se=63 — DC and AC may not share a progressive scan,
+    # G.1.1.1.1) and must raise, not silently misparse
+    enc = bytearray(encode_jpeg(8, 8, "L", bytes(64)))
+    enc[enc.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(enc))
 
 
@@ -1070,3 +1081,163 @@ def test_pdf_to_images_renders_foreign_text_pdf(spark, tmp_path):
     (tmp_path / "sub" / "empty.pdf").write_bytes(empty)
     with pytest.raises(Exception, match="fitz|pdf2image|NotImplemented"):
         pdf_to_images(read_binary(spark, str(tmp_path / "sub")), dpi=36).collect()
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG decode (T.81 Annex G) vs the independent reference
+# encoder in tools/jpeg_progressive_ref.py
+# ---------------------------------------------------------------------------
+
+
+def _progressive_fixture():
+    """Deterministic coefficient tensors for a 40x33 4:2:0 image:
+    structured to exercise EOB runs > 1 (all-zero-AC blocks), ZRL (long
+    zero gaps), band-edge coefficients (k=63), newly-nonzero arrivals
+    in refinement scans, and correction bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260814)
+    w, h = 40, 33
+    comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    q_lum = np.full((8, 8), 4, dtype=np.int64)
+    q_chr = np.full((8, 8), 6, dtype=np.int64)
+    qtables = {0: q_lum, 1: q_chr}
+    coef = []
+    for bh, bw in ((6, 6), (3, 3), (3, 3)):
+        c = np.zeros((bh, bw, 64), dtype=np.int64)
+        c[:, :, 0] = rng.integers(-200, 201, size=(bh, bw))
+        mask = rng.random((bh, bw, 63)) < 0.18
+        vals = rng.integers(-64, 65, size=(bh, bw, 63))
+        c[:, :, 1:] = np.where(mask, vals, 0)
+        # structured cases: an all-zero-AC row (EOB runs), a lone
+        # high-frequency coefficient after a long gap (ZRL), k=63
+        c[0, :, 1:] = 0
+        c[-1, -1, 1:] = 0
+        c[-1, -1, 60] = 33
+        c[1, 0, 1:] = 0
+        c[1, 0, 63] = -3  # appears only in refinement at low Al
+        coef.append(c)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 1),   # DC first, interleaved
+        ([0], 1, 5, 0, 2),         # Y low band first
+        ([1], 1, 63, 0, 1),        # Cb first
+        ([2], 1, 63, 0, 1),        # Cr first
+        ([0], 6, 63, 0, 2),        # Y high band first
+        ([0, 1, 2], 0, 0, 1, 0),   # DC refine
+        ([0], 1, 63, 2, 1),        # Y refine Al=1
+        ([1], 1, 63, 1, 0),        # Cb refine
+        ([2], 1, 63, 1, 0),        # Cr refine
+        ([0], 1, 63, 1, 0),        # Y refine Al=0
+    ]
+    return w, h, comps, qtables, coef, scans
+
+
+def test_progressive_jpeg_decode_equals_baseline_twin():
+    """The scan-parsing gate: a progressive stream (full Annex G scan
+    script from the independent reference encoder) must decode to
+    EXACTLY the pixels of the SOF0 twin carrying the same coefficient
+    tensor — both meet at the coefficients and share the IDCT tail, so
+    any first/refinement/EOB-run/ZRL parsing bug breaks equality."""
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+    from tools.jpeg_progressive_ref import (
+        encode_baseline_from_coef,
+        encode_progressive,
+    )
+
+    w, h, comps, qtables, coef, scans = _progressive_fixture()
+    prog = encode_progressive(w, h, comps, qtables, coef, scans)
+    base = encode_baseline_from_coef(w, h, comps, qtables, coef)
+    pw, ph, pmode, ppix = decode_jpeg(prog)
+    bw_, bh_, bmode, bpix = decode_jpeg(base)
+    assert (pw, ph, pmode) == (w, h, "RGB") == (bw_, bh_, bmode)
+    assert ppix == bpix
+
+
+def test_progressive_jpeg_decode_matches_cos_reference():
+    """Independence gate: reconstruct the same coefficients with a
+    from-the-formula IDCT (explicit cosine basis, no jpeg_lite code)
+    and require the decoded image to match within 1 level (float
+    summation-order noise at uint8 truncation boundaries only)."""
+    import numpy as np
+
+    from magicxml_spark.sources.jpeg_lite import _ZIGZAG, decode_jpeg
+    from tools.jpeg_progressive_ref import encode_progressive
+
+    w, h, comps, qtables, coef, scans = _progressive_fixture()
+    prog = encode_progressive(w, h, comps, qtables, coef, scans)
+    pw, ph, pmode, ppix = decode_jpeg(prog)
+    got = np.frombuffer(ppix, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+
+    # cosine-basis IDCT from the standard's formula
+    xs = np.arange(8)
+    basis = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    cu = np.full(8, 0.5)
+    cu[0] = 0.5 / np.sqrt(2)
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        q = np.asarray(qtables[tq], dtype=np.float64)
+        bh, bw = coef[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64)
+                nat[_ZIGZAG] = coef[ci][by, bx]
+                F = nat.reshape(8, 8) * q
+                blk = np.zeros((8, 8))
+                for x in range(8):
+                    for y in range(8):
+                        blk[x, y] = np.sum(
+                            (cu[:, None] * cu[None, :])
+                            * F
+                            * basis[:, x][:, None]
+                            * basis[:, y][None, :]
+                        )
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        fy = max(vs2 for _, _, vs2, _ in comps) // vs
+        fx = max(hs2 for _, hs2, _, _ in comps) // hs
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w] + 128.0)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    ref = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    ref = np.clip(ref, 0, 255)
+    assert np.abs(got - ref).max() <= 1.0
+
+
+def test_progressive_jpeg_grayscale_and_image_lite_route():
+    """Single-component progressive (non-interleaved DC scan) and the
+    S11 dispatch: image_lite.decode_image now accepts progressive
+    JPEGs instead of raising to the PIL gate."""
+    import numpy as np
+
+    from magicxml_spark.sources.image_lite import decode_image
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+    from tools.jpeg_progressive_ref import (
+        encode_baseline_from_coef,
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    w, h = 19, 10
+    comps = [(1, 1, 1, 0)]
+    qtables = {0: np.full((8, 8), 5, dtype=np.int64)}
+    c = np.zeros((2, 3, 64), dtype=np.int64)
+    c[:, :, 0] = rng.integers(-100, 101, size=(2, 3))
+    c[:, :, 5] = rng.integers(-30, 31, size=(2, 3))
+    c[0, 0, 1:] = 0
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 0, 0, 1, 0),  # DC refine, non-interleaved
+        ([0], 1, 63, 0, 1),
+        ([0], 1, 63, 1, 0),
+    ]
+    prog = encode_progressive(w, h, comps, qtables, [c], scans)
+    base = encode_baseline_from_coef(w, h, comps, qtables, [c])
+    assert decode_jpeg(prog) == decode_jpeg(base)
+    fmt, dw, dh, mode, pix = decode_image(prog)
+    assert (fmt, dw, dh, mode) == ("JPEG", w, h, "L")
