@@ -79,10 +79,18 @@ def extract_pdf_tables(
                     for pageno, rno, cells in lite:
                         rows.append((path, pageno, 1, rno, json.dumps(cells)))
                     continue
-                # foreign TEXT pdf: whitespace-column layout detection
-                # (pdf_lite.extract_table_rows_heuristic) — the
-                # pdfplumber-free arm; image-only/exotic PDFs fall on
-                heur = pdf_lite.extract_table_rows_heuristic(bytes(content))
+                # foreign TEXT pdf, ruled layout first (the pdfplumber
+                # 'lattice' analog — cell boundaries from line geometry,
+                # text assigned by Tm/Td position), then the
+                # whitespace-column heuristic; image-only/exotic PDFs
+                # fall on the stub/gate
+                from magicxml_spark.sources.pdf_raster import (
+                    extract_table_rows_ruled,
+                )
+
+                heur = extract_table_rows_ruled(
+                    bytes(content)
+                ) or pdf_lite.extract_table_rows_heuristic(bytes(content))
                 if heur:
                     for pageno, tno, rno, cells in heur:
                         rows.append((path, pageno, tno, rno, json.dumps(cells)))

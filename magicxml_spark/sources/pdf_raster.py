@@ -416,3 +416,149 @@ def rasterize_text_pdf(data: bytes, dpi: int = 72) -> list[tuple[int, int, bytes
     if not data.startswith(b"%PDF") or PRODUCER.encode() in data:
         return None
     return _rasterize(data, dpi)
+
+
+# --- Ruled-table extraction (the pdfplumber-lattice analog) -----------------
+
+_RE_OP_RE = re.compile(rb"(?P<re>([\d.+-]+\s+){4})re")
+_MV_RE = re.compile(
+    rb"(?P<mx>[\d.+-]+)\s+(?P<my>[\d.+-]+)\s+m|(?P<lx>[\d.+-]+)\s+(?P<ly>[\d.+-]+)\s+l"
+)
+
+
+def _positioned_text(content: bytes) -> list[tuple[float, float, float, str]]:
+    """(x, y, size, text) runs from one content stream — the same
+    interpreter walk as rendering, collecting instead of drawing."""
+    size, lead = 10.0, 14.0
+    x = y = line_x = 0.0
+    out: list[tuple[float, float, float, str]] = []
+    for m in _TOK_RE.finditer(content):
+        if m.group("tm") is not None:
+            vals = [float(v) for v in m.group("tm").split()]
+            x = line_x = vals[4]
+            y = vals[5]
+        elif m.group("tl") is not None:
+            lead = float(m.group("tl"))
+        elif m.group("tf") is not None:
+            size = float(m.group("tf"))
+        elif m.group("td") is not None:
+            dx, dy = (float(v) for v in m.group("td").split())
+            line_x += dx
+            x = line_x
+            y += dy
+        elif m.group("tstar") is not None:
+            y -= lead
+            x = line_x
+        elif m.group("show") is not None:
+            if m.group("showop") == b"'":
+                y -= lead
+                x = line_x
+            s = _unescape(m.group("show"))
+            if s.strip():
+                out.append((x, y, size, s))
+            x += len(s) * size * 0.6
+        elif m.group("showarr") is not None:
+            for tm_ in _TJ_ITEM_RE.finditer(m.group("showarr")):
+                if tm_.group("s") is not None:
+                    s = _unescape(tm_.group("s"))
+                    if s.strip():
+                        out.append((x, y, size, s))
+                    x += len(s) * size * 0.6
+                else:
+                    x -= float(tm_.group("k")) / 1000.0 * size
+    return out
+
+
+def _ruling_lines(content: bytes) -> tuple[list[tuple], list[tuple]]:
+    """(horizontal, vertical) ruling segments from rect and path ops:
+    every ``re`` contributes its four edges (thin rects ARE lines —
+    clustering merges the near-coincident pair); ``m``/``l`` chains
+    contribute axis-aligned segments. Returns
+    hlines=[(y, x0, x1)], vlines=[(x, y0, y1)]."""
+    h: list[tuple] = []
+    v: list[tuple] = []
+    for m in _RE_OP_RE.finditer(content):
+        x0, y0, w, hgt = (float(t) for t in m.group("re").split())
+        x1, y1 = x0 + w, y0 + hgt
+        h += [(y0, x0, x1), (y1, x0, x1)]
+        v += [(x0, y0, y1), (x1, y0, y1)]
+    cur = None
+    for m in _MV_RE.finditer(content):
+        if m.group("mx") is not None:
+            cur = (float(m.group("mx")), float(m.group("my")))
+        elif cur is not None:
+            nxt = (float(m.group("lx")), float(m.group("ly")))
+            if abs(nxt[1] - cur[1]) <= 0.5:
+                h.append((cur[1], min(cur[0], nxt[0]), max(cur[0], nxt[0])))
+            elif abs(nxt[0] - cur[0]) <= 0.5:
+                v.append((cur[0], min(cur[1], nxt[1]), max(cur[1], nxt[1])))
+            cur = nxt
+    return h, v
+
+
+def _cluster(vals: list[float], tol: float = 2.0) -> list[float]:
+    out: list[float] = []
+    for val in sorted(vals):
+        if out and val - out[-1] <= tol:
+            continue
+        out.append(val)
+    return out
+
+
+def extract_table_rows_ruled(
+    data: bytes, min_rows: int = 2
+) -> list[tuple[int, int, int, list[str]]]:
+    """(page_no, table_no, row_no, cells) for FOREIGN text PDFs whose
+    tables are drawn with RULING LINES (the pdfplumber 'lattice' case,
+    reference main.py:920-931): cell boundaries come from stroked/
+    filled line geometry, text runs land in cells by their Tm/Td
+    positions. Complements extract_table_rows_heuristic, which handles
+    the whitespace-aligned (unruled) case. Returns [] when no page has
+    a >=2x2 line grid — the caller falls to its next arm."""
+    from magicxml_spark.sources.pdf_lite import PRODUCER
+
+    if not data.startswith(b"%PDF") or PRODUCER.encode() in data:
+        return []
+    objs = _objects(data)
+    pages = [
+        body
+        for num in sorted(objs)
+        for body, _ in [objs[num]]
+        if b"/Type /Page" in body and b"/Kids" not in body
+    ]
+    out: list[tuple[int, int, int, list[str]]] = []
+    for pageno, body in enumerate(pages, 1):
+        content = _page_content(body, objs)
+        if content is None:
+            continue
+        hsegs, vsegs = _ruling_lines(content)
+        ys = _cluster([s[0] for s in hsegs])
+        xs = _cluster([s[0] for s in vsegs])
+        if len(ys) < 2 or len(xs) < 2:
+            continue
+        ys = sorted(ys, reverse=True)  # top row first (PDF y grows up)
+        runs = _positioned_text(content)
+        n_rows, n_cols = len(ys) - 1, len(xs) - 1
+        grid: list[list[list[tuple[float, str]]]] = [
+            [[] for _ in range(n_cols)] for _ in range(n_rows)
+        ]
+        for x, y, size, s in runs:
+            # the baseline sits above the cell bottom; sample mid-glyph
+            ymid = y + size * 0.35
+            ri = next(
+                (i for i in range(n_rows) if ys[i] >= ymid >= ys[i + 1]), None
+            )
+            cj = next(
+                (j for j in range(n_cols) if xs[j] <= x < xs[j + 1]), None
+            )
+            if ri is not None and cj is not None:
+                grid[ri][cj].append((x, s))
+        filled = [
+            [" ".join(s for _, s in sorted(cell)).strip() for cell in row]
+            for row in grid
+        ]
+        filled = [row for row in filled if any(row)]
+        if len(filled) >= min_rows:
+            for rno, row in enumerate(filled):
+                out.append((pageno, 1, rno, row))
+    return out

@@ -1241,3 +1241,79 @@ def test_progressive_jpeg_grayscale_and_image_lite_route():
     assert decode_jpeg(prog) == decode_jpeg(base)
     fmt, dw, dh, mode, pix = decode_image(prog)
     assert (fmt, dw, dh, mode) == ("JPEG", w, h, "L")
+
+
+# ---------------------------------------------------------------------------
+# Ruled (lattice) table extraction from foreign PDFs — S9's remaining
+# text-layout gate, closed in round 5
+# ---------------------------------------------------------------------------
+
+
+def _ruled_foreign_pdf():
+    """A foreign PDF drawing a 3-col x 3-row grid with `re` rects and
+    m/l strokes, text positioned per cell via Tm — the layout class the
+    whitespace heuristic cannot see (each cell is its own text run)."""
+    from magicxml_spark.sources.pdf_lite import _serialize
+
+    # grid: x boundaries 50/150/250/350, y boundaries 700/680/660/640
+    g = ["0.5 w"]
+    for y in (700, 680, 660, 640):
+        g.append(f"50 {y} m 350 {y} l S")
+    for x in (50, 150, 250, 350):
+        g.append(f"{x} 640 m {x} 700 l S")
+    # one cell drawn as a rect instead of strokes exercises the re arm
+    g.append("50 640 100 20 re S")
+    cells = [
+        (55, 686, "sku"), (155, 686, "name"), (255, 686, "qty"),
+        (55, 666, "A1"), (155, 666, "Red Chair"), (255, 666, "4"),
+        (55, 646, "B2"), (155, 646, "Oak Table"), (255, 646, "1"),
+    ]
+    t = []
+    for x, y, s in cells:
+        t.append(f"BT /F1 9 Tf 1 0 0 1 {x} {y} Tm ({s}) Tj ET")
+    # a caption OUTSIDE the grid must not leak into any cell
+    t.append("BT /F1 9 Tf 1 0 0 1 50 720 Tm (Inventory Report) Tj ET")
+    stream = ("\n".join(g) + "\n" + "\n".join(t)).encode()
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+        ),
+        5: b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream",
+        6: b"<< /Producer (RuledTool 2.0) >>",
+    }
+    return _serialize(objs, 6)
+
+
+def test_ruled_table_extraction_foreign_pdf():
+    from magicxml_spark.sources.pdf_raster import extract_table_rows_ruled
+
+    rows = extract_table_rows_ruled(_ruled_foreign_pdf())
+    assert [(p, t, r, c) for p, t, r, c in rows] == [
+        (1, 1, 0, ["sku", "name", "qty"]),
+        (1, 1, 1, ["A1", "Red Chair", "4"]),
+        (1, 1, 2, ["B2", "Oak Table", "1"]),
+    ]
+    # no grid -> bail to the next arm
+    assert extract_table_rows_ruled(b"%PDF-1.4 no grid here") == []
+
+
+def test_extract_pdf_tables_ruled_arm(spark, tmp_path):
+    """S9 end-to-end: the ruled foreign PDF extracts through the
+    distributed path with page/table lineage, no stub flag."""
+    import json
+
+    from magicxml_spark.sources.binary_docs import extract_pdf_tables
+
+    (tmp_path / "ruled.pdf").write_bytes(_ruled_foreign_pdf())
+    out = sorted(
+        extract_pdf_tables(read_binary(spark, str(tmp_path))).collect(),
+        key=lambda r: r["cell_row"],
+    )
+    assert len(out) == 3
+    assert json.loads(out[0]["cell_json"]) == ["sku", "name", "qty"]
+    assert json.loads(out[2]["cell_json"]) == ["B2", "Oak Table", "1"]
+    assert out[0]["pdf_page"] == 1 and out[0]["table_number"] == 1
