@@ -1147,6 +1147,7 @@ def winnow_fingerprint_sets(
     k: int = 3,
     window: int = 4,
     extra_cols: tuple[str, ...] = (),
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, fps) — per-document sorted distinct winnowing fingerprints
     (8-hex md5 slices, the engine-portable hash family used by the
@@ -1168,12 +1169,24 @@ def winnow_fingerprint_sets(
     shifted views with explicit null propagation (``least`` skips
     nulls, which would silently admit partial trailing windows).
     """
+    if hash_family == "md5":
+        gram_hash = lambda g: F.substring(F.md5(g), 1, 8)  # noqa: E731
+        null_t = "string"
+    elif hash_family == "xxhash64":
+        # fast non-oracle family (same contract as minhash_signatures):
+        # bigint fingerprints, min over a uniform order, ~same density
+        # guarantee; DIFFERENT fingerprints get selected, so sets from
+        # one family cannot be compared against the other's
+        # wrapped: *args signatures cannot bind as HOF lambdas
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+        null_t = "bigint"
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     hashed = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],  # e.g. the streaming event time
         F.transform(
-            _positional_kgrams(F.col(text_col), k),
-            lambda g: F.substring(F.md5(g), 1, 8),
+            _positional_kgrams(F.col(text_col), k), gram_hash
         ).alias("_hs"),
     )
     hs = F.col("_hs")
@@ -1184,13 +1197,13 @@ def winnow_fingerprint_sets(
         mins = F.zip_with(
             mins,
             shifted,
-            lambda a, b: F.when(b.isNull(), F.lit(None).cast("string")).otherwise(
+            lambda a, b: F.when(b.isNull(), F.lit(None).cast(null_t)).otherwise(
                 F.least(a, b)
             ),
         )
     full_windows = F.filter(mins, lambda x: x.isNotNull())
     selected = (
-        F.when(m == 0, F.array().cast("array<string>"))
+        F.when(m == 0, F.array().cast(f"array<{null_t}>"))
         .when(m < window, F.array(F.array_min(hs)))
         .otherwise(full_windows)
     )
@@ -1207,6 +1220,7 @@ def winnow_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
     with containment = shared / min(|fps_a|, |fps_b|) — the
@@ -1228,9 +1242,9 @@ def winnow_pairs(
     closure (``dedup_clusters``) recovering full cluster membership.
     ``None`` = exact all-pairs emission (oracle/test scale only).
     """
-    sets_ = winnow_fingerprint_sets(df, id_col, text_col, k, window).filter(
-        F.size("fps") > 0
-    )
+    sets_ = winnow_fingerprint_sets(
+        df, id_col, text_col, k, window, hash_family=hash_family
+    ).filter(F.size("fps") > 0)
     long = sets_.select("id", F.size("fps").alias("_n_fps"), F.explode("fps").alias("fp"))
     if max_bucket_size is not None:
         cand = _capped_bucket_pairs(

@@ -64,6 +64,7 @@ from magicxml_spark.queries import pipeline  # noqa: E402,F401
 _DRIVER_SAMPLE_ORDER = [
     "q_lsh_pairs_capped",
     "q_lsh_xxhash64_recall",
+    "q_winnow_pairs_capped",
     "q_md5_user_hash",
     "q_html_clean",
     "q_cosine_topk",

@@ -303,6 +303,61 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Capped winnow emission — the library-default mode (star emission with
+# the per-doc set size riding as payload) against a DuckDB twin of the
+# exact capped semantics, on the same planted-boilerplate corpus as
+# q_lsh_pairs_capped so the star branch provably engages.
+_WINNOW_FPS_BOILER_SQL = _WINNOW_FPS_SQL.replace(
+    "w AS (SELECT doc_id, "
+    + _WORDS_SQL
+    + " AS w FROM documents)",
+    "d AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN '"
+    + _BOILER
+    + "' ELSE text END AS text FROM documents), w AS (SELECT doc_id, "
+    + _WORDS_SQL.replace("FROM documents", "")
+    + " AS w FROM d)",
+)
+
+
+@query(
+    "q_winnow_pairs_capped",
+    oracle=f"""
+    WITH {_WINNOW_FPS_BOILER_SQL},
+    long AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp
+             FROM f WHERE len(fps) > 0),
+    sized AS (SELECT doc_id, n, fp,
+                     count(*) OVER (PARTITION BY fp) AS bn,
+                     min(doc_id) OVER (PARTITION BY fp) AS rep,
+                     arg_min(n, doc_id) OVER (PARTITION BY fp) AS rep_n
+              FROM long),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
+      FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.bn <= 8
+      UNION ALL
+      SELECT rep, doc_id, rep_n, n FROM sized WHERE bn > 8 AND doc_id <> rep
+    ),
+    p AS (SELECT id_a, id_b, na, nb, count(*) AS n_shared
+          FROM cand GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+    SELECT id_a, id_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(na, nb), 6) AS containment
+    FROM p
+    """,
+)
+def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow_pairs in the CAPPED default mode (cap=8): star pairs
+    carry the representative's fingerprint-set size as the containment
+    denominator — the oracle replicates that payload semantics
+    (arg_min window) exactly."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 25 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return winnow_pairs(docs, "doc_id", "text", min_shared=2, max_bucket_size=8)
+
+
 # --- Z-order layout key (multi-dimensional clustering) ------------------------
 def _zorder_oracle() -> str:
     from magicxml_spark.plans.layout import bucketize_sql, interleave_sql

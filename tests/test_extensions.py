@@ -490,7 +490,9 @@ def test_simhash_near_dup_exact_vs_bruteforce(spark):
     }
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket_size=None
+        ).collect()  # exact recall assertion -> uncapped pin
     }
     assert got == expected and len(got) > 0
 
@@ -696,7 +698,9 @@ def test_simhash_wide_exactness_and_word0_identity(spark):
     }
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_wide_near_dup_pairs(docs, "doc_id", "text").collect()
+        for r in simhash_wide_near_dup_pairs(
+            docs, "doc_id", "text", max_bucket_size=None
+        ).collect()  # exact recall assertion -> uncapped pin
     }
     assert got == expected and len(got) > 0
 
@@ -1220,3 +1224,38 @@ def test_simhash16_table_matches_column_form(spark):
     assert tbl_form == col_form
     assert tbl_form[4] == 0 and tbl_form[5] == 0
     assert tbl_form[1] == tbl_form[2] != tbl_form[3]
+
+
+def test_winnow_xxhash64_family(spark):
+    """The fast winnow family: bigint fingerprints, identical plan
+    shape, exact duplicates pair under EITHER family (identical texts
+    have identical fingerprint sets whatever the hash), containment
+    1.0 preserved; unknown family rejected."""
+    import pytest
+
+    from magicxml_spark.operators.dedup import winnow_fingerprint_sets, winnow_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact document body appears twice in this corpus today"),
+            (2, "the same exact document body appears twice in this corpus today"),
+            (3, "a completely different text with no overlap whatsoever in here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sets_ = winnow_fingerprint_sets(docs, "doc_id", "text", hash_family="xxhash64")
+    assert dict(sets_.dtypes)["fps"] == "array<bigint>"
+    got = {r["id"]: tuple(r["fps"]) for r in sets_.collect()}
+    assert got[1] == got[2] != got[3] and len(got[1]) > 0
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in winnow_pairs(
+            docs, "doc_id", "text", min_shared=1, hash_family="xxhash64"
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert not any(3 in p for p in pairs)
+
+    with pytest.raises(ValueError, match="hash_family"):
+        winnow_fingerprint_sets(docs, "doc_id", "text", hash_family="crc9")

@@ -384,7 +384,7 @@ def test_stream_simhash_wide_pairs_incremental_across_batches(spark, tmp_path):
             .withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1))
         )
         q = (
-            simhash_wide_pairs_stateful(stream)
+            simhash_wide_pairs_stateful(stream, max_bucket_size=None)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
