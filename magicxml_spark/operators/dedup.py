@@ -1279,3 +1279,133 @@ def winnow_pairs(
             ).alias("containment"),
         )
     )
+
+
+# --- Exact substring (repeated n-gram span) deduplication --------------------
+# The "exact substring dedup" of large-scale training-data pipelines
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" — there via parallel suffix arrays): any word n-gram that
+# occurs more than once corpus-wide keeps only its FIRST occurrence
+# (global (doc_id, position) order); every other occurrence is a
+# repeated span to scrub. Spark shape: positional n-grams -> ONE
+# shuffle on the gram digest -> broadcast-sized? no — first-occurrence
+# agg is gram-keyed (map-side combine), repeats anti-select, then a
+# per-doc window merges overlapping spans into islands. No suffix
+# array needed for fixed n: the n-gram table IS the length-n suffix
+# set, and longer shared substrings surface as runs of overlapping
+# repeated n-grams that the interval merge coalesces — the standard
+# distributed approximation of the suffix-array method.
+
+
+def repeated_ngram_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, start, end) word-index spans [start, end) covering every
+    NON-FIRST occurrence of any corpus-repeated word n-gram. First
+    occurrence = minimum (doc_id, position); the digest (md5) is the
+    shuffle key so the exchange carries fixed-width keys, not n-word
+    strings."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_positional_kgrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("gh"))
+    # combined order key: positions are < 1e6 for any sane document,
+    # so (doc_id, pos) collapses to one bigint min (cheap hash agg)
+    occ = grams.select("gh", "id", "pos", (F.col("id") * 1000000 + F.col("pos")).alias("okey"))
+    firsts = occ.groupBy("gh").agg(
+        F.min("okey").alias("first_okey"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        occ.join(firsts, "gh")
+        .filter((F.col("cnt") >= 2) & (F.col("okey") != F.col("first_okey")))
+        .select("id", F.col("pos").alias("start"), (F.col("pos") + n).alias("end"))
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Per-document scrub accounting: (id, n_tokens, n_repeat_islands,
+    tokens_removed, tokens_remaining) where islands are the merged
+    overlapping repeated spans (a shared substring longer than n shows
+    up as consecutive overlapping n-grams — one island). Docs with no
+    repeats (or < n words) report zeros. One gram shuffle + one
+    doc-keyed window + one aggregation."""
+    from pyspark.sql import Window
+
+    spans = repeated_ngram_spans(df, id_col, text_col, n)
+    w = Window.partitionBy("id").orderBy("start", "end")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(F.col("start") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("id", "island").agg(
+        F.min("start").alias("i_start"), F.max("end").alias("i_end")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    # a doc shorter than n contributes ONE whole-text gram whose span
+    # nominally ends at n — clamp islands to the real token count
+    per_doc = (
+        islands.join(base, "id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_islands"),
+            F.sum(
+                F.least(F.col("i_end"), F.col("n_tokens")) - F.col("i_start")
+            ).alias("tokens_removed"),
+        )
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("n_repeat_islands", F.lit(0)).cast("bigint").alias("n_repeat_islands"),
+        F.coalesce("tokens_removed", F.lit(0)).cast("bigint").alias("tokens_removed"),
+        (F.col("n_tokens") - F.coalesce("tokens_removed", F.lit(0))).cast("bigint").alias(
+            "tokens_remaining"
+        ),
+    )
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, clean_text, tokens_removed): the scrubbed corpus — tokens
+    inside any repeated span dropped, survivors rejoined with single
+    spaces. The span set rides back to the doc as a collected array
+    (bounded by tokens/n per doc), and the token filter is a JVM-side
+    exists() over it — no Python."""
+    spans = repeated_ngram_spans(df, id_col, text_col, n)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("spans")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("w")
+    ).join(per_doc, "id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("w"),
+            F.sequence(F.lit(0), F.greatest(F.size("w") - 1, F.lit(0))),
+            lambda t, i: F.when(covered(i), F.lit(None).cast("string")).otherwise(t),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return toks.select(
+        "id",
+        F.when(F.col("spans").isNull(), F.concat_ws(" ", F.col("w")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(F.size("w") - F.size(kept))
+        .cast("bigint")
+        .alias("tokens_removed"),
+    )

@@ -358,6 +358,62 @@ def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(docs, "doc_id", "text", min_shared=2, max_bucket_size=8)
 
 
+# --- Exact substring (repeated n-gram span) dedup ----------------------------
+# Distributed "exact substring deduplication" (Lee et al. 2022 class):
+# corpus-repeated word 8-grams keep only the global first occurrence;
+# per-doc overlapping repeat spans merge into islands. The oracle
+# replicates the whole pipeline — positional grams, first-occurrence
+# order key, interval merge — in SQL (grouping by the gram string is
+# set-identical to Spark's md5-digest shuffle key).
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                      ELSE list_transform(range(1, len(w) - 6),
+                                          i -> array_to_string(w[i:i+7], ' '))
+                 END AS grams
+          FROM w),
+    occ0 AS (SELECT doc_id, unnest(grams) AS gram,
+                    unnest(range(len(grams))) AS pos
+             FROM g),
+    occ AS (SELECT doc_id, gram, pos, doc_id * 1000000 + pos AS okey
+            FROM occ0),
+    f AS (SELECT gram, min(okey) AS first_okey, count(*) AS cnt
+          FROM occ GROUP BY gram),
+    rep AS (SELECT o.doc_id, o.pos AS s, o.pos + 8 AS e
+            FROM occ o JOIN f ON o.gram = f.gram
+            WHERE f.cnt >= 2 AND o.okey <> f.first_okey),
+    fl AS (SELECT doc_id, s, e,
+                  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                       ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS ni
+           FROM rep),
+    isl AS (SELECT doc_id, s, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM fl),
+    mi AS (SELECT doc_id, island, min(s) AS i_start, max(e) AS i_end
+           FROM isl GROUP BY 1, 2),
+    base AS (SELECT doc_id, len(w) AS n_tokens FROM w),
+    pd AS (SELECT mi.doc_id, count(*) AS n_isl,
+                  sum(least(i_end, b.n_tokens) - i_start) AS removed
+           FROM mi JOIN base b ON b.doc_id = mi.doc_id GROUP BY 1)
+    SELECT b.doc_id AS id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.n_isl, 0) AS BIGINT) AS n_repeat_islands,
+           CAST(coalesce(pd.removed, 0) AS BIGINT) AS tokens_removed,
+           CAST(b.n_tokens - coalesce(pd.removed, 0) AS BIGINT) AS tokens_remaining
+    FROM base b LEFT JOIN pd ON pd.doc_id = b.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import substring_dedup_stats
+
+    return substring_dedup_stats(table(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+
+
 # --- Z-order layout key (multi-dimensional clustering) ------------------------
 def _zorder_oracle() -> str:
     from magicxml_spark.plans.layout import bucketize_sql, interleave_sql

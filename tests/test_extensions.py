@@ -1259,3 +1259,46 @@ def test_winnow_xxhash64_family(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         winnow_fingerprint_sets(docs, "doc_id", "text", hash_family="crc9")
+
+
+def test_substring_dedup_scrubs_repeated_spans(spark):
+    """Exact substring dedup: a shared 10-word passage keeps only its
+    global first occurrence; the later doc loses exactly that span
+    (overlapping repeated 8-grams merged into ONE island), unique text
+    survives, and whole-doc duplicates scrub to empty."""
+    from magicxml_spark.operators.dedup import (
+        substring_dedup,
+        substring_dedup_stats,
+    )
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {quoted} closing remarks"),
+            (2, f"other document quoting {quoted} with its own ending"),
+            (3, "entirely unique content nothing shared with anyone at all today"),
+            (4, "tiny doc"),
+            (5, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    stats = {r["id"]: r for r in substring_dedup_stats(docs, n=8).collect()}
+    # doc 1 holds the first occurrence -> nothing removed
+    assert stats[1]["tokens_removed"] == 0
+    # doc 2: the 10 quoted tokens form one merged island (three
+    # overlapping repeated 8-grams), own words survive
+    assert stats[2]["n_repeat_islands"] == 1
+    assert stats[2]["tokens_removed"] == 10
+    assert stats[2]["tokens_remaining"] == stats[2]["n_tokens"] - 10
+    assert stats[3]["tokens_removed"] == 0
+    # whole-doc dup shorter than n: doc 5 is a repeat of doc 4's single
+    # whole-text gram; clamped to its real 2 tokens
+    assert stats[4]["tokens_removed"] == 0
+    assert stats[5]["tokens_removed"] == 2 and stats[5]["tokens_remaining"] == 0
+
+    clean = {r["id"]: r for r in substring_dedup(docs, n=8).collect()}
+    assert clean[2]["clean_text"] == "other document quoting with its own ending"
+    assert clean[2]["tokens_removed"] == 10
+    assert clean[1]["clean_text"].startswith("intro words here alpha")
+    assert clean[5]["clean_text"] == ""
+    assert clean[3]["tokens_removed"] == 0
