@@ -249,6 +249,8 @@ def sniff_format(data: bytes) -> str | None:
         return "GIF"
     if data[:2] == b"\xff\xd8":
         return "JPEG"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "TIFF"
     return None
 
 
@@ -276,4 +278,9 @@ def decode_image(data: bytes):
             return ("JPEG", *decode_jpeg(data))
         except Exception:
             return None
+    if fmt == "TIFF":
+        from magicxml_spark.sources.tiff_lite import decode_tiff
+
+        dec = decode_tiff(data)
+        return None if dec is None else ("TIFF", *dec)
     return None

@@ -1,0 +1,218 @@
+"""Minimal pure-Python baseline TIFF decoder (TIFF 6.0 subset).
+
+Sixth lite codec: baseline TIFF is fully specified in the public
+TIFF 6.0 specification — little/big-endian headers, IFD tag walks,
+strip organization, and the three baseline compressions (none,
+PackBits §9, LZW §13 with the MSB-first packing + early-change quirk
+that distinguishes TIFF-LZW from GIF-LZW) are all implementable on
+``struct`` alone. Reference main.py:886-905 accepts .tif/.tiff through
+Pillow; this un-gates that path for the baseline subset.
+
+Decoder subset: single-image (first IFD), 8-bit samples, grayscale
+(black/white-is-zero), RGB, and palette-color, strip-based (no tiles),
+Compression 1/5/32773, Predictor 1/2 (horizontal differencing for
+LZW). Out-of-subset files return None so callers keep their PIL gate —
+the same bail-out contract as every other lite codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _packbits(data: bytes, expected: int) -> bytes | None:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            if i + b + 1 > n:
+                return None
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _tiff_lzw(data: bytes, expected: int) -> bytes | None:
+    """TIFF §13 LZW: MSB-first bit order, Clear=256, EOI=257, first
+    table code 258, and the EARLY-CHANGE quirk — the code width bumps
+    when the next table index is 2^width - 1 (one code sooner than
+    GIF's LSB-first variant)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    pos = 0
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = read_code()
+        if code is None or code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one assignment, so it widens at size
+        # 2^width - 2 (when the encoder's next code hit 2^width - 1)
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def decode_tiff(data: bytes):
+    """-> (w, h, mode, pixels) for the baseline subset, None otherwise
+    (tiled, multi-bit-depth, other compressions, broken structure)."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        return None
+    try:
+        n_tags = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])[0]
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_tags):
+            at = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(bo + "HHI", data[at : at + 8])
+            tags[tag] = (typ, cnt, data[at + 8 : at + 12])
+    except struct.error:
+        return None
+
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def values(tag: int) -> list[int] | None:
+        if tag not in tags:
+            return None
+        typ, cnt, raw = tags[tag]
+        if typ not in sizes:
+            return None
+        total = sizes[typ] * cnt
+        buf = raw[:total] if total <= 4 else None
+        if buf is None:
+            off = struct.unpack(bo + "I", raw)[0]
+            buf = data[off : off + total]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        try:
+            return list(struct.unpack(bo + fmt * cnt, buf))
+        except struct.error:
+            return None
+
+    def one(tag: int, default: int | None = None) -> int | None:
+        v = values(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = values(258) or [1]
+    predictor = one(317, 1)
+    offsets = values(273)
+    counts = values(279)
+    rows_per_strip = one(278, h or 0)
+    if (
+        not w
+        or not h
+        or photo is None
+        or offsets is None
+        or counts is None
+        or len(offsets) != len(counts)
+        or comp not in (1, 5, 32773)
+        or predictor not in (1, 2)
+        or any(b != 8 for b in bits)
+        or 322 in tags  # tiled
+    ):
+        return None
+    if photo == 2 and spp < 3:
+        return None
+    if photo == 3 and spp != 1:
+        return None
+
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt]
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = rows * w * spp
+        if comp == 1:
+            dec = strip[:expected] if len(strip) >= expected else None
+        elif comp == 32773:
+            dec = _packbits(strip, expected)
+        else:
+            dec = _tiff_lzw(strip, expected)
+        if dec is None:
+            return None
+        if predictor == 2:
+            buf = bytearray(dec)
+            for r in range(rows):
+                base = r * w * spp
+                for x in range(spp, w * spp):
+                    buf[base + x] = (buf[base + x] + buf[base + x - spp]) & 0xFF
+            dec = bytes(buf)
+        raster += dec
+    if len(raster) < h * w * spp:
+        return None
+
+    if photo == 3:  # palette: ColorMap is 3 x 2^bits 16-bit values
+        cmap = values(320)
+        if not cmap or len(cmap) < 3 * 256:
+            return None
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            p = raster[i]
+            out[3 * i] = cmap[p] >> 8
+            out[3 * i + 1] = cmap[256 + p] >> 8
+            out[3 * i + 2] = cmap[512 + p] >> 8
+        return w, h, "RGB", bytes(out)
+    if photo in (0, 1) and spp == 1:
+        px = bytes(raster[: w * h])
+        if photo == 0:  # WhiteIsZero -> invert
+            px = bytes(255 - b for b in px)
+        return w, h, "L", px
+    if photo == 2:
+        if spp == 3:
+            return w, h, "RGB", bytes(raster[: w * h * 3])
+        # extra samples (e.g. alpha): keep RGB bytes, drop extras
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            out[3 * i : 3 * i + 3] = raster[spp * i : spp * i + 3]
+        return w, h, "RGB", bytes(out)
+    return None

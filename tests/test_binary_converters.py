@@ -1317,3 +1317,210 @@ def test_extract_pdf_tables_ruled_arm(spark, tmp_path):
     assert json.loads(out[0]["cell_json"]) == ["sku", "name", "qty"]
     assert json.loads(out[2]["cell_json"]) == ["B2", "Oak Table", "1"]
     assert out[0]["pdf_page"] == 1 and out[0]["table_number"] == 1
+
+
+# ---------------------------------------------------------------------------
+# tiff_lite: baseline TIFF decode vs an independent in-test writer
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Independent PackBits encoder (TIFF 6.0 §9) for fixtures."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            lit = i
+            while (
+                i < n
+                and i - lit < 128
+                and not (i + 1 < n and i + 2 < n and data[i + 1] == data[i] and data[i + 2] == data[i])
+            ):
+                i += 1
+            out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (§13): MSB-first packing, Clear
+    then data then EOI, EARLY width change when the next assigned code
+    is 2^width - 1."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    put(CLEAR)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        cur = bytes([b])
+    if cur:
+        put(table[cur])
+    put(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _write_tiff(w, h, mode, pixels, compression=1, predictor=1, endian="<",
+                rows_per_strip=None, photometric=None):
+    """Independent minimal TIFF writer for fixtures (strips, 8-bit)."""
+    import struct as st
+
+    bo = endian
+    spp = 3 if mode == "RGB" else 1
+    photo = photometric if photometric is not None else (2 if mode == "RGB" else 1)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        raw = bytearray(pixels[y0 * w * spp : (y0 + rows) * w * spp])
+        if predictor == 2:
+            for r in range(rows):
+                base = r * w * spp
+                for x in range(w * spp - 1, spp - 1, -1):
+                    raw[base + x] = (raw[base + x] - raw[base + x - spp]) & 0xFF
+        raw = bytes(raw)
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+
+    tags = []  # (tag, type, count, value_or_bytes)
+    def add(tag, typ, vals):
+        tags.append((tag, typ, vals))
+
+    add(256, 3, [w]); add(257, 3, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [photo])
+    add(277, 3, [spp])
+    add(278, 3, [rps])
+    if predictor != 1:
+        add(317, 3, [predictor])
+    # strip offsets/counts filled after layout
+    tsize = {3: 2, 4: 4}
+    header = 8
+    ifd_off = header
+    n_tags = len(tags) + 2
+    ifd_len = 2 + 12 * n_tags + 4
+    extra_off = ifd_off + ifd_len
+    extra = bytearray()
+
+    def tag_bytes(tag, typ, vals):
+        nonlocal extra
+        cnt = len(vals)
+        total = tsize[typ] * cnt
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = st.pack(bo + fmt * cnt, *vals)
+        if total <= 4:
+            raw = raw + b"\x00" * (4 - total)
+        else:
+            off = extra_off + len(extra)
+            extra += raw
+            raw = st.pack(bo + "I", off)
+        return st.pack(bo + "HHI", tag, typ, cnt) + raw
+
+    # reserve strip data after extra area — two passes: first compute
+    # extra length with placeholder offsets, then write real ones
+    body = b"".join(strips)
+    # pass 1: lay out all non-strip tags to measure `extra`
+    probe = bytearray()
+    saved_extra = None
+    for _pass in (1, 2):
+        extra = bytearray()
+        entries = []
+        all_tags = sorted(
+            tags
+            + [(273, 4, list(strip_offsets) if _pass == 2 else [0] * n_strips),
+               (279, 4, [len(s) for s in strips])]
+        )
+        for tag, typ, vals in all_tags:
+            entries.append(tag_bytes(tag, typ, vals))
+        if _pass == 1:
+            strip_base = extra_off + len(extra)
+            strip_offsets = []
+            at = strip_base
+            for s_ in strips:
+                strip_offsets.append(at)
+                at += len(s_)
+    out = st.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    out += st.pack(bo + "H", n_tags) + b"".join(entries) + st.pack(bo + "I", 0)
+    out += bytes(extra) + body
+    return out
+
+
+def test_tiff_decode_all_compressions_and_modes():
+    """Baseline TIFF decode vs the independent writer: uncompressed,
+    PackBits, and TIFF-LZW (early change), grayscale and RGB, multiple
+    strips, horizontal predictor, both byte orders."""
+    import numpy as np
+
+    from magicxml_spark.sources.tiff_lite import decode_tiff
+
+    rng = np.random.default_rng(3)
+    w, h = 23, 11
+    rgb = bytes(rng.integers(0, 256, size=w * h * 3, dtype=np.uint8))
+    gray = bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8))
+
+    for comp in (1, 5, 32773):
+        for endian in ("<", ">"):
+            t = _write_tiff(w, h, "RGB", rgb, compression=comp, endian=endian,
+                            rows_per_strip=4)
+            assert decode_tiff(t) == (w, h, "RGB", rgb), (comp, endian)
+        t = _write_tiff(w, h, "L", gray, compression=comp, rows_per_strip=3)
+        assert decode_tiff(t) == (w, h, "L", gray), comp
+
+    # LZW + predictor 2 (the libtiff default pairing)
+    t = _write_tiff(w, h, "RGB", rgb, compression=5, predictor=2, rows_per_strip=5)
+    assert decode_tiff(t) == (w, h, "RGB", rgb)
+
+    # WhiteIsZero inverts
+    t = _write_tiff(w, h, "L", gray, photometric=0)
+    assert decode_tiff(t) == (w, h, "L", bytes(255 - b for b in gray))
+
+    # LZW table growth past one width bump: long repetitive stream
+    big = (b"abcd" * 700)[: 50 * 50]
+    t = _write_tiff(50, 50, "L", big, compression=5)
+    assert decode_tiff(t) == (50, 50, "L", big)
+
+    # out-of-subset and junk bail to None
+    assert decode_tiff(b"II*\x00garbage") is None
+    assert decode_tiff(b"nottiff") is None
+
+
+def test_tiff_via_image_lite_dispatch():
+    from magicxml_spark.sources.image_lite import decode_image, sniff_format
+
+    t = _write_tiff(5, 4, "L", bytes(range(20)))
+    assert sniff_format(t) == "TIFF"
+    fmt, w, h, mode, px = decode_image(t)
+    assert (fmt, w, h, mode, px) == ("TIFF", 5, 4, "L", bytes(range(20)))
