@@ -303,3 +303,135 @@ def test_presplit_streams_bounded_memory(tmp_path):
 
     totals = [len(ET.parse(p).getroot().findall("offer")) for p in parts]
     assert totals == [20, 20, 10]
+
+
+# ---------------------------------------------------------------------------
+# WARC web-archive source (round 5: Common Crawl-shaped ingestion)
+# ---------------------------------------------------------------------------
+
+
+def _make_warc(records, per_record_gzip=False, whole_gzip=False):
+    """Independent in-test WARC writer (ISO 28500 layout): records =
+    [(warc_type, uri, date, http_status, content_type, body_bytes)]."""
+    import gzip as _gz
+
+    out = b""
+    for i, (wtype, uri, date, status, ctype, body) in enumerate(records):
+        if status is not None:
+            block = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+        else:
+            block = body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + (f"WARC-Date: {date}\r\n" if date else "")
+            + f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        rec = head + block + b"\r\n\r\n"
+        out += _gz.compress(rec) if per_record_gzip else rec
+    if whole_gzip:
+        out = _gz.compress(out)
+    return out
+
+
+_WARC_RECORDS = [
+    ("warcinfo", None, "2026-01-02T03:04:05Z", None, None, b"software: testcrawler\r\n"),
+    (
+        "response",
+        "https://example.com/a",
+        "2026-01-02T03:04:06Z",
+        200,
+        "text/html; charset=utf-8",
+        b"<html><body><h1>Title</h1><p>Hello &amp; welcome</p>"
+        b"<script>ignored()</script></body></html>",
+    ),
+    (
+        "response",
+        "https://example.com/b",
+        "2026-01-02T03:04:07Z",
+        404,
+        "text/html",
+        b"<html><body>not found</body></html>",
+    ),
+    (
+        "response",
+        "https://example.com/img",
+        "2026-01-02T03:04:08Z",
+        200,
+        "image/png",
+        b"\x89PNGfakebytes",
+    ),
+    ("request", "https://example.com/a", "2026-01-02T03:04:06Z", None, None, b"GET /a HTTP/1.1\r\n"),
+]
+
+
+def test_warc_source_plain_and_gzip(spark, tmp_path):
+    """read_warc: response filtering, HTTP envelope split, HTML->text
+    through the P17 cleaner, non-HTML payload kept binary; identical
+    rows from plain, per-record-gzip (Common Crawl layout), and
+    whole-file-gzip archives."""
+    from magicxml_spark.sources.warc import read_warc
+
+    (tmp_path / "plain.warc").write_bytes(_make_warc(_WARC_RECORDS))
+    (tmp_path / "member.warc.gz").write_bytes(
+        _make_warc(_WARC_RECORDS, per_record_gzip=True)
+    )
+    (tmp_path / "whole.warc.gz").write_bytes(
+        _make_warc(_WARC_RECORDS, whole_gzip=True)
+    )
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"].rsplit("/", 1)[-1], []).append(r)
+    assert set(by_file) == {"plain.warc", "member.warc.gz", "whole.warc.gz"}
+    for fname, rs in by_file.items():
+        rs = sorted(rs, key=lambda r: r["record_offset"])
+        assert [r["warc_type"] for r in rs] == ["response"] * 3, fname
+        a, b, img = rs
+        assert a["target_uri"] == "https://example.com/a"
+        assert a["http_status"] == 200
+        assert a["http_content_type"].startswith("text/html")
+        assert "Hello & welcome" in a["text"] and "ignored" not in a["text"]
+        assert b["http_status"] == 404
+        assert img["text"] is None
+        assert bytes(img["payload"]) == b"\x89PNGfakebytes"
+
+    # all record types on request
+    all_rows = read_warc(
+        spark, str(tmp_path), glob="plain.warc", record_types=()
+    ).collect()
+    assert sorted({r["warc_type"] for r in all_rows}) == [
+        "request",
+        "response",
+        "warcinfo",
+    ]
+
+
+def test_warc_to_documents_projection(spark, tmp_path):
+    """warc_to_documents: 200 + html only, stable digest ids, parsed
+    fetch timestamp — the handoff row shape for the dedup/quality
+    operators."""
+    from magicxml_spark.sources.warc import read_warc, warc_to_documents
+
+    (tmp_path / "c.warc").write_bytes(_make_warc(_WARC_RECORDS))
+    docs = warc_to_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["url"] == "https://example.com/a"
+    assert d["fetched_at"] is not None and d["fetched_at"].year == 2026
+    assert "Hello & welcome" in d["text"]
+    assert isinstance(d["doc_id"], int)
+
+
+def test_warc_truncated_tail_keeps_prior_records():
+    from magicxml_spark.sources.warc import iter_warc_records
+
+    good = _make_warc(_WARC_RECORDS[:2])
+    truncated = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    recs = list(iter_warc_records(truncated))
+    assert len(recs) == 2
