@@ -733,17 +733,30 @@ def sample_video_frames(
     deterministic_stub: bool = False,
 ) -> DataFrame:
     """Multimodal frame sampling: one row per sampled frame with a
-    frame_index lineage column (video codecs absent from this image —
-    the stub derives per-frame bytes from md5(content, index) so the
-    explode shape, ordering, and lineage columns are real and tested)."""
+    frame_index lineage column. REAL for Motion-JPEG AVI containers
+    (riff_media walks the movi list; each emitted frame is the JPEG
+    bytes, decodable downstream by image_lite/jpeg_lite); inter-frame
+    codecs (h264 etc.) stay on the cv2/av gate, with the
+    deterministic stub preserving the explode shape for them."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from magicxml_spark.sources.riff_media import iter_mjpeg_frames
+
         use_real = _have("cv2") or _have("av")
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 if use_real:  # pragma: no cover - codec not in image
                     raise NotImplementedError("wire cv2/av decode here")
+                mjpeg = list(iter_mjpeg_frames(bytes(content)))
+                if mjpeg:
+                    sampled = [
+                        (fidx, jpeg)
+                        for fidx, jpeg in mjpeg
+                        if fidx % every_n == 0
+                    ][:max_frames]
+                    rows += [(path, fidx, jpeg) for fidx, jpeg in sampled]
+                    continue
                 if deterministic_stub:
                     for k in range(max_frames):
                         frame_index = k * every_n
@@ -791,12 +804,40 @@ def chunk_audio(
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from magicxml_spark.sources.riff_media import decode_wav
+
         use_real = _have("soundfile") or _have("librosa") or _have("pydub")
         for pdf in it:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 if use_real:  # pragma: no cover - codec not in image
                     raise NotImplementedError("wire soundfile/librosa decode here")
+                wav = decode_wav(bytes(content))
+                if wav is not None:
+                    # REAL path: integer-PCM WAV — true duration from
+                    # the sample count, chunk = the actual PCM slice
+                    rate, ch, bits, n_frames, pcm = wav
+                    frame_bytes = ch * bits // 8
+                    total_s = n_frames / float(rate)
+                    per_chunk = int(chunk_seconds * rate)
+                    n = min(
+                        max_chunks,
+                        max(1, -(-n_frames // max(per_chunk, 1))),
+                    )
+                    for k in range(n):
+                        f0 = k * per_chunk
+                        f1 = min(n_frames, f0 + per_chunk)
+                        rows.append(
+                            (
+                                path,
+                                k,
+                                round(f0 / rate, 3),
+                                round(f1 / rate, 3),
+                                rate,
+                                pcm[f0 * frame_bytes : f1 * frame_bytes],
+                            )
+                        )
+                    continue
                 if not deterministic_stub:
                     raise NotImplementedError(
                         "no audio codec installed; pass deterministic_stub=True"

@@ -435,3 +435,82 @@ def test_warc_truncated_tail_keeps_prior_records():
     truncated = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
     recs = list(iter_warc_records(truncated))
     assert len(recs) == 2
+
+
+# ---------------------------------------------------------------------------
+# RIFF media: real WAV audio chunking + MJPEG-AVI frame sampling
+# ---------------------------------------------------------------------------
+
+
+def test_wav_chunk_audio_real_path(spark, tmp_path):
+    """chunk_audio is REAL for integer-PCM WAV: true duration from the
+    sample count, chunk boundaries at exact sample positions, chunk
+    payload = the actual PCM slice (byte-verified), file's own rate."""
+    import struct as st
+
+    from magicxml_spark.sources.binary_docs import chunk_audio, read_binary
+    from magicxml_spark.sources.riff_media import decode_wav, encode_wav
+
+    rate, seconds = 8000, 2.5
+    n = int(rate * seconds)
+    pcm = b"".join(
+        st.pack("<h", int(10000 * ((i * 37) % 200 - 100) / 100)) for i in range(n)
+    )
+    wav = encode_wav(rate, 1, 16, pcm)
+    assert decode_wav(wav) == (rate, 1, 16, n, pcm)
+    (tmp_path / "tone.wav").write_bytes(wav)
+
+    rows = sorted(
+        chunk_audio(read_binary(spark, str(tmp_path)), chunk_seconds=1.0).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert len(rows) == 3  # 2.5 s at 1 s chunks
+    assert [r["sample_rate"] for r in rows] == [rate] * 3
+    assert (rows[0]["start_s"], rows[0]["end_s"]) == (0.0, 1.0)
+    assert (rows[2]["start_s"], rows[2]["end_s"]) == (2.0, 2.5)
+    assert bytes(rows[0]["pcm"]) == pcm[: rate * 2]
+    assert bytes(rows[2]["pcm"]) == pcm[2 * rate * 2 :]
+    # stereo 8-bit also decodes
+    st8 = encode_wav(4000, 2, 8, bytes(range(256)) * 10)
+    assert decode_wav(st8)[0:3] == (4000, 2, 8)
+    # junk stays gated (None -> stub/raise path)
+    assert decode_wav(b"RIFFjunk") is None
+
+
+def test_mjpeg_avi_frame_sampling_real_path(spark, tmp_path):
+    """sample_video_frames is REAL for Motion-JPEG AVI: frames come
+    back as the embedded JPEG bytes (decodable by jpeg_lite), sampled
+    every_n with the max_frames cap; avi_info reads the header."""
+    import numpy as np
+
+    from magicxml_spark.sources.binary_docs import read_binary, sample_video_frames
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+    from magicxml_spark.sources.riff_media import (
+        avi_info,
+        encode_mjpeg_avi,
+        iter_mjpeg_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 16, 12
+    frames = [
+        encode_jpeg(w, h, "RGB", bytes(rng.integers(0, 256, w * h * 3, dtype=np.uint8)))
+        for _ in range(7)
+    ]
+    avi = encode_mjpeg_avi(frames, w, h, fps=10)
+    info = avi_info(avi)
+    assert info["total_frames"] == 7 and (info["width"], info["height"]) == (w, h)
+    assert [f for _, f in iter_mjpeg_frames(avi)] == frames
+
+    (tmp_path / "clip.avi").write_bytes(avi)
+    rows = sorted(
+        sample_video_frames(
+            read_binary(spark, str(tmp_path)), every_n=3, max_frames=2
+        ).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows] == [0, 3]
+    for r in rows:
+        dw, dh, mode, _ = decode_jpeg(bytes(r["frame"]))
+        assert (dw, dh, mode) == (w, h, "RGB")
+    assert bytes(rows[1]["frame"]) == frames[3]
