@@ -81,7 +81,8 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes | None:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
+            if len(table) < 4096:  # conformant encoders CLEAR at 4094
+                table.append(prev + entry[:1])
         elif code == len(table):
             entry = prev + prev[:1]
             table.append(entry)

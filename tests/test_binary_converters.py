@@ -1376,8 +1376,15 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         put(table[cur])
         table[nxt] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1
+        if next_code == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:
+                # table full: conformant encoders emit CLEAR at 4094
+                put(CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
         cur = bytes([b])
     if cur:
         put(table[cur])

@@ -159,3 +159,115 @@ def test_fuzz_jpeg_decoder_rejects_corrupt_bytes():
             decode_jpeg(bytes(broken))  # decoding to junk pixels is fine
         except ValueError:
             pass  # the contract
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fuzz: the new codecs survive randomized inputs against their
+# independent in-test twins — seeded, no hypothesis shrinkage needed.
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_tiff_lzw_packbits_roundtrip():
+    """Random byte streams (uniform, runs-heavy, small-alphabet) round
+    trip through the independent TIFF-LZW and PackBits encoders into
+    tiff_lite's decoders — stresses early-change width bumps at every
+    boundary and PackBits literal/run alternation."""
+    import numpy as np
+
+    from magicxml_spark.sources.tiff_lite import _packbits, _tiff_lzw
+    from tests.test_binary_converters import _packbits_encode, _tiff_lzw_encode
+
+    rng = np.random.default_rng(55)
+    cases = []
+    for n in (1, 7, 63, 511, 2048, 6000):
+        cases.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))      # uniform
+        cases.append(bytes(rng.integers(0, 4, n, dtype=np.uint8)))        # tiny alphabet
+        cases.append(bytes(np.repeat(rng.integers(0, 256, max(1, n // 9),
+                                                  dtype=np.uint8), 9)[:n]))  # runs
+    for data in cases:
+        assert _tiff_lzw(_tiff_lzw_encode(data), len(data)) == data, len(data)
+        assert _packbits(_packbits_encode(data), len(data)) == data, len(data)
+
+
+def test_fuzz_progressive_jpeg_equals_baseline_twin():
+    """Randomized coefficient tensors + randomized legal scan scripts:
+    the progressive decode must equal the baseline twin bit-for-bit.
+    Stresses EOB runs, ZRL, refinement correction ordering, and
+    band-boundary spectral splits far beyond the fixed fixture."""
+    import random
+
+    import numpy as np
+
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+    from tools.jpeg_progressive_ref import (
+        encode_baseline_from_coef,
+        encode_progressive,
+    )
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        pyr = random.Random(200 + seed)
+        w = int(rng.integers(9, 40))
+        h = int(rng.integers(9, 40))
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        qt = {0: np.full((8, 8), 3, dtype=np.int64), 1: np.full((8, 8), 7, dtype=np.int64)}
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        coef = []
+        for bh, bw in ((mcuy * 2, mcux * 2), (mcuy, mcux), (mcuy, mcux)):
+            c = np.zeros((bh, bw, 64), dtype=np.int64)
+            c[:, :, 0] = rng.integers(-300, 301, (bh, bw))
+            density = pyr.choice([0.03, 0.15, 0.5])
+            mask = rng.random((bh, bw, 63)) < density
+            c[:, :, 1:] = np.where(mask, rng.integers(-90, 91, (bh, bw, 63)), 0)
+            coef.append(c)
+        split = pyr.choice([5, 20, 40])
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 2),
+            ([0], 1, split, 0, 1),
+            ([1], 1, 63, 0, 2),
+            ([0], split + 1, 63, 0, 1),
+            ([2], 1, 63, 0, 0),
+            ([0, 1, 2], 0, 0, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+        prog = encode_progressive(w, h, comps, qt, coef, scans)
+        base = encode_baseline_from_coef(w, h, comps, qt, coef)
+        assert decode_jpeg(prog) == decode_jpeg(base), seed
+
+
+def test_fuzz_wav_and_warc_roundtrip():
+    """Random PCM params round-trip riff_media's WAV codec; random WARC
+    record sets survive all three gzip packagings through the parser."""
+    import random
+
+    from magicxml_spark.sources.riff_media import decode_wav, encode_wav
+    from magicxml_spark.sources.warc import iter_warc_records
+    from tests.test_sinks_sources import _make_warc
+
+    rng = random.Random(77)
+    for _ in range(20):
+        rate = rng.choice([8000, 16000, 44100])
+        ch = rng.choice([1, 2])
+        bits = rng.choice([8, 16])
+        frames = rng.randrange(0, 500)
+        pcm = bytes(rng.randrange(256) for _ in range(frames * ch * bits // 8))
+        dec = decode_wav(encode_wav(rate, ch, bits, pcm))
+        assert dec == (rate, ch, bits, frames, pcm)
+
+    for seed in range(5):
+        r2 = random.Random(seed)
+        recs = []
+        for i in range(r2.randrange(1, 6)):
+            body = bytes(r2.randrange(256) for _ in range(r2.randrange(0, 300)))
+            recs.append(
+                ("response", f"https://x/{i}", "2026-01-01T00:00:00Z",
+                 r2.choice([200, 301, 404]), "application/octet-stream", body)
+            )
+        for kw in ({}, {"per_record_gzip": True}, {"whole_gzip": True}):
+            got = list(iter_warc_records(_make_warc(recs, **kw)))
+            assert len(got) == len(recs), (seed, kw)
+            for rec, (_, _, _, status, _, body) in zip(got, recs):
+                assert rec["block"].endswith(body)
