@@ -1304,20 +1304,35 @@ def repeated_ngram_spans(
     NON-FIRST occurrence of any corpus-repeated word n-gram. First
     occurrence = minimum (doc_id, position); the digest (md5) is the
     shuffle key so the exchange carries fixed-width keys, not n-word
-    strings."""
+    strings.
+
+    ONE pass via a gram-keyed window: the groupBy(first)+join-back
+    spelling re-executes the explode+digest on both crossJoin-style
+    branches (Spark shares no subtree results across branches — the
+    tfidf lesson) and adds a join shuffle; the window computes
+    min/count over each gram partition in the single exchange.
+    Measured 2.2x at sf1 forced (44 -> 19 s, hash-identical;
+    BASELINE.md round-5). xxhash64 as the key A/B'd within noise —
+    md5 stays for oracle-replicable semantics everywhere."""
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_positional_kgrams(F.col(text_col), n)).alias("pos", "gram"),
     ).select("id", "pos", F.md5("gram").alias("gh"))
     # combined order key: positions are < 1e6 for any sane document,
-    # so (doc_id, pos) collapses to one bigint min (cheap hash agg)
-    occ = grams.select("gh", "id", "pos", (F.col("id") * 1000000 + F.col("pos")).alias("okey"))
-    firsts = occ.groupBy("gh").agg(
-        F.min("okey").alias("first_okey"), F.count(F.lit(1)).alias("cnt")
+    # so (doc_id, pos) collapses to one bigint min
+    occ = grams.withColumn("okey", F.col("id") * 1000000 + F.col("pos"))
+    w = Window.partitionBy("gh")
+    marked = occ.select(
+        "id",
+        "pos",
+        "okey",
+        F.min("okey").over(w).alias("first_okey"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
     )
     return (
-        occ.join(firsts, "gh")
-        .filter((F.col("cnt") >= 2) & (F.col("okey") != F.col("first_okey")))
+        marked.filter((F.col("cnt") >= 2) & (F.col("okey") != F.col("first_okey")))
         .select("id", F.col("pos").alias("start"), (F.col("pos") + n).alias("end"))
     )
 
