@@ -1531,3 +1531,91 @@ def test_tiff_via_image_lite_dispatch():
     assert sniff_format(t) == "TIFF"
     fmt, w, h, mode, px = decode_image(t)
     assert (fmt, w, h, mode, px) == ("TIFF", 5, 4, "L", bytes(range(20)))
+
+
+def test_progressive_jpeg_restart_markers():
+    """DRI/RSTn inside progressive scans: predictors and EOB runs reset
+    at every marker; the decode must still equal the baseline twin
+    (which carries no restarts) bit-for-bit."""
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg
+    from tools.jpeg_progressive_ref import (
+        encode_baseline_from_coef,
+        encode_progressive,
+    )
+
+    w, h, comps, qtables, coef, scans = _progressive_fixture()
+    prog_rst = encode_progressive(
+        w, h, comps, qtables, coef, scans, restart_interval=2
+    )
+    base = encode_baseline_from_coef(w, h, comps, qtables, coef)
+    assert decode_jpeg(prog_rst) == decode_jpeg(base)
+    assert b"\xff\xd0" in prog_rst or b"\xff\xd1" in prog_rst
+
+
+def test_wav_extensible_format_and_tiff_palette():
+    """WAVE_FORMAT_EXTENSIBLE headers with the PCM subformat decode;
+    TIFF palette-color images map through the 16-bit ColorMap."""
+    import struct as st
+
+    from magicxml_spark.sources.riff_media import decode_wav
+    from magicxml_spark.sources.tiff_lite import decode_tiff
+
+    pcm = st.pack("<4h", 100, -100, 2000, -2000)
+    fmt = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt += st.pack("<HHI", 22, 16, 1)  # cbSize, valid bits, channel mask
+    fmt += st.pack("<H", 1) + b"\x00\x00" + b"\x00" * 12  # PCM subformat GUID
+    chunks = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + st.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_wav(wav) == (8000, 1, 16, 4, pcm)
+
+    # 2x2 palette TIFF: indices 0..3 -> distinct colors
+    import struct
+
+    cmap_vals = []
+    for chan in range(3):
+        col = [0] * 256
+        for i in range(4):
+            col[i] = (10 + chan * 50 + i * 3) << 8
+        cmap_vals += col
+    idx = bytes([0, 1, 2, 3])
+    bo = "<"
+    tags = [
+        (256, 3, [2]), (257, 3, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [0]), (277, 3, [1]), (278, 3, [2]),
+        (279, 4, [4]), (320, 3, cmap_vals),
+    ]
+    n = len(tags)
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * n + 4
+    extra = bytearray()
+    entries = b""
+    strip_off_entry = None
+    for tag, typ, vals in sorted(tags):
+        size = {3: 2, 4: 4}[typ]
+        fmtc = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + fmtc * len(vals), *vals)
+        if len(raw) <= 4:
+            raw = raw + b"\x00" * (4 - len(raw))
+        else:
+            off = extra_off + len(extra)
+            extra += struct.pack(bo + fmtc * len(vals), *vals)
+            raw = struct.pack(bo + "I", off)
+        entries += struct.pack(bo + "HHI", tag, typ, len(vals)) + raw
+    data_off = extra_off + len(extra)
+    # patch StripOffsets (tag 273, value currently 0)
+    entries = entries.replace(
+        struct.pack(bo + "HHI", 273, 4, 1) + struct.pack(bo + "I", 0),
+        struct.pack(bo + "HHI", 273, 4, 1) + struct.pack(bo + "I", data_off),
+    )
+    tiff = (
+        struct.pack(bo + "2sHI", b"II", 42, ifd_off)
+        + struct.pack(bo + "H", n) + entries + struct.pack(bo + "I", 0)
+        + bytes(extra) + idx
+    )
+    dec = decode_tiff(tiff)
+    assert dec is not None
+    w2, h2, mode, px = dec
+    assert (w2, h2, mode) == (2, 2, "RGB")
+    assert px[0:3] == bytes([10, 60, 110])       # index 0
+    assert px[9:12] == bytes([10 + 9, 60 + 9, 110 + 9])  # index 3

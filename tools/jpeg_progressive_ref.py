@@ -44,6 +44,9 @@ class _ScanEmitter:
         if n:
             self.events.append(("bits", v, n))
 
+    def rst(self, n: int) -> None:
+        self.events.append(("rst", n))
+
     def table(self) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
         vals = sorted(self.symbols)
         bits = [0] * 16
@@ -56,14 +59,24 @@ class _ScanEmitter:
             if ev[0] == "sym":
                 code, length = enc[ev[1]]
                 w.write(code, length)
+            elif ev[0] == "rst":
+                w.restart(ev[1])
             else:
                 w.write(ev[1], ev[2])
 
 
-def _emit_dc_scan(em: _ScanEmitter, coef, comps, sel, mcux, mcuy, ah, al):
+def _emit_dc_scan(em: _ScanEmitter, coef, comps, sel, mcux, mcuy, ah, al,
+                  restart_interval=0):
     preds = {ci: 0 for ci in sel}
+    n_mcu = 0
+    n_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                em.rst(n_rst)
+                n_rst = (n_rst + 1) & 7
+                preds = {ci: 0 for ci in sel}
+            n_mcu += 1
             for ci in sel:
                 _, hs, vs, _ = comps[ci]
                 for dy in range(vs):
@@ -80,10 +93,17 @@ def _emit_dc_scan(em: _ScanEmitter, coef, comps, sel, mcux, mcuy, ah, al):
                             em.bits((v >> al) & 1, 1)
 
 
-def _emit_dc_scan_noninterleaved(em, coef, ci, bh, bw, ah, al):
+def _emit_dc_scan_noninterleaved(em, coef, ci, bh, bw, ah, al, restart_interval=0):
     pred = 0
+    n_blk = 0
+    n_rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                em.rst(n_rst)
+                n_rst = (n_rst + 1) & 7
+                pred = 0
+            n_blk += 1
             v = int(coef[ci][by, bx, 0])
             if ah == 0:
                 t = v >> al
@@ -199,11 +219,15 @@ def encode_progressive(
     qtables: dict[int, np.ndarray],
     coef: list[np.ndarray],
     scans: list[tuple[list[int], int, int, int, int]],
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a progressive JPEG carrying exactly ``coef`` (per comp:
     (bh_pad, bw_pad, 64) zigzag ints). ``scans`` = (component indices,
     Ss, Se, Ah, Al); successive approximation must step Al one bit per
-    refinement with Ah = previous Al, ending at Al=0, per the spec."""
+    refinement with Ah = previous Al, ending at Al=0, per the spec.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many blocks/MCUs in every scan (predictors and EOB runs reset
+    at each, per F.2.1.3/G.1)."""
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -216,18 +240,23 @@ def encode_progressive(
     for cid, hs, vs, tq in comps:
         sof += bytes((cid, (hs << 4) | vs, tq))
     out += _seg(0xC2, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     for sel, ss, se, ah, al in scans:
         em = _ScanEmitter()
         is_dc = ss == 0
         if is_dc and len(sel) > 1:
-            _emit_dc_scan(em, coef, comps, sel, mcux, mcuy, ah, al)
+            _emit_dc_scan(
+                em, coef, comps, sel, mcux, mcuy, ah, al, restart_interval
+            )
         elif is_dc:
             ci = sel[0]
             _, hs, vs, _ = comps[ci]
             cw = (w * hs + hmax - 1) // hmax
             ch = (h * vs + vmax - 1) // vmax
             _emit_dc_scan_noninterleaved(
-                em, coef, ci, (ch + 7) // 8, (cw + 7) // 8, ah, al
+                em, coef, ci, (ch + 7) // 8, (cw + 7) // 8, ah, al,
+                restart_interval,
             )
         else:
             ci = sel[0]
@@ -236,8 +265,15 @@ def encode_progressive(
             ch = (h * vs + vmax - 1) // vmax
             bh, bw = (ch + 7) // 8, (cw + 7) // 8
             eob = _EobState(em)
+            n_blk = 0
+            n_rst = 0
             for by in range(bh):
                 for bx in range(bw):
+                    if restart_interval and n_blk and n_blk % restart_interval == 0:
+                        eob.flush()
+                        em.rst(n_rst)
+                        n_rst = (n_rst + 1) & 7
+                    n_blk += 1
                     band = coef[ci][by, bx, ss : se + 1]
                     if ah == 0:
                         _emit_ac_first(em, eob, band, al)
