@@ -519,6 +519,66 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(long, "lang", "sh")
 
 
+# HLL mergeability — THE property that makes sketches 100 TB-relevant:
+# shard-local register tables max-merge into exactly the global sketch
+# (max over shards == global max, algebraically), so distinct counts
+# compose across partitions/days/clusters without re-scanning. The
+# query builds per-shard sketches INDEPENDENTLY (doc_id % 3 as the
+# shard), max-merges them, and compares against the direct global
+# estimate; the oracle reuses the generated HLL SQL for the estimates
+# and pins the merge==direct flag to TRUE — a mis-keyed or lossy merge
+# path flips it and reds the row.
+@query(
+    "q_hll_union",
+    # the generated direct-estimate SQL plus the pinned TRUE flag —
+    # merged ≡ direct is algebraic, so the oracle never computes shards
+    oracle=_hll_oracle().replace(
+        "FROM est", ", TRUE AS merge_matches_direct FROM est"
+    ),
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import word_shingles
+    from magicxml_spark.operators.sketches import hll_fold_registers, hll_register
+
+    docs = table(spark, sf_dir, "documents")
+    long = docs.select(
+        "lang",
+        (F.col("doc_id") % 3).alias("_shard"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    idx, rho = hll_register(F.col("sh"))
+    shard_regs = (
+        long.select("lang", "_shard", idx.alias("_i"), rho.alias("_r"))
+        .groupBy("lang", "_shard", "_i")
+        .agg(F.max("_r").alias("r"))
+    )
+    merged_regs = shard_regs.groupBy("lang", "_i").agg(F.max("r").alias("r"))
+    merged = hll_fold_registers(merged_regs, ["lang"])
+
+    direct_regs = (
+        long.select("lang", idx.alias("_i"), rho.alias("_r"))
+        .groupBy("lang", "_i")
+        .agg(F.max("_r").alias("r"))
+    )
+    direct = hll_fold_registers(direct_regs, ["lang"]).select(
+        "lang",
+        F.col("n_registers").alias("_dn"),
+        F.col("hll_estimate").alias("_de"),
+        F.col("method").alias("_dm"),
+    )
+    return merged.join(direct, "lang").select(
+        "lang",
+        "n_registers",
+        "hll_estimate",
+        "method",
+        (
+            (F.col("n_registers") == F.col("_dn"))
+            & (F.col("hll_estimate") == F.col("_de"))
+            & (F.col("method") == F.col("_dm"))
+        ).alias("merge_matches_direct"),
+    )
+
+
 def _cm_oracle() -> str:
     from magicxml_spark.operators.sketches import CM_DEPTH, cm_cell_sql
 
