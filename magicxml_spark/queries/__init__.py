@@ -67,6 +67,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_winnow_pairs_capped",
     "q_substring_dedup",
     "q_hll_union",
+    "q_cm_union",
     "q_md5_user_hash",
     "q_html_clean",
     "q_cosine_topk",

@@ -623,6 +623,65 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min mergeability — the SUM-merge algebra (vs HLL's max-merge):
+# shard-local sketches add cell-wise into exactly the global sketch, so
+# frequency tables compose across partitions without re-scanning. Same
+# invariant-gate pattern as q_hll_union: the oracle reuses the direct
+# CM estimate SQL and pins merge_matches_direct=TRUE.
+@query(
+    "q_cm_union",
+    # the direct-estimate SQL with the overestimate column swapped for
+    # the pinned TRUE flag — merged ≡ direct is algebraic (sum over
+    # shards == global count per cell), so the oracle never shards
+    oracle=_cm_oracle().replace(
+        "cm_estimate - exact_count AS overestimate",
+        "TRUE AS merge_matches_direct",
+    ),
+)
+def q_cm_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sketches import (
+        cm_probes,
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from magicxml_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 3).alias("_shard"), F.explode(tokens(F.col("text"))).alias("term")
+    )
+    # per-shard sketches built independently, then cell-wise SUM merge
+    shard_sketches = (
+        tok.select("_shard", cm_probes(F.col("term")).alias("_r"))
+        .select("_shard", F.col("_r.j").alias("j"), F.col("_r.cell").alias("cell"))
+        .groupBy("_shard", "j", "cell")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    merged = shard_sketches.groupBy("j", "cell").agg(
+        F.sum("cell_count").alias("cell_count")
+    )
+    direct = countmin_sketch(tok.select("term"), "term")
+
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "term").limit(20)
+    est_m = countmin_estimate(merged, top.select("term"), "term").withColumnRenamed(
+        "cm_estimate", "cm_estimate_merged"
+    )
+    est_d = countmin_estimate(direct, top.select("term"), "term")
+    return (
+        top.join(est_m, "term")
+        .join(est_d, "term")
+        .select(
+            "term",
+            "exact_count",
+            F.col("cm_estimate_merged").alias("cm_estimate"),
+            (F.col("cm_estimate_merged") == F.col("cm_estimate")).alias(
+                "merge_matches_direct"
+            ),
+        )
+    )
+
+
 # --- SimHash sketch -----------------------------------------------------------
 def _simhash_oracle() -> str:
     bit_terms = " + ".join(
