@@ -67,6 +67,7 @@ def main() -> None:
         "q_dependency_parse",
         "q_zorder_key",
         "q_lsh_pairs_capped",
+        "q_winnow_pairs_capped",
         "q_substring_dedup",
     ]
     spark = get_spark("magicxml-bench")

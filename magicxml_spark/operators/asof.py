@@ -150,6 +150,16 @@ def interval_lookup_join(
             )
     v = F.col(value_col)
     payload_cols = [c for c in dim_columns if c not in (lo_col, hi_col)]
+    # the BNLJ this replaces keeps both sides' columns distinct; a
+    # withColumn with a clashing name would silently OVERWRITE the fact
+    # column — refuse instead of corrupting
+    clashes = set(facts.columns) & set([*payload_cols, lo_col, hi_col])
+    if clashes:
+        raise ValueError(
+            f"fact columns {sorted(clashes)} collide with interval-dimension "
+            "output columns; rename one side before interval_lookup_join "
+            "(a join would keep both, a compiled lookup cannot)"
+        )
     # ONE value-comparison CASE producing the interval index; payload
     # columns look up by integer index. Building a comparison chain per
     # payload column would re-evaluate every interval bound per column —

@@ -1320,9 +1320,10 @@ def repeated_ngram_spans(
         F.col(id_col).alias("id"),
         F.posexplode(_positional_kgrams(F.col(text_col), n)).alias("pos", "gram"),
     ).select("id", "pos", F.md5("gram").alias("gh"))
-    # combined order key: positions are < 1e6 for any sane document,
-    # so (doc_id, pos) collapses to one bigint min
-    occ = grams.withColumn("okey", F.col("id") * 1000000 + F.col("pos"))
+    # order key: struct min is lexicographic (id, pos) — safe for any
+    # id range (full xxhash64 doc_ids) and >=1M-token documents, where
+    # an arithmetic id*K+pos packing would overflow or collide
+    occ = grams.withColumn("okey", F.struct(F.col("id"), F.col("pos")))
     w = Window.partitionBy("gh")
     marked = occ.select(
         "id",

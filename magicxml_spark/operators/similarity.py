@@ -35,13 +35,30 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("n", norm(F.col("v")))
 
 
-def _collect_index(base: DataFrame):
+def _collect_index(base: DataFrame, max_rows: int | None = None):
     """Collect (id, vec) to the driver via Arrow (toPandas) — an order
     of magnitude faster than the py4j row path for array columns —
-    and return (ids, unit-normalized float64 matrix)."""
+    and return (ids, unit-normalized float64 matrix).
+
+    ``max_rows`` is the driver-side safety contract (same shape as
+    ``interval_lookup_join``'s max_compiled_intervals): the collect is
+    limited to max_rows+1 and raises if the index side exceeds it, so a
+    100M-vector corpus can never be pulled onto the driver by accident —
+    the caller is pointed at the blocked / IVF variants instead."""
     import numpy as np
 
-    pdf = base.toPandas()
+    if max_rows is not None:
+        pdf = base.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"index side exceeds max_index_rows={max_rows}: the "
+                "broadcast-index bruteforce path collects the whole index "
+                "to the driver and is only for bounded catalogs — use "
+                "cosine_topk_blocked / embedding_near_dup_blocked (exact, "
+                "distributed) or cosine_topk(mode='auto') instead"
+            )
+    else:
+        pdf = base.toPandas()
     ids = pdf["id"].to_numpy()
     mat = np.array(list(pdf["v"]), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -61,7 +78,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    max_index_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per vector: (vec_id, neighbor_id, rank, sim).
 
@@ -75,12 +96,17 @@ def cosine_topk_bruteforce(
 
     Deterministic tie-break: (sim DESC, neighbor_id ASC). Ranking uses
     full float64 precision; sim is rounded only in the output.
+
+    ``max_index_rows`` (default ANN_EXACT_MAX_ROWS) bounds the driver
+    collect — past it this raises toward ``cosine_topk_blocked``, the
+    exact distributed path with no driver materialization.
     """
     import numpy as np
     import pandas as pd
 
+    cap = ANN_EXACT_MAX_ROWS if max_index_rows is None else max_index_rows
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    idx_ids, idx_mat = _collect_index(base)  # Arrow path, not row collect
+    idx_ids, idx_mat = _collect_index(base, max_rows=cap)  # Arrow path, not row collect
     bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
 
     id_dtype = dict(base.dtypes)["id"]
@@ -206,7 +232,11 @@ def cosine_topk_lsh(
 
 
 def embedding_near_dup(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_index_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
@@ -214,13 +244,16 @@ def embedding_near_dup(
     matrix multiply per Arrow batch, emitting only above-threshold
     pairs — the quadratic pair table never exists as rows. For
     corpus-vs-corpus scale, pre-bucket with ``lsh_bucket`` and run this
-    per bucket.
+    per bucket, or use ``embedding_near_dup_blocked`` (exact,
+    distributed, no driver collect). ``max_index_rows`` (default
+    ANN_EXACT_MAX_ROWS) bounds the driver collect and raises past it.
     """
     import numpy as np
     import pandas as pd
 
+    cap = ANN_EXACT_MAX_ROWS if max_index_rows is None else max_index_rows
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    idx_ids, idx_mat = _collect_index(base)
+    idx_ids, idx_mat = _collect_index(base, max_rows=cap)
     bc = df.sparkSession.sparkContext.broadcast((idx_ids, idx_mat))
 
     id_dtype = dict(base.dtypes)["id"]

@@ -48,75 +48,25 @@ from magicxml_spark.queries import pipeline  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-5 rotation
-# (VERDICT r4 "Next #2"): the two round-5 additions (first driver row:
-# the capped-emission oracle twin + the xxhash64 recall invariant),
-# then the two r2-stale queries (q_md5_user_hash, q_html_clean — their
-# last driver row is CORRECTNESS_r02), then ALL 45 remaining queries
-# unsampled in r4 (similarity family and the emitters whose call sites
-# changed this round lead), closing with the flagship at slot 50.
-# After r5 no query's latest driver row is older than 2 rounds. The
-# tail is everything driver-green in r4. Names missing from the list
-# (future additions) append in registration order; the assertion keeps
-# the list honest.
+# get a driver-recorded correctness row each round. Round-6 rotation
+# (VERDICT r5 "Next #2"): the three r3-stale queries lead
+# (q_tfidf_top_terms, q_corpus_filter, q_events_stream_windowed — the
+# only rows older than r4), then q_substring_dedup (its first-occurrence
+# order key changed to struct min this round — re-pin it), the
+# flagship, and the 45 head entries of the r4-green tail. The 50
+# queries freshly sampled in r5 close the list; the 4 r4-green entries
+# squeezed past slot 50 (q_decimal_comma/size_strip/defaults/
+# csv_normalize) lead r7's window. Names missing from the list (future
+# additions) append in registration order; the assertion keeps the
+# list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    "q_lsh_pairs_capped",
-    "q_lsh_xxhash64_recall",
-    "q_winnow_pairs_capped",
-    "q_substring_dedup",
-    "q_hll_union",
-    "q_cm_union",
-    "q_md5_user_hash",
-    "q_html_clean",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_cosine_topk_ivf",
-    "q_cosine_topk_auto",
-    "q_cosine_topk_int8",
-    "q_ann_recall",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_stock_aggregate",
-    "q_category_path",
-    "q_minhash_lsh_pairs",
-    "q_simhash_wide_near_dup",
-    "q_simhash_near_dup",
-    "q_simhash",
-    "q_curation_pipeline",
-    "q_stream_interval_join",
-    "q_stream_simhash_wide_pairs",
-    "q_decontaminate",
-    "q_exact_dedup",
-    "q_category_path_recursive",
-    "q_snapshot_dedup",
-    "q_asof_join",
-    "q_range_join",
-    "q_asof_prev_purchase",
-    "q_salted_agg",
-    "q_session_window",
-    "q_key_skew",
-    "q_repetition_profile",
-    "q_contamination",
-    "q_incremental_dedup",
-    "q_quota_sample",
-    "q_stratified_sample",
-    "q_hash_split",
-    "q_json_props",
-    "q_line_dedup",
-    "q_chunk_text",
-    "q_ivf_snapshot_search",
-    "q_chunks_to_shards",
-    "q_simhash_wide",
-    "q_stream_interval_semi",
-    "q_jaccard_pairs",
-    "q_text_profile",
     "q_tfidf_top_terms",
     "q_corpus_filter",
     "q_events_stream_windowed",
+    "q_substring_dedup",
     "q_flagship_revenue",
-    # --- r4-green tail (sampled last round) ---
     "q_pii_scrub",
     "q_moving_sum",
     "q_token_shards",
@@ -166,6 +116,55 @@ _DRIVER_SAMPLE_ORDER = [
     "q_size_strip",
     "q_defaults",
     "q_csv_normalize",
+    "q_lsh_pairs_capped",
+    "q_lsh_xxhash64_recall",
+    "q_winnow_pairs_capped",
+    "q_hll_union",
+    "q_cm_union",
+    "q_md5_user_hash",
+    "q_html_clean",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_auto",
+    "q_cosine_topk_int8",
+    "q_ann_recall",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_stock_aggregate",
+    "q_category_path",
+    "q_minhash_lsh_pairs",
+    "q_simhash_wide_near_dup",
+    "q_simhash_near_dup",
+    "q_simhash",
+    "q_curation_pipeline",
+    "q_stream_interval_join",
+    "q_stream_simhash_wide_pairs",
+    "q_decontaminate",
+    "q_exact_dedup",
+    "q_category_path_recursive",
+    "q_snapshot_dedup",
+    "q_asof_join",
+    "q_range_join",
+    "q_asof_prev_purchase",
+    "q_salted_agg",
+    "q_session_window",
+    "q_key_skew",
+    "q_repetition_profile",
+    "q_contamination",
+    "q_incremental_dedup",
+    "q_quota_sample",
+    "q_stratified_sample",
+    "q_hash_split",
+    "q_json_props",
+    "q_line_dedup",
+    "q_chunk_text",
+    "q_ivf_snapshot_search",
+    "q_chunks_to_shards",
+    "q_simhash_wide",
+    "q_stream_interval_semi",
+    "q_jaccard_pairs",
+    "q_text_profile",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

@@ -379,7 +379,8 @@ def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ0 AS (SELECT doc_id, unnest(grams) AS gram,
                     unnest(range(len(grams))) AS pos
              FROM g),
-    occ AS (SELECT doc_id, gram, pos, doc_id * 1000000 + pos AS okey
+    occ AS (SELECT doc_id, gram, pos,
+                   struct_pack(id := doc_id, pos := pos) AS okey
             FROM occ0),
     f AS (SELECT gram, min(okey) AS first_okey, count(*) AS cnt
           FROM occ GROUP BY gram),

@@ -575,9 +575,10 @@ def pdf_to_images(
                 lite = None if use_real else rasterize_pdf(bytes(content), dpi)
                 if lite is None and not use_real:
                     # foreign TEXT PDFs render through the same 5x7-font
-                    # interpreter (layout-faithful, substituted glyphs);
-                    # only image-only / compressed-xref foreign PDFs
-                    # still fall to the fitz gate below
+                    # interpreter (layout-faithful, substituted glyphs),
+                    # including compressed-xref/ObjStm files via
+                    # pdf_xref; only image-only foreign PDFs still fall
+                    # to the fitz gate below
                     lite = rasterize_text_pdf(bytes(content), dpi)
                 if use_real:  # pragma: no cover - codecs not in image
                     pages = _render_pdf_pages(bytes(content), fmt, dpi)
@@ -818,11 +819,12 @@ def chunk_audio(
                     # the sample count, chunk = the actual PCM slice
                     rate, ch, bits, n_frames, pcm = wav
                     frame_bytes = ch * bits // 8
-                    total_s = n_frames / float(rate)
-                    per_chunk = int(chunk_seconds * rate)
+                    # clamp: sub-frame chunk_seconds must still advance
+                    # one frame per chunk, never slice empty [0,0) spans
+                    per_chunk = max(1, int(chunk_seconds * rate))
                     n = min(
                         max_chunks,
-                        max(1, -(-n_frames // max(per_chunk, 1))),
+                        max(1, -(-n_frames // per_chunk)),
                     )
                     for k in range(n):
                         f0 = k * per_chunk

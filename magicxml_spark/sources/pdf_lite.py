@@ -236,11 +236,24 @@ _INFO_KEY_RE = re.compile(rb"/(Producer|Title|Author|Subject|Creator)\s*\(((?:\\
 
 def document_info(data: bytes) -> dict[str, str]:
     """Best-effort Info-dictionary string entries (Producer, Title, …)
-    — enough metadata parity for text PDFs without an object parser."""
-    return {
+    — enough metadata parity for text PDFs without an object parser.
+    When the Info dictionary hides inside a /Type /ObjStm (every modern
+    writer), pdf_xref's chain walk recovers it first."""
+    out = {
         m.group(1).decode(): _unescape(m.group(2))
         for m in _INFO_KEY_RE.finditer(data)
     }
+    if not out:
+        from magicxml_spark.sources.pdf_xref import (
+            compressed_objects,
+            has_compressed_xref,
+        )
+
+        if has_compressed_xref(data):
+            for body, _ in compressed_objects(data).values():
+                for m in _INFO_KEY_RE.finditer(body):
+                    out.setdefault(m.group(1).decode(), _unescape(m.group(2)))
+    return out
 
 
 def extract_table_rows(data: bytes) -> list[tuple[int, int, list[str]]]:

@@ -129,7 +129,15 @@ _XOBJ_RE = re.compile(rb"/XObject\s*<<\s*/(\w+)\s+(\d+)\s+0\s+R")
 
 
 def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """num -> (dict/body bytes, stream bytes or None)."""
+    """num -> (dict/body bytes, stream bytes or None).
+
+    Two passes: the regex scan covers classically-serialized files
+    (pdf_lite output and pre-1.5 writers), then the pdf_xref chain walk
+    overlays anything a compressed cross-reference knows — objects
+    packed into /Type /ObjStm streams (invisible to the regex) AND
+    xref-addressed top-level objects (whose spec-/Length slicing beats
+    the regex's ``endobj`` guess when binary stream data contains that
+    byte sequence)."""
     out: dict[int, tuple[bytes, bytes | None]] = {}
     for m in _OBJ_RE.finditer(data):
         body = m.group(2)
@@ -138,6 +146,13 @@ def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             out[int(m.group(1))] = (sm.group(1), sm.group(2))
         else:
             out[int(m.group(1))] = (body, None)
+    from magicxml_spark.sources.pdf_xref import (
+        compressed_objects,
+        has_compressed_xref,
+    )
+
+    if has_compressed_xref(data):
+        out.update(compressed_objects(data))
     return out
 
 
@@ -342,11 +357,19 @@ def _page_content(body: bytes, objs: dict) -> bytes | None:
     return b"\n".join(parts) if parts else None
 
 
-def _rasterize(data: bytes, dpi: int) -> list[tuple[int, int, bytes]] | None:
+def _rasterize(
+    data: bytes, dpi: int, require_content: bool = False
+) -> list[tuple[int, int, bytes]] | None:
     """Shared page loop: parse objects, enumerate leaf pages, interpret
     each content stream onto a canvas. Returns None when no page object
-    parses (compressed-xref/object-stream PDFs hide their objects from
-    the regex parser — those stay on the fitz gate)."""
+    parses at all (encrypted or exotically-filtered documents — since
+    pdf_xref landed, compressed-xref/ObjStm files DO parse).
+
+    ``require_content=True`` (the foreign-text arm) additionally bails
+    to None when NO page carries text or an actually-drawn XObject —
+    "nothing we can render" should fall through to the fitz gate there.
+    The pdf_lite-authored arm passes False: a producer-marked document
+    with blank pages renders blank pages, as it always did."""
     objs = _objects(data)
     pages = []
     for num in sorted(objs):
@@ -376,12 +399,18 @@ def _rasterize(data: bytes, dpi: int) -> list[tuple[int, int, bytes]] | None:
                 if xs is not None:
                     dec = _decode_xobject(xd, xs)
                     if dec is not None:
-                        dec_img = dec
-                        xobjects[name] = dec_img
-                        any_text = True  # a drawable XObject also counts
+                        xobjects[name] = dec
+            # an XObject only counts as content when the stream actually
+            # DRAWS it (a `/Name Do`), not merely because it decoded
+            for dm in re.finditer(rb"/(\w+)\s+Do", content):
+                if dm.group(1).decode() in xobjects:
+                    any_text = True
+                    break
             _render_stream(canvas, content, xobjects)
         out.append((canvas.w, canvas.h, encode_png(canvas.w, canvas.h, "RGB", bytes(canvas.pix))))
-    return out if any_text else None
+    if require_content and not any_text:
+        return None
+    return out
 
 
 def rasterize_pdf(data: bytes, dpi: int = 72) -> list[tuple[int, int, bytes]] | None:
@@ -410,12 +439,13 @@ def rasterize_text_pdf(data: bytes, dpi: int = 72) -> list[tuple[int, int, bytes
     page size at dpi, line positions, reading order) is faithful.
 
     Returns None — caller keeps the fitz gate — when the bytes are not
-    a PDF, carry the pdf_lite marker (use ``rasterize_pdf``), hide
-    their objects in compressed xref streams, or contain no text/image
-    content at all (image-only scans with exotic filters)."""
+    a PDF, carry the pdf_lite marker (use ``rasterize_pdf``), or
+    contain no text/image content at all (image-only scans with exotic
+    filters). Compressed-xref / object-stream files are fine: pdf_xref
+    recovers their page dictionaries before this interpreter runs."""
     if not data.startswith(b"%PDF") or PRODUCER.encode() in data:
         return None
-    return _rasterize(data, dpi)
+    return _rasterize(data, dpi, require_content=True)
 
 
 # --- Ruled-table extraction (the pdfplumber-lattice analog) -----------------

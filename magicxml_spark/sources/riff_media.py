@@ -140,10 +140,14 @@ def encode_mjpeg_avi(
         width,
         height,
     ) + b"\x00" * 16
+    # full 56-byte AVISTREAMHEADER: flags/priority/language/initial,
+    # scale/rate/start/length, bufsize/quality/samplesize, rcFrame RECT
+    # (left, top, right, bottom) — strict readers reject a truncated RECT
     strh = (
         b"vids"
         + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D, width * height * 3, 0, 0, 0, 0

@@ -491,6 +491,68 @@ def test_rasterize_foreign_pdf_returns_none():
     assert rasterize_pdf(b"not a pdf at all", dpi=72) is None
 
 
+def test_rasterize_no_content_gate_is_per_arm():
+    """The no-content bail-out applies ONLY to the foreign-text arm: a
+    pdf_lite-AUTHORED document with a blank page renders blank pages
+    (as it always did), a foreign PDF with no drawable content returns
+    None, and a decoded-but-never-DRAWN XObject (no `Do` in the
+    content stream) does not count as content."""
+    from magicxml_spark.sources.pdf_lite import PRODUCER, _serialize
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf, rasterize_text_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    def doc(producer, contents=b"", extra_page=b""):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+                + extra_page
+                + b"/Contents 5 0 R >>"
+            ),
+            5: b"<< /Length %d >>\nstream\n" % len(contents)
+            + contents
+            + b"\nendstream",
+            6: b"<< /Producer (" + producer + b") >>",
+        }
+        return _serialize(objs, 6)
+
+    # authored arm: blank page still renders (all-white, not None)
+    blank = doc(PRODUCER.encode())
+    pages = rasterize_pdf(blank, dpi=72)
+    assert pages is not None and len(pages) == 1
+    _, _, png = pages[0]
+    w, h, mode, pix = decode_png(png)
+    assert set(pix) == {255}
+    # foreign arm: same blank page falls to the gate
+    assert rasterize_text_pdf(doc(b"OtherTool"), dpi=72) is None
+    # foreign arm: an XObject that decodes but is never drawn (no Do)
+    # is not content either
+    import zlib as _z
+
+    img = _z.compress(b"\x00" * 12)  # 2x2 RGB
+    xobj = (
+        b"<< /Subtype /Image /Width 2 /Height 2 /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(img)
+        + img
+        + b"\nendstream"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: xobj,
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+            b"/Resources << /XObject << /Im0 3 0 R >> >> /Contents 5 0 R >>"
+        ),
+        5: b"<< /Length 0 >>\nstream\n\nendstream",
+        6: b"<< /Producer (OtherTool) >>",
+    }
+    assert rasterize_text_pdf(_serialize(objs, 6), dpi=72) is None
+
+
 def test_pdf_to_images_renders_lite_reports_for_real(spark, tmp_path):
     """End-to-end K10 without fitz: render_pdf_report writes a 2-page
     pdf_lite report; pdf_to_images (NO stub flag) rasterizes both pages
@@ -1619,3 +1681,160 @@ def test_wav_extensible_format_and_tiff_palette():
     assert (w2, h2, mode) == (2, 2, "RGB")
     assert px[0:3] == bytes([10, 60, 110])       # index 0
     assert px[9:12] == bytes([10 + 9, 60 + 9, 110 + 9])  # index 3
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 compressed cross-references (round 6: pdf_xref — XRef streams
+# + object streams, ISO 32000-1 §7.5.7-7.5.8). Fixtures come from
+# tools/pdf15_ref.py, an INDEPENDENT spec-derived writer sharing no
+# code with pdf_lite/pdf_xref (the codec-fuzz pattern), so the
+# round-trip is a genuine cross-check. Reference parity: main.py's
+# pdfplumber/fitz open any xref flavor natively (main.py:981-1034,
+# 1244-1381).
+# ---------------------------------------------------------------------------
+
+
+def _pdf15(**kw):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from pdf15_ref import write_pdf15
+
+    return write_pdf15(**kw)
+
+
+def test_pdf15_xref_stream_objstm_roundtrip():
+    """Every structural variant a modern writer emits must round-trip:
+    PNG-predictor-12 xref rows (the default encoding), unpredicted
+    rows, split /Index subsections, and INDIRECT /Length content
+    streams. Catalog/pages/page-dicts/font/Info all live in an ObjStm
+    — invisible to the regex pass — so text extraction, Info metadata,
+    and rasterization all prove the chain walk works."""
+    import pytest
+
+    from magicxml_spark.sources.pdf_lite import document_info, extract_text_pages
+    from magicxml_spark.sources.pdf_raster import rasterize_text_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    lines = [["hello world", "alpha  beta"], ["page two text"]]
+    for kw in (
+        {},
+        {"use_predictor": False},
+        {"split_index": True},
+        {"indirect_length": True},
+    ):
+        data = _pdf15(pages_lines=lines, title="XStream Doc", **kw)
+        pages = extract_text_pages(data)
+        assert [p for p in pages] == [
+            ["hello world", "alpha  beta"],
+            ["page two text"],
+        ], kw
+        info = document_info(data)
+        assert info.get("Producer") == "pdf15-ref-writer", kw
+        assert info.get("Title") == "XStream Doc", kw
+        ras = rasterize_text_pdf(data, dpi=36)
+        assert ras is not None and len(ras) == 2, kw
+        w, h, png = ras[0]
+        dw, dh, mode, pix = decode_png(png)
+        assert (dw, dh) == (w, h) == (round(595 * 36 / 72), round(842 * 36 / 72))
+        assert 0 in pix, "page 1 must carry glyph ink"
+
+
+def test_pdf15_incremental_update_shadowing():
+    """An incremental update (/Prev chain) appends a page by re-emitting
+    the /Pages node in a SECOND ObjStm: newest-revision entries must
+    shadow the originals (first-seen-wins walking newest-first), and
+    truncating the file at the first %%EOF must yield the original two
+    pages — the classic incremental-save property."""
+    from magicxml_spark.sources.pdf_raster import rasterize_text_pdf
+    from magicxml_spark.sources.pdf_xref import compressed_objects
+
+    data = _pdf15(
+        pages_lines=[["first"], ["second"]], incremental_page=["third page"]
+    )
+    body, stream = compressed_objects(data)[2]  # the /Pages node
+    assert stream is None and b"/Count 3" in body
+    assert len(rasterize_text_pdf(data, dpi=18)) == 3
+    first_rev = data[: data.index(b"%%EOF") + 5]
+    assert len(rasterize_text_pdf(first_rev, dpi=18)) == 2
+    assert b"/Count 2" in compressed_objects(first_rev)[2][0]
+
+
+def test_pdf15_hybrid_reference():
+    """Hybrid files (§7.5.8.4) carry a CLASSIC table marking the
+    ObjStm-packed objects free plus a trailer /XRefStm pointing at the
+    real xref stream; the stream's entries must take precedence or
+    every structure object looks deleted."""
+    from magicxml_spark.sources.pdf_lite import document_info, extract_text_pages
+    from magicxml_spark.sources.pdf_raster import rasterize_text_pdf
+    from magicxml_spark.sources.pdf_xref import read_xref_chain
+
+    data = _pdf15(pages_lines=[["hybrid line"]], hybrid=True)
+    chain = read_xref_chain(data)
+    assert chain[1][0] == 2, "catalog must resolve into the ObjStm"
+    assert extract_text_pages(data) == [["hybrid line"]]
+    assert document_info(data).get("Producer") == "pdf15-ref-writer"
+    assert len(rasterize_text_pdf(data, dpi=18)) == 1
+
+
+def test_pdf15_unsupported_filter_keeps_gate():
+    """An xref stream with a filter we don't implement (LZWDecode)
+    yields no entries — the callers keep their fitz gate instead of
+    mis-parsing. FlateDecode spelled the same length keeps the fixture
+    byte-aligned so only the filter name changes."""
+    from magicxml_spark.sources.pdf_raster import rasterize_text_pdf
+    from magicxml_spark.sources.pdf_xref import compressed_objects
+
+    data = _pdf15(pages_lines=[["gated"]])
+    xref_at = int(data.rsplit(b"startxref", 1)[1].split()[0])
+    head, tail = data[:xref_at], data[xref_at:]
+    # break ONLY the xref stream's filter (object streams keep theirs)
+    broken = head + tail.replace(b"/Filter /FlateDecode", b"/Filter /LZW22Decode", 1)
+    assert compressed_objects(broken) == {}
+    assert rasterize_text_pdf(broken, dpi=18) is None  # page dicts unreachable
+
+
+def test_pdf15_spark_documents_tables_and_images(spark, tmp_path):
+    """End-to-end S10/S9/K10 on a compressed-xref foreign PDF with NO
+    pdf libraries installed: extract_pdf_documents reads text + the
+    ObjStm-hidden Info metadata, extract_pdf_tables finds the
+    whitespace-aligned table through the heuristic arm, and
+    pdf_to_images (no stub flag) rasterizes real PNG pages."""
+    import json
+
+    from magicxml_spark.sources.binary_docs import (
+        extract_pdf_documents,
+        extract_pdf_tables,
+        pdf_to_images,
+        read_binary,
+    )
+    from magicxml_spark.sources.png_lite import decode_png
+
+    data = _pdf15(
+        pages_lines=[
+            [
+                "Quarterly Numbers",
+                "region   units   revenue",
+                "north    12      340.50",
+                "south    7       120.25",
+            ]
+        ],
+        title="Modern Writer Output",
+    )
+    (tmp_path / "modern.pdf").write_bytes(data)
+    bin_df = read_binary(spark, str(tmp_path), glob="modern.pdf")
+
+    docs = extract_pdf_documents(bin_df).collect()
+    assert len(docs) == 1 and docs[0]["pages_count"] == 1
+    assert "Quarterly Numbers" in docs[0]["text"]
+    assert json.loads(docs[0]["meta_json"])["Title"] == "Modern Writer Output"
+
+    cells = [json.loads(r["cell_json"]) for r in extract_pdf_tables(bin_df).collect()]
+    assert ["region", "units", "revenue"] in cells
+    assert ["north", "12", "340.50"] in cells
+
+    pages = pdf_to_images(bin_df, output_format="png", dpi=36).collect()
+    assert len(pages) == 1
+    w, h, mode, pix = decode_png(bytes(pages[0]["img_content"]))
+    assert (w, h) == (round(595 * 36 / 72), round(842 * 36 / 72))
+    assert 0 in pix

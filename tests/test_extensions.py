@@ -235,6 +235,54 @@ def test_blocked_near_dup_equals_broadcast(spark, monkeypatch):
     assert expected and got == expected
 
 
+def test_bruteforce_index_guard_raises_toward_blocked(spark):
+    """The broadcast-index bruteforce variants collect the whole index
+    side to the driver — a bounded-catalog contract (SCALING.md). The
+    max_index_rows guard (VERDICT r5 #2, same shape as asof's
+    max_compiled_intervals) must raise past the cap and point at the
+    blocked variants, and stay silent under it."""
+    import pytest
+
+    from magicxml_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        embedding_near_dup,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="cosine_topk_blocked"):
+        cosine_topk_bruteforce(emb, "vec_id", "embedding", k=3, max_index_rows=5)
+    with pytest.raises(ValueError, match="embedding_near_dup_blocked"):
+        embedding_near_dup(emb, "vec_id", "embedding", max_index_rows=5)
+    # under the cap: identical results to the unguarded call
+    assert (
+        cosine_topk_bruteforce(
+            emb, "vec_id", "embedding", k=3, max_index_rows=1_000_000
+        ).count()
+        > 0
+    )
+
+
+def test_interval_lookup_join_rejects_column_collisions(spark):
+    """interval_lookup_join attaches dimension columns via withColumn;
+    a fact column with the same name would be silently OVERWRITTEN
+    where the BNLJ it replaces keeps both — must raise instead."""
+    import pytest
+
+    from magicxml_spark.operators.asof import interval_lookup_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0, "keep-me")], "k bigint, v double, tier string"
+    )
+    dim = [{"lo": 0.0, "hi": 10.0, "tier": "low"}]
+    with pytest.raises(ValueError, match="collide"):
+        interval_lookup_join(facts, dim, value_col="v")
+    # non-colliding dimension still works
+    ok = interval_lookup_join(
+        facts.drop("tier"), dim, value_col="v"
+    ).collect()
+    assert ok[0]["tier"] == "low"
+
+
 def test_lsh_recall_floor(spark):
     """Hard gate for the multi-table LSH path: recall@5 vs the exact
     blocked top-k must stay above the recorded floor (BASELINE.md
@@ -1302,3 +1350,44 @@ def test_substring_dedup_scrubs_repeated_spans(spark):
     assert clean[1]["clean_text"].startswith("intro words here alpha")
     assert clean[5]["clean_text"] == ""
     assert clean[3]["tokens_removed"] == 0
+
+
+def test_substring_dedup_extreme_ids_and_giant_docs(spark):
+    """First-occurrence selection survives the two domains the old
+    ``id * 1e6 + pos`` packing corrupted (VERDICT r5 #1): doc_ids past
+    ~9.2e12 (full-range xxhash64 ids from warc_to_documents overflow
+    the bigint product) and >=1M-token documents (positions bleed into
+    the next id's key range). The struct (id, pos) min has no packing
+    precondition — lexicographic order IS the oracle semantics."""
+    from magicxml_spark.operators.dedup import substring_dedup_stats
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf hotel"
+    # extreme ids: packing would overflow (ANSI: job error; pre-ANSI:
+    # silent wrong winner). min(struct) must pick the SMALLER id.
+    docs = spark.createDataFrame(
+        [
+            (9_300_000_000_000_000, f"first home of the passage {quoted}"),
+            (9_300_000_000_000_001, f"{quoted} repeated in the bigger id"),
+        ],
+        "doc_id bigint, text string",
+    )
+    stats = {r["id"]: r for r in substring_dedup_stats(docs, n=8).collect()}
+    assert stats[9_300_000_000_000_000]["tokens_removed"] == 0
+    assert stats[9_300_000_000_000_001]["tokens_removed"] == 8
+
+    # giant doc: the repeat sits past the 1e6-position boundary in the
+    # LOWER id, so packed keys would collide into id 2's range and
+    # (1*1e6 + 1000004 = 2000004) > (2*1e6 + 3 = 2000003) would flip
+    # the winner; struct order keeps (1, 1000004) < (2, 3).
+    filler = " ".join(f"w{i}" for i in range(1_000_004))
+    giant = spark.createDataFrame(
+        [
+            (1, f"{filler} {quoted}"),
+            (2, f"pad pad pad {quoted} trailing words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    gstats = {r["id"]: r for r in substring_dedup_stats(giant, n=8).collect()}
+    assert gstats[1]["tokens_removed"] == 0
+    assert gstats[1]["n_tokens"] == 1_000_012
+    assert gstats[2]["tokens_removed"] == 8

@@ -476,6 +476,20 @@ def test_wav_chunk_audio_real_path(spark, tmp_path):
     # junk stays gated (None -> stub/raise path)
     assert decode_wav(b"RIFFjunk") is None
 
+    # sub-frame chunk_seconds (chunk_seconds*rate < 1) must clamp to
+    # one frame per chunk — never emit degenerate empty [0,0) slices
+    tiny = sorted(
+        chunk_audio(
+            read_binary(spark, str(tmp_path)),
+            chunk_seconds=1e-6,
+            max_chunks=4,
+        ).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert len(tiny) == 4
+    for i, r in enumerate(tiny):
+        assert bytes(r["pcm"]) == pcm[i * 2 : (i + 1) * 2]  # exactly 1 frame
+
 
 def test_mjpeg_avi_frame_sampling_real_path(spark, tmp_path):
     """sample_video_frames is REAL for Motion-JPEG AVI: frames come
