@@ -25,10 +25,94 @@ parent names contribute 'Undefined' (main.py:1483, 1497-1499).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PATH_SEP = "///"
+
+# category_path_lookup ceiling: the pairs become ONE constant-folded
+# map literal in the plan, so the dimension must stay plan-embeddable.
+DEFAULT_MAX_COMPILED_PATHS = 10_000
+
+
+def _driver_walk(
+    rows, max_depth: int, sep: str, skip_undefined_names: bool
+) -> list[tuple[str, str]]:
+    """The reference's adjacency walk (main.py:1487-1506) over collected
+    (_id, _parent, _name) rows: root->leaf names joined by ``sep``,
+    visited-set cycle guard, max_depth truncation — the single
+    implementation behind both the driver fast path and the compiled
+    lookup column."""
+    names = {r["_id"]: r["_name"] for r in rows}
+    parents = {r["_id"]: r["_parent"] for r in rows if r["_parent"]}
+    out = []
+    for cid in names:
+        path, current, visited = [], cid, set()
+        # len(visited) < max_depth: identical truncation contract as
+        # the distributed loop and the CTE — at most max_depth names
+        while (
+            current
+            and current in names
+            and current not in visited
+            and len(visited) < max_depth
+        ):
+            visited.add(current)
+            name = names[current]
+            if not skip_undefined_names or (name and name != "Undefined"):
+                path.append(name)
+            current = parents.get(current)
+        if not path:
+            value = names[cid]
+        else:
+            value = sep.join(reversed(path))
+        out.append((cid, value))
+    return out
+
+
+def category_path_lookup(
+    categories: DataFrame,
+    key: Column | str,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    name_col: str = "name",
+    max_depth: int = 64,
+    sep: str = PATH_SEP,
+    skip_undefined_names: bool = False,
+    max_compiled_rows: int = DEFAULT_MAX_COMPILED_PATHS,
+) -> Column:
+    """Compile the (small) category dimension into a single map-literal
+    lookup Column: ``element_at(<constant map id->path>, key)``.
+
+    Same contract as ``operators.asof.interval_lookup_join``'s compiled
+    arm: when the dimension is bounded (category trees are thousands of
+    nodes against billions of fact rows), attaching the path via a
+    broadcast join pays a dim-walk job, a createDataFrame round-trip
+    AND a broadcast exchange — the compiled form collapses all of that
+    into ONE projection over the fact scan (constant folding turns the
+    ``create_map`` of literals into a Literal map, so nothing is
+    re-evaluated per row). sf1 A/B: 0.96-1.14 s broadcast-join spelling
+    vs 0.85 s compiled, hash-identical (BASELINE.md round-6 residues).
+
+    Keys absent from the dimension yield NULL (callers filter, matching
+    the inner-join spelling). Dimensions above ``max_compiled_rows``
+    raise toward ``build_category_paths`` + join — a plan-embedded
+    literal map must stay small.
+    """
+    dim = categories.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.nullif(F.col(parent_col).cast("string"), F.lit("")).alias("_parent"),
+        F.coalesce(F.col(name_col).cast("string"), F.lit("Undefined")).alias("_name"),
+    )
+    rows = dim.take(max_compiled_rows + 1)
+    if len(rows) > max_compiled_rows:
+        raise ValueError(
+            f"category dimension exceeds max_compiled_rows={max_compiled_rows}; "
+            "use build_category_paths() + a broadcast join instead"
+        )
+    pairs = _driver_walk(rows, max_depth, sep, skip_undefined_names)
+    mapping = F.create_map(*[F.lit(x) for p in pairs for x in p])
+    key_col = F.col(key) if isinstance(key, str) else key
+    return F.element_at(mapping, key_col.cast("string"))
 
 
 def build_category_paths(
@@ -70,29 +154,7 @@ def build_category_paths(
     # checkpoint job
     rows = dim.take(driver_threshold + 1)
     if len(rows) <= driver_threshold:
-        names = {r["_id"]: r["_name"] for r in rows}
-        parents = {r["_id"]: r["_parent"] for r in rows if r["_parent"]}
-        out = []
-        for cid in names:
-            path, current, visited = [], cid, set()
-            # len(visited) < max_depth: identical truncation contract as
-            # the distributed loop and the CTE — at most max_depth names
-            while (
-                current
-                and current in names
-                and current not in visited
-                and len(visited) < max_depth
-            ):
-                visited.add(current)
-                name = names[current]
-                if not skip_undefined_names or (name and name != "Undefined"):
-                    path.append(name)
-                current = parents.get(current)
-            if not path:
-                value = names[cid]
-            else:
-                value = sep.join(reversed(path))
-            out.append((cid, value))
+        out = _driver_walk(rows, max_depth, sep, skip_undefined_names)
         return categories.sparkSession.createDataFrame(
             out, "id string, category_path string"
         )

@@ -364,7 +364,12 @@ def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc overlapping repeat spans merge into islands. The oracle
 # replicates the whole pipeline — positional grams, first-occurrence
 # order key, interval merge — in SQL (grouping by the gram string is
-# set-identical to Spark's md5-digest shuffle key).
+# set-identical to Spark's md5-digest shuffle key). The oracle's okey
+# is row_number() ORDER BY (doc_id, pos): order-isomorphic to the
+# Spark side's min(struct(id, pos)) for any id type — and a SCALAR, so
+# the rep join's okey <> first_okey filter stays vectorized (a
+# struct_pack okey made that join quadratic-ish in DuckDB: 93 s vs
+# 0.7 s at sf0.1).
 @query(
     "q_substring_dedup",
     oracle=f"""
@@ -380,7 +385,7 @@ def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     unnest(range(len(grams))) AS pos
              FROM g),
     occ AS (SELECT doc_id, gram, pos,
-                   struct_pack(id := doc_id, pos := pos) AS okey
+                   row_number() OVER (ORDER BY doc_id, pos) AS okey
             FROM occ0),
     f AS (SELECT gram, min(okey) AS first_okey, count(*) AS cnt
           FROM occ GROUP BY gram),

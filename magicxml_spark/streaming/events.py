@@ -110,11 +110,18 @@ def _checkpoint_dir(name: str) -> str:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+    spark: SparkSession, sf_dir: str, state_partitions: int = 2
 ) -> DataFrame:
     """Drive the streaming aggregation to completion (availableNow) and
     return the result as a DataFrame — complete output mode, so the
-    memory table holds the final windows."""
+    memory table holds the final windows.
+
+    state_partitions=2: the windowed agg's state is (windows x types) —
+    a few thousand rows at any SF here — so state-store instances are
+    pure fixed cost (open/commit/fsync each). sf1 forced A/B: 4.64 s at
+    32, 1.82 s at 8, 1.48 s at 2 (hash-identical; BASELINE.md round-6
+    residues). Scale the knob with state-key cardinality, not data
+    volume."""
     name = f"events_windows_{uuid.uuid4().hex[:8]}"
     with _stream_tuning(spark, state_partitions):
         agg = windowed_event_counts(read_events_stream(spark, sf_dir))

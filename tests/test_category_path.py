@@ -173,3 +173,43 @@ def test_deep_chain_truncates_at_cap_identically(spark):
     leaf = driver[str(depth - 1)]
     assert leaf == "///".join(f"N{i}" for i in range(depth - cap, depth))
     assert len(leaf.split("///")) == cap
+
+
+def test_compiled_lookup_matches_join_spelling(spark, cats_df):
+    """category_path_lookup (the constant-folded map projection behind
+    q_category_path) must equal build_category_paths + join on the full
+    fixture — cycles, self-loop, orphan parent, Undefined names."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.category_path import category_path_lookup
+
+    facts = spark.createDataFrame(
+        [(i, str(k)) for i, k in enumerate(["1", "3", "5", "6", "7", "9", "404"])],
+        ["fact_id", "cat_id"],
+    )
+    paths = build_category_paths(cats_df)
+    via_join = {
+        (r["fact_id"], r["category_path"])
+        for r in facts.join(paths, facts["cat_id"] == paths["id"]).select(
+            "fact_id", "category_path"
+        ).collect()
+    }
+    col = category_path_lookup(cats_df, "cat_id")
+    via_lookup = {
+        (r["fact_id"], r["category_path"])
+        for r in facts.select("fact_id", col.alias("category_path"))
+        .filter(F.col("category_path").isNotNull())
+        .collect()
+    }
+    assert via_lookup == via_join
+    # the unknown key ('404') must be NULL -> filtered, like the inner join
+    assert all(f != 6 for f, _ in via_lookup)
+
+
+def test_compiled_lookup_guard_raises_toward_join(spark, cats_df):
+    """Dimensions above max_compiled_rows refuse to embed in the plan
+    (same contract as asof.interval_lookup_join's cap)."""
+    from magicxml_spark.operators.category_path import category_path_lookup
+
+    with pytest.raises(ValueError, match="max_compiled_rows"):
+        category_path_lookup(cats_df, "cat_id", max_compiled_rows=3)
