@@ -548,10 +548,14 @@ def pdf_to_images(
     the Spark-side shape that scales — one task renders one PDF's
     pages, downstream operators see per-page rows.
 
-    pdf_lite-authored documents render for REAL without fitz: the
-    embedded 5x7-font rasterizer (sources/pdf_raster.py) draws text
-    pages and FlateDecode image XObjects at ``dpi``; foreign PDFs still
-    need fitz/pdf2image and fall through to the gate below.
+    pdf_lite-authored documents AND mainstream foreign PDFs render
+    for REAL without fitz: the embedded 5x7-font rasterizer
+    (sources/pdf_raster.py) draws text pages, and image XObjects decode
+    through the lite codecs — DCTDecode via jpeg_lite (baseline +
+    progressive), FlateDecode samples (PNG/TIFF predictors) in
+    DeviceRGB/DeviceGray/Indexed color, 1-bit stencils. Only
+    JPX/CCITT/JBIG2/ICC-flavored or encrypted documents still fall
+    through to the fitz gate below.
 
     Stub mode (codecs absent, foreign PDF): page count =
     1 + md5(content)[0] % 3 and pixel dims = A4 points x dpi/72 — so
@@ -574,11 +578,13 @@ def pdf_to_images(
                 base = os.path.splitext(os.path.basename(path))[0]
                 lite = None if use_real else rasterize_pdf(bytes(content), dpi)
                 if lite is None and not use_real:
-                    # foreign TEXT PDFs render through the same 5x7-font
-                    # interpreter (layout-faithful, substituted glyphs),
-                    # including compressed-xref/ObjStm files via
-                    # pdf_xref; only image-only foreign PDFs still fall
-                    # to the fitz gate below
+                    # foreign PDFs render through the same
+                    # interpreter — text via the 5x7 font
+                    # (layout-faithful, substituted glyphs), images via
+                    # the lite codecs (DCT/Flate), compressed-xref and
+                    # ObjStm files via pdf_xref; only exotic-filter
+                    # (JPX/CCITT/JBIG2) or encrypted documents still
+                    # fall to the fitz gate below
                     lite = rasterize_text_pdf(bytes(content), dpi)
                 if use_real:  # pragma: no cover - codecs not in image
                     pages = _render_pdf_pages(bytes(content), fmt, dpi)

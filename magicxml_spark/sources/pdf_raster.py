@@ -125,7 +125,6 @@ _MEDIABOX_RE = re.compile(
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_XOBJ_RE = re.compile(rb"/XObject\s*<<\s*/(\w+)\s+(\d+)\s+0\s+R")
 
 
 def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
@@ -146,12 +145,13 @@ def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             out[int(m.group(1))] = (sm.group(1), sm.group(2))
         else:
             out[int(m.group(1))] = (body, None)
-    from magicxml_spark.sources.pdf_xref import (
-        compressed_objects,
-        has_compressed_xref,
-    )
+    from magicxml_spark.sources.pdf_xref import compressed_objects
 
-    if has_compressed_xref(data):
+    # overlay whenever ANY xref chain parses (classic included, not
+    # just compressed): spec-/Length slicing beats the regex's endobj
+    # guess exactly where it matters — binary image streams (JPEG data
+    # legitimately contains arbitrary byte sequences)
+    if b"startxref" in data:
         out.update(compressed_objects(data))
     return out
 
@@ -258,25 +258,247 @@ class _Canvas:
                 ]
 
 
-def _decode_xobject(dict_bytes: bytes, stream: bytes):
-    """(rgb, w, h) for the FlateDecode /DeviceRGB XObjects pdf_lite
-    embeds; None for any other image flavor."""
-    if b"/DeviceRGB" not in dict_bytes:
+# Image-XObject decode (S10/K10 gate narrowing, round 6): the filters
+# below cover what mainstream writers actually embed — DCTDecode (JPEG,
+# baseline AND progressive via jpeg_lite), FlateDecode raw samples with
+# PNG/TIFF predictors (via pdf_xref's shared predictor path) in
+# DeviceRGB/DeviceGray/Indexed color at 1/2/4/8 bits per component, and
+# 1-bit stencil masks. Still gated (returns None -> caller's fitz
+# path): JPXDecode (JPEG 2000), CCITTFaxDecode, JBIG2Decode, filter
+# cascades, ICC/Separation/Lab color, 16-bit samples.
+
+_INDEXED_RE = re.compile(
+    rb"\[\s*/(?:Indexed|I)\s*"
+    rb"(?:/(?P<base>\w+)|(?P<bref>\d+)\s+0\s+R)\s+"
+    rb"(?P<hival>\d+)\s*"
+    rb"(?:(?P<hex><)|(?P<lit>\()|(?P<lref>\d+)\s+0\s+R)"
+)
+
+
+def _literal_bytes(data: bytes, start: int) -> bytes | None:
+    """Raw bytes of the ``(...)`` literal string starting at ``start``
+    (the open paren), escapes resolved at the BYTE level — palettes are
+    binary, not text."""
+    if start >= len(data) or data[start] != 0x28:
+        return None
+    out, i, depth = bytearray(), start + 1, 1
+    while i < len(data) and depth:
+        c = data[i]
+        if c == 0x5C and i + 1 < len(data):
+            nxt = data[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal escape, up to 3 digits
+                j = i + 1
+                oct_s = bytearray()
+                while j < len(data) and len(oct_s) < 3 and 0x30 <= data[j] <= 0x37:
+                    oct_s.append(data[j])
+                    j += 1
+                out.append(int(oct_s.decode(), 8) & 0xFF)
+                i = j
+                continue
+            out.append({0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}.get(nxt, nxt))
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                break
+        out.append(c)
+        i += 1
+    return bytes(out) if not depth or i < len(data) else None
+
+
+def _resolve_colorspace(dict_bytes: bytes, objs: dict | None):
+    """-> 'rgb' | 'gray' | ('indexed', n_base_comps, palette_bytes) |
+    None (unsupported). Follows one level of indirection for both the
+    /ColorSpace value and an Indexed palette stream."""
+    m = re.search(
+        rb"/ColorSpace\s*(?:/(?P<name>\w+)|(?P<ref>\d+)\s+0\s+R|(?P<arr>\[))",
+        dict_bytes,
+    )
+    if m is None:
+        return None
+    if m.group("ref") is not None and objs is not None:
+        target = objs.get(int(m.group("ref")))
+        if target is None:
+            return None
+        # the referenced body IS the colorspace value
+        return _resolve_colorspace(b"/ColorSpace " + target[0], objs)
+    if m.group("name") is not None:
+        name = m.group("name")
+        if name in (b"DeviceRGB", b"CalRGB"):
+            return "rgb"
+        if name in (b"DeviceGray", b"CalGray"):
+            return "gray"
+        return None
+    im = _INDEXED_RE.search(dict_bytes, m.start("arr"))
+    if im is None:
+        return None
+    base = im.group("base")
+    if base in (b"DeviceRGB", b"CalRGB"):
+        ncomp = 3
+    elif base in (b"DeviceGray", b"CalGray"):
+        ncomp = 1
+    else:
+        return None
+    if im.group("hex") is not None:
+        end = dict_bytes.find(b">", im.end())
+        if end < 0:
+            return None
+        hexs = re.sub(rb"\s", b"", dict_bytes[im.end() : end])
+        if len(hexs) % 2:
+            hexs += b"0"
+        palette = bytes.fromhex(hexs.decode("ascii"))
+    elif im.group("lit") is not None:
+        palette = _literal_bytes(dict_bytes, im.end() - 1)
+        if palette is None:
+            return None
+    else:
+        if objs is None:
+            return None
+        target = objs.get(int(im.group("lref")))
+        if target is None:
+            return None
+        pd, ps = target
+        if ps is not None:
+            from magicxml_spark.sources.pdf_xref import _decode_stream
+
+            palette = _decode_stream(pd, ps)
+            if palette is None:
+                return None
+        else:
+            # a string object: hex or literal body
+            body = pd.strip()
+            if body.startswith(b"<"):
+                hexs = re.sub(rb"\s", b"", body[1 : body.find(b">")])
+                palette = bytes.fromhex(hexs.decode("ascii"))
+            else:
+                palette = _literal_bytes(body, 0)
+                if palette is None:
+                    return None
+    return ("indexed", ncomp, palette)
+
+
+def _unpack_bits(samples: bytes, w: int, h: int, bpc: int) -> list[int] | None:
+    """Row-padded sub-byte samples -> per-pixel component values
+    (single channel). PDF pads each ROW to a byte boundary (spec
+    §8.9.3), exactly like PNG."""
+    stride = (w * bpc + 7) // 8
+    if len(samples) < stride * h:
+        return None
+    out: list[int] = []
+    mask = (1 << bpc) - 1
+    for y in range(h):
+        row = samples[y * stride : (y + 1) * stride]
+        for x in range(w):
+            bit = x * bpc
+            byte = row[bit >> 3]
+            shift = 8 - bpc - (bit & 7)
+            out.append((byte >> shift) & mask)
+    return out
+
+
+def _decode_xobject(dict_bytes: bytes, stream: bytes, objs: dict | None = None):
+    """(rgb, w, h) — decode an image XObject to raw 24-bit RGB.
+
+    Reference parity: fitz renders any embedded image (main.py:
+    1244-1381); this covers the mainstream subset — DCTDecode through
+    jpeg_lite (baseline + progressive), FlateDecode/unfiltered samples
+    (PNG/TIFF predictors honored) in DeviceRGB-8, DeviceGray-8/4/2/1,
+    Indexed-1/2/4/8 over RGB or Gray palettes, 1-bit /ImageMask
+    stencils, and a /Decode [1 0] inversion for bilevel. None for any
+    other flavor — the caller keeps its fitz-gated path."""
+    if re.search(rb"/Subtype\s*/(?!Image)\w", dict_bytes):
         return None
     wm = re.search(rb"/Width\s+(\d+)", dict_bytes)
     hm = re.search(rb"/Height\s+(\d+)", dict_bytes)
     if not (wm and hm):
         return None
     w, h = int(wm.group(1)), int(hm.group(1))
-    body = stream
-    if b"/FlateDecode" in dict_bytes:
-        try:
-            body = zlib.decompress(stream)
-        except zlib.error:
-            return None
-    if len(body) < w * h * 3:
+    if w <= 0 or h <= 0:
         return None
-    return body, w, h
+
+    fm = re.search(rb"/Filter\s*/(\w+)", dict_bytes)
+    filt = fm.group(1) if fm else None
+    if filt in (b"DCTDecode", b"DCT"):
+        from magicxml_spark.sources.jpeg_lite import decode_jpeg
+
+        try:
+            jw, jh, mode, pixels = decode_jpeg(stream)
+        except ValueError:
+            return None
+        if mode == "L":
+            pixels = bytes(b for v in pixels for b in (v, v, v))
+        elif mode != "RGB":
+            return None
+        return pixels, jw, jh
+
+    from magicxml_spark.sources.pdf_xref import _decode_stream
+
+    samples = _decode_stream(dict_bytes, stream)
+    if samples is None:
+        return None
+
+    bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", dict_bytes)
+    bpc = int(bpc_m.group(1)) if bpc_m else 8
+    inverted = re.search(rb"/Decode\s*\[\s*1(?:\.0*)?\s+0(?:\.0*)?\s*\]", dict_bytes) is not None
+
+    if re.search(rb"/ImageMask\s+true", dict_bytes):
+        # stencil: sample 0 paints (black), 1 leaves background (white)
+        # — same bit->luma mapping as bilevel DeviceGray
+        vals = _unpack_bits(samples, w, h, 1)
+        if vals is None:
+            return None
+        lo, hi = (255, 0) if inverted else (0, 255)
+        return bytes(b for v in vals for b in ((lo,) * 3 if v == 0 else (hi,) * 3)), w, h
+
+    cs = _resolve_colorspace(dict_bytes, objs)
+    if cs == "rgb":
+        if bpc != 8 or len(samples) < w * h * 3:
+            return None
+        return samples[: w * h * 3], w, h
+    if cs == "gray":
+        if bpc == 8:
+            if len(samples) < w * h:
+                return None
+            vals = list(samples[: w * h])
+        elif bpc in (1, 2, 4):
+            raw = _unpack_bits(samples, w, h, bpc)
+            if raw is None:
+                return None
+            maxv = (1 << bpc) - 1
+            vals = [v * 255 // maxv for v in raw]
+        else:
+            return None
+        if inverted:
+            vals = [255 - v for v in vals]
+        return bytes(b for v in vals for b in (v, v, v)), w, h
+    if isinstance(cs, tuple):
+        _, ncomp, palette = cs
+        if bpc == 8:
+            if len(samples) < w * h:
+                return None
+            idx = list(samples[: w * h])
+        elif bpc in (1, 2, 4):
+            idx = _unpack_bits(samples, w, h, bpc)
+            if idx is None:
+                return None
+        else:
+            return None
+        n_entries = len(palette) // ncomp
+        if n_entries == 0:
+            return None
+        out = bytearray(w * h * 3)
+        for i, v in enumerate(idx):
+            v = min(v, n_entries - 1)
+            if ncomp == 3:
+                out[i * 3 : i * 3 + 3] = palette[v * 3 : v * 3 + 3]
+            else:
+                g = palette[v]
+                out[i * 3 : i * 3 + 3] = bytes((g, g, g))
+        return bytes(out), w, h
+    return None
 
 
 def _render_stream(canvas: _Canvas, content: bytes, xobjects: dict) -> None:
@@ -329,6 +551,47 @@ def _render_stream(canvas: _Canvas, content: bytes, xobjects: dict) -> None:
                 rgb, iw, ih = img
                 a, _, _, d, e, f = ctm
                 canvas.draw_image(rgb, iw, ih, e, f, a, d)
+
+
+def _page_xobjects(body: bytes, objs: dict) -> dict[str, tuple]:
+    """name -> decoded (rgb, w, h) for every image XObject reachable
+    from a page: /Resources inline in the page dict OR behind an
+    ``N 0 R`` indirection (foreign writers), with ALL ``/Name N 0 R``
+    entries of the /XObject dict enumerated (the legacy regex only saw
+    the first)."""
+    from magicxml_spark.sources.pdf_xref import _balanced_dict
+
+    scopes = [body]
+    rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", body)
+    if rm:
+        target = objs.get(int(rm.group(1)))
+        if target is not None:
+            scopes.append(target[0])
+    out: dict[str, tuple] = {}
+    for scope in scopes:
+        xm = re.search(rb"/XObject\s*(?:<<|(\d+)\s+0\s+R)", scope)
+        if xm is None:
+            continue
+        if xm.group(1) is not None:
+            target = objs.get(int(xm.group(1)))
+            if target is None:
+                continue
+            xdict = target[0]
+        else:
+            span = _balanced_dict(scope, xm.end() - 2)
+            if span is None:
+                continue
+            xdict = scope[span[0] : span[1]]
+        for em in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", xdict):
+            name, ref = em.group(1).decode(), int(em.group(2))
+            if name in out:
+                continue
+            xd, xs = objs.get(ref, (b"", None))
+            if xs is not None:
+                dec = _decode_xobject(xd, xs, objs)
+                if dec is not None:
+                    out[name] = dec
+    return out
 
 
 def _page_content(body: bytes, objs: dict) -> bytes | None:
@@ -392,14 +655,7 @@ def _rasterize(
         if content is not None:
             if b"BT" in content:
                 any_text = True
-            xobjects = {}
-            for xm in _XOBJ_RE.finditer(body):
-                name, ref = xm.group(1).decode(), int(xm.group(2))
-                xd, xs = objs.get(ref, (b"", None))
-                if xs is not None:
-                    dec = _decode_xobject(xd, xs)
-                    if dec is not None:
-                        xobjects[name] = dec
+            xobjects = _page_xobjects(body, objs)
             # an XObject only counts as content when the stream actually
             # DRAWS it (a `/Name Do`), not merely because it decoded
             for dm in re.finditer(rb"/(\w+)\s+Do", content):
@@ -438,11 +694,16 @@ def rasterize_text_pdf(data: bytes, dpi: int = 72) -> list[tuple[int, int, bytes
     kern-positioned generators drift within a line. Layout (page count,
     page size at dpi, line positions, reading order) is faithful.
 
-    Returns None — caller keeps the fitz gate — when the bytes are not
-    a PDF, carry the pdf_lite marker (use ``rasterize_pdf``), or
-    contain no text/image content at all (image-only scans with exotic
-    filters). Compressed-xref / object-stream files are fine: pdf_xref
-    recovers their page dictionaries before this interpreter runs."""
+    Image-only documents render too (round 6): DCTDecode pages decode
+    through jpeg_lite (baseline + progressive), FlateDecode samples in
+    DeviceRGB/DeviceGray/Indexed color at 1-8 bpc with PNG/TIFF
+    predictors, and 1-bit stencil masks — the mainstream scan/export
+    subset. Returns None — caller keeps the fitz gate — when the bytes
+    are not a PDF, carry the pdf_lite marker (use ``rasterize_pdf``),
+    or no page yields text or a DECODABLE drawn image (JPX/CCITT/JBIG2
+    scans, filter cascades, ICC color). Compressed-xref / object-stream
+    files are fine: pdf_xref recovers their page dictionaries before
+    this interpreter runs."""
     if not data.startswith(b"%PDF") or PRODUCER.encode() in data:
         return None
     return _rasterize(data, dpi, require_content=True)

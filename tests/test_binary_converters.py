@@ -1838,3 +1838,214 @@ def test_pdf15_spark_documents_tables_and_images(spark, tmp_path):
     w, h, mode, pix = decode_png(bytes(pages[0]["img_content"]))
     assert (w, h) == (round(595 * 36 / 72), round(842 * 36 / 72))
     assert 0 in pix
+
+
+# ---------------------------------------------------------------------------
+# Image-only foreign PDFs (round 6: S10/K10 gate narrowed to
+# JPX/CCITT/JBIG2/ICC — DCTDecode + Flate-sample images render for real)
+# ---------------------------------------------------------------------------
+
+
+def _image_page_pdf(xobjects, content, indirect_resources=False):
+    """Classic-xref foreign PDF: one 200x150 page drawing the given
+    image XObjects. ``xobjects`` = [(name, dict_bytes, stream_bytes)].
+    Written by the same independent in-test serializer as the foreign
+    text fixtures — no pdf_lite writer involved."""
+    from magicxml_spark.sources.pdf_lite import _serialize
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    }
+    next_num = 5
+    entries = []
+    for name, d, s in xobjects:
+        objs[next_num] = (
+            d + b"\nstream\n" + s + b"\nendstream"
+        )
+        entries.append(b"/" + name + b" %d 0 R" % next_num)
+        next_num += 1
+    res = b"<< /XObject << " + b" ".join(entries) + b" >> >>"
+    if indirect_resources:
+        objs[next_num] = res
+        res_entry = b"/Resources %d 0 R" % next_num
+        next_num += 1
+    else:
+        res_entry = b"/Resources " + res
+    objs[3] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 150] "
+        + res_entry
+        + b" /Contents 4 0 R >>"
+    )
+    objs[4] = (
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+    objs[next_num] = b"<< /Producer (ScannerVendor 3.0) >>"
+    return _serialize(objs, next_num)
+
+
+def _page_pixels(pdf, dpi=72):
+    from magicxml_spark.sources.pdf_raster import rasterize_pdf, rasterize_text_pdf
+    from magicxml_spark.sources.png_lite import decode_png
+
+    assert rasterize_pdf(pdf, dpi=dpi) is None  # foreign -> lite arm bails
+    pages = rasterize_text_pdf(pdf, dpi=dpi)
+    assert pages is not None and len(pages) == 1
+    w, h, png = pages[0]
+    dw, dh, mode, pix = decode_png(png)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    return w, h, pix
+
+
+def _px(pix, w, x, y):
+    i = (y * w + x) * 3
+    return tuple(pix[i : i + 3])
+
+
+def test_rasterize_image_only_pdf_dctdecode():
+    """An image-ONLY foreign PDF (no text anywhere) with a DCTDecode
+    XObject renders through jpeg_lite — the exact case that hit the
+    fitz gate before round 6. Page pixels equal decode_jpeg's output
+    byte-for-byte (identity blit at dpi 72: rect == image dims)."""
+    from magicxml_spark.sources.jpeg_lite import decode_jpeg, encode_jpeg
+
+    iw, ih = 16, 12
+    # flat color halves: lossy-stable content
+    rgb = b"".join(
+        (b"\xc8\x30\x30" if x < 8 else b"\x30\x30\xc8")
+        for y in range(ih)
+        for x in range(iw)
+    )
+    jpg = encode_jpeg(iw, ih, "RGB", rgb, quality=95)
+    jw, jh, jmode, jpix = decode_jpeg(jpg)
+    assert (jw, jh, jmode) == (iw, ih, "RGB")
+
+    d = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 12 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>" % len(jpg)
+    )
+    # strip the in-dict stream framing; _image_page_pdf adds it
+    pdf = _image_page_pdf(
+        [(b"Im0", d, jpg)], b"q 16 0 0 12 30 40 cm /Im0 Do Q"
+    )
+    w, h, pix = _page_pixels(pdf)
+    assert (w, h) == (200, 150)
+    # rect (30, 40)-(46, 52): top row of the blit is page y = 150-40-12
+    for ty in (0, 5, 11):
+        for tx in (0, 7, 8, 15):
+            got = _px(pix, w, 30 + tx, (150 - 40 - 12) + ty)
+            want = tuple(jpix[(ty * iw + tx) * 3 : (ty * iw + tx) * 3 + 3])
+            assert got == want, (tx, ty)
+    # background stays white
+    assert _px(pix, w, 5, 5) == (255, 255, 255)
+
+
+def test_rasterize_image_pdf_flate_gray_predictor():
+    """FlateDecode DeviceGray-8 samples behind a PNG predictor (one
+    Sub-filtered row) expand to the exact gray levels."""
+    import zlib
+
+    iw, ih = 4, 3
+    rows = [bytes([10, 60, 110, 160]), bytes([20, 70, 120, 170]), bytes([0, 255, 0, 255])]
+    filtered = bytearray()
+    filtered += b"\x00" + rows[0]
+    sub = bytearray(rows[1])
+    for i in range(len(sub) - 1, 0, -1):
+        sub[i] = (sub[i] - rows[1][i - 1]) & 0xFF
+    filtered += b"\x01" + bytes(sub)
+    filtered += b"\x00" + rows[2]
+    body = zlib.compress(bytes(filtered))
+    d = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 15 /Colors 1 /BitsPerComponent 8 /Columns 4 >> "
+        b"/Length %d >>" % len(body)
+    )
+    pdf = _image_page_pdf([(b"Ig", d, body)], b"4 0 0 3 10 10 cm /Ig Do")
+    w, h, pix = _page_pixels(pdf)
+    top = 150 - 10 - 3
+    for ty in range(3):
+        for tx in range(4):
+            g = rows[ty][tx]
+            assert _px(pix, w, 10 + tx, top + ty) == (g, g, g), (tx, ty)
+
+
+def test_rasterize_image_pdf_indexed_4bit_and_bilevel():
+    """Indexed 4-bit samples resolve through a hex palette; a 1-bit
+    DeviceGray image with /Decode [1 0] renders inverted; row padding
+    to byte boundaries is honored on both."""
+    pal = b"<FF000000FF000000FFFFFFFF>"  # red green blue white
+    # indices: row0 0,1,2,3  row1 3,2,1,0 -> nibbles 01 23 / 32 10
+    idx = bytes([0x01, 0x23, 0x32, 0x10])
+    d1 = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+        b"/ColorSpace [/Indexed /DeviceRGB 3 " + pal + b"] "
+        b"/BitsPerComponent 4 /Length %d >>" % len(idx)
+    )
+    # bilevel 10x2, Decode [1 0]: bit 1 -> BLACK (inverted)
+    # row stride 2 bytes; row0 = 1111100000, row1 = 0000011111
+    bits = bytes([0b11111000, 0x00, 0b00000111, 0b11000000])
+    d2 = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [1 0] "
+        b"/Length %d >>" % len(bits)
+    )
+    pdf = _image_page_pdf(
+        [(b"Ix", d1, idx), (b"Ib", d2, bits)],
+        b"4 0 0 2 20 100 cm /Ix Do 10 0 0 2 20 50 cm /Ib Do",
+        indirect_resources=True,
+    )
+    w, h, pix = _page_pixels(pdf)
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    top = 150 - 100 - 2
+    for tx, want in enumerate(colors):
+        assert _px(pix, w, 20 + tx, top) == want, tx
+        assert _px(pix, w, 20 + (3 - tx), top + 1) == want, tx
+    top2 = 150 - 50 - 2
+    for tx in range(5):
+        assert _px(pix, w, 20 + tx, top2) == (0, 0, 0), tx          # row0 1s
+        assert _px(pix, w, 20 + 5 + tx, top2) == (255, 255, 255)
+        assert _px(pix, w, 20 + tx, top2 + 1) == (255, 255, 255)    # row1 0s
+        assert _px(pix, w, 20 + 5 + tx, top2 + 1) == (0, 0, 0)
+
+
+def test_pdf_to_images_renders_image_only_pdf(spark, tmp_path):
+    """K10 end-to-end: the image-only foreign PDF renders through the
+    lite path (no fitz, no stub flag); an exotic-filter (JPXDecode)
+    document still requires the gate."""
+    import pytest
+
+    from magicxml_spark.sources.jpeg_lite import encode_jpeg
+    from magicxml_spark.sources.png_lite import decode_png
+
+    rgb = bytes(3 * 16 * 12)
+    jpg = encode_jpeg(16, 12, "RGB", rgb, quality=95)
+    d = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 12 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>" % len(jpg)
+    )
+    (tmp_path / "scan.pdf").write_bytes(
+        _image_page_pdf([(b"Im0", d, jpg)], b"16 0 0 12 30 40 cm /Im0 Do")
+    )
+    out = pdf_to_images(read_binary(spark, str(tmp_path)), dpi=72).collect()
+    assert len(out) == 1
+    dw, dh, mode, pix = decode_png(bytes(out[0]["img_content"]))
+    assert (dw, dh) == (200, 150)
+    # the blit region is (near-)black ink from the zero-filled JPEG
+    i = ((150 - 40 - 6) * 200 + 38) * 3
+    assert all(v < 32 for v in pix[i : i + 3])
+
+    jpx = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + bytes(64)
+    dj = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /JPXDecode "
+        b"/Length %d >>" % len(jpx)
+    )
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "jpx.pdf").write_bytes(
+        _image_page_pdf([(b"Im0", dj, jpx)], b"4 0 0 4 10 10 cm /Im0 Do")
+    )
+    with pytest.raises(Exception, match="fitz|pdf2image|NotImplemented"):
+        pdf_to_images(read_binary(spark, str(tmp_path / "sub")), dpi=72).collect()
