@@ -414,6 +414,92 @@ def embedding_near_dup_blocked(
     )
 
 
+def embedding_cluster_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 200_000,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup-class semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans cells bound the quadratic near-duplicate
+    scan, then within each cell an id is DROPPED when a smaller-id
+    member of the same cell has cosine >= ``threshold`` (min-id
+    representative wins — deterministic, no RNG beyond the seeded fit).
+
+    Returns one row per input id: (id, cell, keep) with keep ∈ {0, 1}.
+
+    Scale shape: the full-corpus pair scan is O(n²); clustering first
+    makes it Σ|cell|² — with balanced cells a 1/n_cells fraction — and
+    each cell's scan runs as a block-grid GEMM (cogroup applyInPandas)
+    with per-task memory bounded by ``block_rows``. Block counts adapt
+    PER CELL from a tiny broadcast size table, so a skewed cell gets
+    more grid blocks instead of one oversized task. Approximation
+    contract: near-duplicates split across a cell boundary are missed
+    (that is SemDeDup's accepted trade); EXACT duplicates are never
+    missed — identical vectors always land in the same cell (cell
+    assignment is a pure function of the vector), which is the
+    invariant ``q_embedding_cluster_dedup`` oracle-gates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = _with_norm(df, id_col, vec_col)
+    model, ml = _fit_centroids(base, n_cells, seed, fit_sample_rows)
+    assigned = model.transform(ml).select("id", "v", "cell")
+
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("_cn"))
+    sized = assigned.join(F.broadcast(sizes), "cell")
+    nb = F.greatest(F.lit(1), F.ceil(F.col("_cn") / F.lit(block_rows))).cast("int")
+    qb = F.pmod(F.xxhash64("id"), nb).cast("int")
+    replicate = F.explode(F.sequence(F.lit(0), nb - F.lit(1)))
+    queries = sized.select(
+        "cell", "id", "v", qb.alias("qb"), replicate.alias("ib")
+    )
+    # distinct names/exprIds on the index side — same self-cogroup
+    # Catalyst caveat as _block_grid
+    index = sized.select(
+        F.col("cell").alias("icell"),
+        F.col("id").alias("iid"),
+        F.col("v").alias("iv"),
+        replicate.alias("iqb"),
+        qb.alias("iib"),
+    )
+    id_dtype = dict(assigned.dtypes)["id"]
+
+    def cell_dominated(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"did": []})
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        q = np.array(list(qpdf["v"]), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        m = np.array(list(ipdf["iv"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = q @ m.T
+        qids = qpdf["id"].to_numpy()
+        ids = ipdf["iid"].to_numpy()
+        dominated = ((sims >= threshold) & (qids[:, None] < ids[None, :])).any(axis=0)
+        return pd.DataFrame({"did": ids[dominated]})
+
+    dropped = (
+        queries.groupBy("cell", "qb", "ib")
+        .cogroup(index.groupBy("icell", "iqb", "iib"))
+        .applyInPandas(cell_dominated, schema=f"did {id_dtype}")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["id"] == dropped["did"], "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("did").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 embedding quantization (4x memory off the ANN working set)
 # ---------------------------------------------------------------------------

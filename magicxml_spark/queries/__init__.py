@@ -65,6 +65,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_tfidf_top_terms",
     "q_corpus_filter",
     "q_events_stream_windowed",
+    "q_embedding_cluster_dedup",
     "q_substring_dedup",
     "q_flagship_revenue",
     "q_pii_scrub",

@@ -1141,6 +1141,47 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup-class cluster-bucketed semantic dedup ---------------------------
+# The KMeans cells can't be replicated in SQL, so the oracle gates the
+# family-independent invariant (the q_lsh_xxhash64_recall pattern): a
+# mirrored twin plants an EXACT copy of every 10th vector under a
+# shifted id, and exact duplicates can never escape — identical vectors
+# land in the same cell (assignment is a pure function of the vector)
+# with cosine 1.0 >= threshold and the original's id is smaller, so
+# every planted copy MUST come back keep=0. planted_missed is pinned 0;
+# n_input / n_planted / n_kept_planted-side are exact row-count
+# algebra. Cross-boundary NEAR-dups may be missed — SemDeDup's accepted
+# trade, recorded in the operator docstring, NOT silently.
+@query(
+    "q_embedding_cluster_dedup",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_orig FROM embeddings),
+         p AS (SELECT count(*) AS n_planted FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT CAST(n.n_orig + p.n_planted AS BIGINT) AS n_input,
+           CAST(p.n_planted AS BIGINT) AS n_planted,
+           CAST(0 AS BIGINT) AS planted_missed
+    FROM n, p
+    """,
+)
+def q_embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.similarity import embedding_cluster_dedup
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    twin = emb.unionByName(planted)
+    labeled = embedding_cluster_dedup(
+        twin, "vec_id", "embedding", threshold=0.95, n_cells=16
+    )
+    is_planted = (F.col("id") >= 10_000_000).cast("long")
+    return labeled.agg(
+        F.count("*").alias("n_input"),
+        F.sum(is_planted).alias("n_planted"),
+        F.sum(is_planted * F.col("keep")).alias("planted_missed"),
+    )
+
+
 # --- int8 embedding quantization profile -------------------------------------
 # Affine per-vector int8 codes + reconstruction error. The rounding is
 # bit-reproducible across engines (same IEEE quotient, half-up on a

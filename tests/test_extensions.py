@@ -1391,3 +1391,45 @@ def test_substring_dedup_extreme_ids_and_giant_docs(spark):
     assert gstats[1]["tokens_removed"] == 0
     assert gstats[1]["n_tokens"] == 1_000_012
     assert gstats[2]["tokens_removed"] == 8
+
+
+def test_embedding_cluster_dedup_semantics(spark):
+    """SemDeDup-class dedup: within-cell near-dups above the threshold
+    drop the larger id; sub-threshold and cross-cell survivors keep;
+    exact duplicates are NEVER missed (the oracle-gated invariant)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.similarity import embedding_cluster_dedup
+
+    def unit(*v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # two well-separated directions so the seeded 2-cell KMeans splits
+    # them; ids 1/2/3 near +x, 10/11 near +y
+    rows = [
+        (1, unit(1.0, 0.01, 0.0)),
+        (2, unit(1.0, 0.01, 0.0)),      # exact dup of 1 -> dropped
+        (3, unit(1.0, 0.5, 0.0)),       # same cell, sim ~0.9 < 0.95 -> kept
+        (10, unit(0.0, 1.0, 0.02)),
+        (11, unit(0.01, 1.0, 0.02)),    # near-dup of 10 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["id"]: r
+        for r in embedding_cluster_dedup(
+            df, "vec_id", "embedding", threshold=0.95, n_cells=2, block_rows=2
+        ).collect()
+    }
+    assert len(out) == 5  # one row per input id
+    assert {i for i, r in out.items() if r["keep"] == 1} == {1, 3, 10}
+    assert {i for i, r in out.items() if r["keep"] == 0} == {2, 11}
+    # cells are consistent: a dropped id shares its cell with a
+    # smaller-id keeper
+    assert out[2]["cell"] == out[1]["cell"]
+    assert out[11]["cell"] == out[10]["cell"]
+    # block_rows=2 forces multi-block cells: the per-cell grid must
+    # still see every (a, b) pair (id 2's dominator may sit in any
+    # query block) — already asserted by the keep sets above
