@@ -9,9 +9,11 @@ that distinguishes TIFF-LZW from GIF-LZW) are all implementable on
 Pillow; this un-gates that path for the baseline subset.
 
 Decoder subset: single-image (first IFD), 8-bit samples, grayscale
-(black/white-is-zero), RGB, and palette-color, strip-based (no tiles),
-Compression 1/5/32773, Predictor 1/2 (horizontal differencing for
-LZW). Out-of-subset files return None so callers keep their PIL gate —
+(black/white-is-zero), RGB, and palette-color, strip-based AND tiled
+(TIFF 6.0 §15 — round 6: full-size edge-padded tiles blitted into the
+raster, predictor reset per tile row), Compression 1/5/32773,
+Predictor 1/2 (horizontal differencing for LZW), chunky planar layout
+only. Out-of-subset files return None so callers keep their PIL gate —
 the same bail-out contract as every other lite codec.
 """
 
@@ -99,8 +101,9 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes | None:
 
 
 def decode_tiff(data: bytes):
-    """-> (w, h, mode, pixels) for the baseline subset, None otherwise
-    (tiled, multi-bit-depth, other compressions, broken structure)."""
+    """-> (w, h, mode, pixels) for the baseline subset (strips or
+    tiles), None otherwise (planar layout, multi-bit-depth, other
+    compressions, broken structure)."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         return None
     bo = "<" if data[:2] == b"II" else ">"
@@ -147,8 +150,13 @@ def decode_tiff(data: bytes):
     spp = one(277, 1)
     bits = values(258) or [1]
     predictor = one(317, 1)
-    offsets = values(273)
-    counts = values(279)
+    tiled = 322 in tags
+    if tiled:
+        offsets = values(324)
+        counts = values(325)
+    else:
+        offsets = values(273)
+        counts = values(279)
     rows_per_strip = one(278, h or 0)
     if (
         not w
@@ -160,7 +168,7 @@ def decode_tiff(data: bytes):
         or comp not in (1, 5, 32773)
         or predictor not in (1, 2)
         or any(b != 8 for b in bits)
-        or 322 in tags  # tiled
+        or one(284, 1) != 1  # planar (separate-plane) layout: out of subset
     ):
         return None
     if photo == 2 and spp < 3:
@@ -168,27 +176,60 @@ def decode_tiff(data: bytes):
     if photo == 3 and spp != 1:
         return None
 
-    raster = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = data[off : off + cnt]
-        rows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = rows * w * spp
+    def _segment(raw: bytes, expected: int, row_w: int, rows: int) -> bytes | None:
+        """Decompress + un-predict one strip or tile; ``row_w`` is the
+        SEGMENT's row width in samples (tile width for tiles — the
+        predictor resets per segment row, TIFF 6.0 §14)."""
         if comp == 1:
-            dec = strip[:expected] if len(strip) >= expected else None
+            dec = raw[:expected] if len(raw) >= expected else None
         elif comp == 32773:
-            dec = _packbits(strip, expected)
+            dec = _packbits(raw, expected)
         else:
-            dec = _tiff_lzw(strip, expected)
+            dec = _tiff_lzw(raw, expected)
         if dec is None:
             return None
         if predictor == 2:
             buf = bytearray(dec)
             for r in range(rows):
-                base = r * w * spp
-                for x in range(spp, w * spp):
+                base = r * row_w * spp
+                for x in range(spp, row_w * spp):
                     buf[base + x] = (buf[base + x] + buf[base + x - spp]) & 0xFF
             dec = bytes(buf)
-        raster += dec
+        return dec
+
+    if tiled:
+        # TIFF 6.0 §15: tiles run left-to-right, top-to-bottom; every
+        # tile decompresses to the FULL tile size (right/bottom edge
+        # tiles are padded) and the valid region blits into the raster
+        tile_w = one(322)
+        tile_h = one(323)
+        if not tile_w or not tile_h:
+            return None
+        tiles_x = -(-w // tile_w)
+        tiles_y = -(-h // tile_h)
+        if len(offsets) < tiles_x * tiles_y:
+            return None
+        raster = bytearray(w * h * spp)
+        for ti in range(tiles_x * tiles_y):
+            off, cnt = offsets[ti], counts[ti]
+            dec = _segment(data[off : off + cnt], tile_w * tile_h * spp, tile_w, tile_h)
+            if dec is None:
+                return None
+            tx, ty = ti % tiles_x, ti // tiles_x
+            x0, y0 = tx * tile_w, ty * tile_h
+            n_cols = min(tile_w, w - x0) * spp
+            for r in range(min(tile_h, h - y0)):
+                dst = ((y0 + r) * w + x0) * spp
+                src = r * tile_w * spp
+                raster[dst : dst + n_cols] = dec[src : src + n_cols]
+    else:
+        raster = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            dec = _segment(data[off : off + cnt], rows * w * spp, w, rows)
+            if dec is None:
+                return None
+            raster += dec
     if len(raster) < h * w * spp:
         return None
 

@@ -1457,30 +1457,50 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def _write_tiff(w, h, mode, pixels, compression=1, predictor=1, endian="<",
-                rows_per_strip=None, photometric=None):
-    """Independent minimal TIFF writer for fixtures (strips, 8-bit)."""
+                rows_per_strip=None, photometric=None, tile=None):
+    """Independent minimal TIFF writer for fixtures (8-bit; strips, or
+    TIFF 6.0 §15 tiles when ``tile=(tw, th)`` — full-size segments with
+    zero padding at the right/bottom edges)."""
     import struct as st
 
     bo = endian
     spp = 3 if mode == "RGB" else 1
     photo = photometric if photometric is not None else (2 if mode == "RGB" else 1)
     rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = min(rps, h - y0)
-        raw = bytearray(pixels[y0 * w * spp : (y0 + rows) * w * spp])
+
+    def _filt(raw, rows, row_w):
+        raw = bytearray(raw)
         if predictor == 2:
             for r in range(rows):
-                base = r * w * spp
-                for x in range(w * spp - 1, spp - 1, -1):
+                base = r * row_w * spp
+                for x in range(row_w * spp - 1, spp - 1, -1):
                     raw[base + x] = (raw[base + x] - raw[base + x - spp]) & 0xFF
         raw = bytes(raw)
         if compression == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    strips = []
+    if tile:
+        tw, th = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                seg = bytearray(tw * th * spp)  # zero-padded full tile
+                for r in range(min(th, h - y0)):
+                    src = ((y0 + r) * w + x0) * spp
+                    n_cols = min(tw, w - x0) * spp
+                    seg[r * tw * spp : r * tw * spp + n_cols] = pixels[
+                        src : src + n_cols
+                    ]
+                strips.append(_filt(seg, th, tw))
+    else:
+        for y0 in range(0, h, rps):
+            rows = min(rps, h - y0)
+            strips.append(
+                _filt(pixels[y0 * w * spp : (y0 + rows) * w * spp], rows, w)
+            )
     n_strips = len(strips)
 
     tags = []  # (tag, type, count, value_or_bytes)
@@ -1492,7 +1512,10 @@ def _write_tiff(w, h, mode, pixels, compression=1, predictor=1, endian="<",
     add(259, 3, [compression])
     add(262, 3, [photo])
     add(277, 3, [spp])
-    add(278, 3, [rps])
+    if tile:
+        add(322, 3, [tile[0]]); add(323, 3, [tile[1]])
+    else:
+        add(278, 3, [rps])
     if predictor != 1:
         add(317, 3, [predictor])
     # strip offsets/counts filled after layout
@@ -1527,10 +1550,11 @@ def _write_tiff(w, h, mode, pixels, compression=1, predictor=1, endian="<",
     for _pass in (1, 2):
         extra = bytearray()
         entries = []
+        off_tag, cnt_tag = (324, 325) if tile else (273, 279)
         all_tags = sorted(
             tags
-            + [(273, 4, list(strip_offsets) if _pass == 2 else [0] * n_strips),
-               (279, 4, [len(s) for s in strips])]
+            + [(off_tag, 4, list(strip_offsets) if _pass == 2 else [0] * n_strips),
+               (cnt_tag, 4, [len(s) for s in strips])]
         )
         for tag, typ, vals in all_tags:
             entries.append(tag_bytes(tag, typ, vals))
@@ -2049,3 +2073,90 @@ def test_pdf_to_images_renders_image_only_pdf(spark, tmp_path):
     )
     with pytest.raises(Exception, match="fitz|pdf2image|NotImplemented"):
         pdf_to_images(read_binary(spark, str(tmp_path / "sub")), dpi=72).collect()
+
+
+def test_tiff_tiled_decode_matches_strip_twin():
+    """Tiled TIFF (TIFF 6.0 §15): non-dividing tile sizes exercise
+    right/bottom edge padding; every compression and both predictors
+    must reproduce the strip-encoded twin's pixels exactly."""
+    import hashlib
+
+    from magicxml_spark.sources.tiff_lite import decode_tiff
+
+    w, h = 13, 9
+    for mode in ("RGB", "L"):
+        ch = 3 if mode == "RGB" else 1
+        pix = bytes(
+            hashlib.md5(bytes([i % 253, i % 7])).digest()[0]
+            for i in range(w * h * ch)
+        )
+        strip_ref = decode_tiff(_write_tiff(w, h, mode, pix))
+        assert strip_ref is not None and bytes(strip_ref[3]) == pix
+        for comp in (1, 5, 32773):
+            for pred in (1, 2) if comp == 5 else (1,):
+                for endian in ("<", ">"):
+                    t = _write_tiff(
+                        w, h, mode, pix, compression=comp, predictor=pred,
+                        endian=endian, tile=(8, 4),
+                    )
+                    got = decode_tiff(t)
+                    assert got is not None, (mode, comp, pred, endian)
+                    assert got[:3] == (w, h, mode)
+                    assert bytes(got[3]) == pix, (mode, comp, pred, endian)
+    # exact-dividing tiles too (no padding branch)
+    pix = bytes(range(8 * 4 * 3))
+    t = _write_tiff(8, 4, "RGB", bytes(pix), tile=(4, 2))
+    got = decode_tiff(t)
+    assert got is not None and bytes(got[3]) == bytes(pix)
+
+
+def test_tiff_planar_layout_stays_gated():
+    """PlanarConfiguration=2 (separate planes) is out of subset — the
+    strip path previously did not check the tag and would have
+    misinterpreted plane-ordered bytes as chunky."""
+    import struct as st
+
+    from magicxml_spark.sources.tiff_lite import decode_tiff
+
+    base = _write_tiff(4, 2, "RGB", bytes(24))
+    assert decode_tiff(base) is not None
+    # splice a PlanarConfiguration=2 tag into a rebuilt file is fiddly;
+    # instead assert via the writer path: no chunky tag -> default 1 OK,
+    # and a hand-patched tag 284=2 flips the gate. Tag entries are
+    # 12 bytes starting at offset 10; patch the first tag slot's id if
+    # unused is risky — so rebuild with an injected tag instead.
+    bo = "<"
+    n_tags = st.unpack(bo + "H", base[8:10])[0]
+    # append tag 284 (type 3, count 1, value 2), keeping sort order by
+    # inserting before 317/322/324 region: simplest rebuild — bump
+    # count and append entry bytes before the next-IFD pointer, value
+    # inline. Tag ids in the IFD must be ascending; 284 sorts after 279.
+    entries = [base[10 + 12 * i : 22 + 12 * i] for i in range(n_tags)]
+    new_entry = st.pack(bo + "HHI", 284, 3, 1) + st.pack(bo + "HH", 2, 0)
+    ids = [st.unpack(bo + "H", e[:2])[0] for e in entries]
+    import bisect
+
+    pos = bisect.bisect_left(ids, 284)
+    entries.insert(pos, new_entry)
+    # all value offsets shift by 12 only if they point past the IFD —
+    # rebuild is only valid when every remaining tag is inline or its
+    # offset is adjusted; keep it simple: fixture uses inline values
+    # except strip offsets/counts (type 4 arrays may be inline for 1
+    # strip). 4x2 RGB single strip: offsets/counts are single values ->
+    # inline. So a straight splice is safe.
+    patched = (
+        base[:8]
+        + st.pack(bo + "H", n_tags + 1)
+        + b"".join(entries)
+        + base[10 + 12 * n_tags :]
+    )
+    # strip data offset moved by +12: fix the 273 entry's inline value
+    out = bytearray(patched)
+    at = 10
+    for i in range(n_tags + 1):
+        tag = st.unpack(bo + "H", out[at : at + 2])[0]
+        if tag == 273:
+            old = st.unpack(bo + "I", out[at + 8 : at + 12])[0]
+            out[at + 8 : at + 12] = st.pack(bo + "I", old + 12)
+        at += 12
+    assert decode_tiff(bytes(out)) is None
