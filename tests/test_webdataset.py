@@ -132,3 +132,42 @@ def test_wds_image_meta_decodes_and_triages(spark, tmp_path):
     ok = rows["a/1"]
     assert (ok["format"], ok["width"], ok["height"], ok["mode"]) == ("PNG", 6, 4, "RGB")
     assert rows["a/2"]["format"] is None  # corrupt member triaged, job alive
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python Data Source packaging (format("webdataset"))
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_members_and_partition_planning(spark, tmp_path):
+    from magicxml_spark.sources.wds_datasource import WebDatasetDataSource
+
+    spark.dataSource.register(WebDatasetDataSource)
+    (tmp_path / "shard-000.tar").write_bytes(_mk_tar(SAMPLES[:3]))
+    (tmp_path / "shard-001.tar").write_bytes(_mk_tar(SAMPLES[3:]))
+    df = spark.read.format("webdataset").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    # one partition per shard: the task count is the shard count
+    assert df.rdd.getNumPartitions() == 2
+    by_member = {r["member"]: r for r in rows}
+    assert by_member["imgs/000002.seg.json"]["ext"] == "seg.json"
+    assert bytes(by_member["imgs/000001.txt"]["content"]) == b"a cat sitting on a mat"
+    assert by_member["imgs/000001.txt"]["shard"].endswith("shard-000.tar")
+
+
+def test_datasource_samples_mode(spark, tmp_path):
+    from magicxml_spark.sources.wds_datasource import WebDatasetDataSource
+
+    spark.dataSource.register(WebDatasetDataSource)
+    (tmp_path / "s.tar.gz").write_bytes(_mk_tar(SAMPLES, gz=True))
+    df = (
+        spark.read.format("webdataset")
+        .option("mode", "samples")
+        .option("keep_exts", "txt,json")
+        .load(str(tmp_path))
+    )
+    rows = {r["sample_key"]: r for r in df.collect()}
+    assert set(rows) == {"imgs/000001", "imgs/000002", "other/000002"}
+    assert sorted(rows["imgs/000001"]["exts"]) == ["json", "txt"]  # png pruned
+    assert bytes(rows["imgs/000002"]["parts"]["txt"]) == b"two dogs running"
