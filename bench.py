@@ -69,6 +69,7 @@ def main() -> None:
         "q_lsh_pairs_capped",
         "q_winnow_pairs_capped",
         "q_substring_dedup",
+        "q_embedding_cluster_dedup",
     ]
     spark = get_spark("magicxml-bench")
     # Warm-up: run every headline query once at the smallest SF so the
