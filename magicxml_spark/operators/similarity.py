@@ -443,6 +443,14 @@ def embedding_cluster_dedup(
     missed — identical vectors always land in the same cell (cell
     assignment is a pure function of the vector), which is the
     invariant ``q_embedding_cluster_dedup`` oracle-gates.
+
+    The assigned (scan + KMeans transform) subtree feeds the size
+    table, both cogroup sides, and the final label join — Catalyst
+    recomputes it per consumer. That is deliberate: the transform is a
+    cheap JVM projection against broadcast centroids, and persisting an
+    embedding corpus to skip three metadata-cheap rescans is a worse
+    trade at scale; callers that already hold the corpus cached pass it
+    in cached and the rescans hit storage.
     """
     import numpy as np
     import pandas as pd

@@ -319,7 +319,9 @@ def _resolve_colorspace(dict_bytes: bytes, objs: dict | None):
     )
     if m is None:
         return None
-    if m.group("ref") is not None and objs is not None:
+    if m.group("ref") is not None:
+        if objs is None:
+            return None
         target = objs.get(int(m.group("ref")))
         if target is None:
             return None

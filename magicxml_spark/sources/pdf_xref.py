@@ -229,11 +229,14 @@ def _parse_xref_stream(
                 )
                 pos += width
             ftype = fields[0] if w[0] else 1  # default type is 1 per spec
-            if ftype == 1:
+            if ftype == 1 and fields[1] is not None:
                 entries[objnum] = (1, fields[1])
-            elif ftype == 2:
+            elif ftype == 2 and fields[1] is not None and fields[2] is not None:
                 entries[objnum] = (2, fields[1], fields[2])
             else:
+                # free entry — or a degenerate W that zeroed a field
+                # this type needs (treat as free rather than crash on a
+                # None offset downstream)
                 entries[objnum] = (0,)
     return entries
 
