@@ -1103,6 +1103,97 @@ def simhash_near_dup_pairs(
     )
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sketch_col: str,
+    n_bits: int = 64,
+    max_hamming: int = 7,
+    n_slices: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Generic pigeonhole Hamming near-dup over a PRECOMPUTED bigint
+    sketch column — the sketch-agnostic core of
+    ``simhash_near_dup_pairs``, exposed for 64-bit fingerprints that
+    don't come from text (image pHash, audio fingerprints, any locality
+    -sensitive bit signature).
+
+    Same exactness contract: two ``n_bits`` sketches within Hamming
+    distance ``n_slices - 1`` must agree on at least one of the
+    ``n_slices`` bit-slices, so candidates come from one equi-join on
+    (slice index, slice value) and the JVM bit_count(XOR) filter keeps
+    the true pairs — never all-pairs. Mega-buckets star-emit through
+    the shared ``_capped_bucket_pairs`` guard (cap ON by default).
+
+    Slicing uses shiftrightUNSIGNED so a sketch with bit 63 set (bigint
+    negative) slices identically to its unsigned value.
+    """
+    if max_hamming > n_slices - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_slices>={max_hamming + 1} "
+            "for exact pigeonhole coverage"
+        )
+    if n_bits % n_slices:
+        raise ValueError(f"n_slices={n_slices} must divide n_bits={n_bits}")
+    bits_per = n_bits // n_slices
+    mask = (1 << bits_per) - 1
+    sk = df.select(F.col(id_col).alias("id"), F.col(sketch_col).alias("sk"))
+    slices = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftrightunsigned(F.col("sk"), s * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice_val"),
+                    )
+                    for s in range(n_slices)
+                ]
+            )
+        ).alias("sl"),
+    ).select(
+        "id",
+        "sk",
+        F.col("sl.slice_idx").alias("slice_idx"),
+        F.col("sl.slice_val").alias("slice_val"),
+    )
+    if max_bucket_size is not None:
+        return (
+            _capped_bucket_pairs(
+                slices, ["slice_idx", "slice_val"], max_bucket_size, payload_col="sk"
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_pay_a").bitwiseXOR(F.col("_pay_b"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    a = slices.alias("gha")
+    b = slices.alias("ghb")
+    return (
+        a.join(
+            b,
+            (F.col("gha.slice_idx") == F.col("ghb.slice_idx"))
+            & (F.col("gha.slice_val") == F.col("ghb.slice_val"))
+            & (F.col("gha.id") < F.col("ghb.id")),
+        )
+        .select(
+            F.col("gha.id").alias("id_a"),
+            F.col("ghb.id").alias("id_b"),
+            F.bit_count(F.col("gha.sk").bitwiseXOR(F.col("ghb.sk"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling-hash document fingerprinting)
 # ---------------------------------------------------------------------------
