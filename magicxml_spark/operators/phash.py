@@ -136,3 +136,108 @@ def image_near_dup_pairs(
         n_slices=8,
         max_bucket_size=cap,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: per-frame pHash sets through the MinHash machinery
+# ---------------------------------------------------------------------------
+
+
+def video_phash_frames(
+    df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    every_n: int = 1,
+    max_frames: int = 256,
+) -> DataFrame:
+    """(id, frame_idx, phash) per sampled MJPEG-AVI frame: the video
+    arm of the perceptual-hash family. Frame JPEGs decode through
+    jpeg_lite inside the same mapInPandas pass that walks the movi
+    list — one task per video file, no shuffle. ``every_n`` subsamples
+    (frame 0, n, 2n, ...); ``max_frames`` bounds rows per file."""
+    import pandas as pd
+
+    from magicxml_spark.sources.riff_media import iter_mjpeg_frames
+
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf[id_col], pdf[content_col]):
+                kept = 0
+                for idx, jpg in iter_mjpeg_frames(bytes(content)):
+                    if idx % every_n:
+                        continue
+                    if kept >= max_frames:
+                        break
+                    ph = phash64_bytes(jpg)
+                    if ph is not None:
+                        rows.append((path, idx, ph))
+                        kept += 1
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "phash"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, schema=f"id {id_dtype}, frame_idx int, phash long"
+    )
+
+
+def video_fingerprint_docs(
+    df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    every_n: int = 1,
+    max_frames: int = 256,
+) -> DataFrame:
+    """(id, text) where text is the space-joined hex pHash token per
+    sampled frame — a video rendered as a DOCUMENT whose tokens are
+    its frames, so the entire text dedup stack (MinHash LSH banding,
+    shingle_k=1 Jaccard verify, clustering, caps) applies verbatim.
+    Re-muxed copies and subset clips share exact frame bytes -> exact
+    tokens; per-frame re-encodes need the Hamming path
+    (hamming_near_dup_pairs over video_phash_frames) instead."""
+    frames = video_phash_frames(df, id_col, content_col, every_n, max_frames)
+    return (
+        frames.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_idx", "phash"))),
+                    lambda s: F.conv(s["phash"].cast("string"), 10, 16),
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    min_jaccard: float = 0.5,
+    every_n: int = 1,
+    max_frames: int = 256,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs (id_a < id_b, frame-set jaccard >=
+    ``min_jaccard``): MinHash-LSH candidates over the frame-token
+    documents, then exact shingle_k=1 Jaccard verify — pure composition
+    of the existing dedup operators (one shuffle for banding, one for
+    the verify join). ``max_bucket_size=None`` delegates to the dedup
+    module's default cap."""
+    from magicxml_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
+    docs = video_fingerprint_docs(df, id_col, content_col, every_n, max_frames)
+    cands = lsh_candidate_pairs(
+        docs, "id", "text", n_bands=n_bands, shingle_k=1, max_bucket_size=cap
+    )
+    return jaccard_pairs(docs, cands.select("id_a", "id_b"), "id", "text", shingle_k=1).filter(
+        F.col("jaccard") >= min_jaccard
+    )

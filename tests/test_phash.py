@@ -5,7 +5,6 @@ between unrelated images, and the banded pair join end-to-end."""
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 import pytest
@@ -120,3 +119,44 @@ def test_hamming_near_dup_guards_and_sign(spark):
         hamming_near_dup_pairs(df, "id", "sk", max_hamming=9, n_slices=8)
     with pytest.raises(ValueError, match="divide"):
         hamming_near_dup_pairs(df, "id", "sk", max_hamming=3, n_slices=7)
+
+
+def test_video_near_dup_composition(spark, tmp_path):
+    """Video near-dup: per-frame pHash tokens through MinHash-LSH +
+    shingle_k=1 Jaccard — a subset clip pairs with its source, an
+    unrelated video doesn't, and the jaccard equals the exact
+    frame-set overlap."""
+    from magicxml_spark.operators.phash import (
+        video_near_dup_pairs,
+        video_phash_frames,
+    )
+    from magicxml_spark.sources.binary_docs import read_binary
+    from magicxml_spark.sources.jpeg_lite import encode_jpeg
+    from magicxml_spark.sources.riff_media import encode_mjpeg_avi
+
+    w, h = 48, 32
+
+    def frame(shift):
+        return encode_jpeg(w, h, "RGB", _rgb(_gradient(w, h, shift=shift)).tobytes(), quality=92)
+
+    src = [frame(s) for s in (0, 5, 11, 17, 23, 31)]          # 6 frames
+    clip = src[1:6] + [frame(40)]                              # 5 shared of 7 union
+    other = [frame(s) for s in (100, 113, 127, 149)]
+    (tmp_path / "full.avi").write_bytes(encode_mjpeg_avi(src, w, h))
+    (tmp_path / "clip.avi").write_bytes(encode_mjpeg_avi(clip, w, h))
+    (tmp_path / "other.avi").write_bytes(encode_mjpeg_avi(other, w, h))
+
+    vids = read_binary(spark, str(tmp_path), "*.avi")
+    # frame extraction: right counts, decodable hashes
+    per = video_phash_frames(vids).groupBy("id").count().collect()
+    counts = {r["id"].rsplit("/", 1)[-1]: r["count"] for r in per}
+    assert counts == {"full.avi": 6, "clip.avi": 6, "other.avi": 4}
+
+    pairs = video_near_dup_pairs(vids, min_jaccard=0.5).collect()
+    names = {
+        tuple(sorted((r["id_a"].rsplit("/", 1)[-1], r["id_b"].rsplit("/", 1)[-1]))): r["jaccard"]
+        for r in pairs
+    }
+    assert set(names) == {("clip.avi", "full.avi")}
+    # exact frame-set overlap: 5 shared, 7 distinct tokens in the union
+    assert abs(names[("clip.avi", "full.avi")] - 5 / 7) < 1e-9
