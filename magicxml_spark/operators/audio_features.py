@@ -134,3 +134,88 @@ def audio_logmel(
             )
 
     return binary_df.select("path", "content").mapInPandas(batches, LOGMEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: Haitsma-Kalker frame fingerprints through MinHash
+# ---------------------------------------------------------------------------
+
+
+def hk_fingerprint_frames(feats: "np.ndarray") -> "np.ndarray":
+    """Haitsma-Kalker (2002) robust-hash bits from consecutive log-mel
+    frames: bit(m, t) = 1 iff the band-energy difference
+    (E[m,t] - E[m+1,t]) INCREASED since the previous frame — the
+    classic sign-of-delta-of-delta fingerprint. (n_frames-1) uint64
+    values from (n_frames, n_mels) features; n_mels-1 <= 64 bits used."""
+    d_band = feats[:, :-1] - feats[:, 1:]  # (t, m) band deltas
+    dd = d_band[1:] - d_band[:-1]  # temporal delta
+    bits = (dd > 0).astype(np.uint64)
+    out = np.zeros(len(bits), dtype=np.uint64)
+    for m in range(bits.shape[1]):
+        out |= bits[:, m] << np.uint64(m)
+    return out
+
+
+def audio_fingerprint_docs(
+    binary_df: DataFrame,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 33,
+    max_frames: int | None = 2048,
+) -> DataFrame:
+    """(path, text) — each decodable WAV rendered as a document whose
+    tokens are its hex HK frame fingerprints, so the text dedup stack
+    (MinHash-LSH, shingle_k=1 Jaccard, clustering, caps) applies
+    verbatim, exactly like video_fingerprint_docs. Contract: exact
+    copies and hop-aligned clips share tokens; re-encoded/noisy audio
+    flips borderline bits and needs a Hamming path per frame instead
+    (hamming_near_dup_pairs over the frame fingerprints)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                dec = _wav_to_mono_float(content)
+                if dec is None:
+                    continue
+                arr, rate = dec
+                feats = logmel_frames(arr, rate, n_fft=n_fft, hop=hop, n_mels=n_mels)
+                if max_frames is not None:
+                    feats = feats[: max_frames + 1]
+                if len(feats) < 2:
+                    continue
+                fps = hk_fingerprint_frames(feats)
+                rows.append((path, " ".join(format(v, "x") for v in fps)))
+            yield pd.DataFrame(rows, columns=["path", "text"])
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema="path string, text string"
+    )
+
+
+def audio_near_dup_pairs(
+    binary_df: DataFrame,
+    min_jaccard: float = 0.5,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    **fp_kwargs,
+) -> DataFrame:
+    """Audio near-duplicate pairs (path_a < path_b, fingerprint-token
+    jaccard >= ``min_jaccard``) — pure composition over the existing
+    dedup operators, mirroring video_near_dup_pairs."""
+    from magicxml_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
+    docs = audio_fingerprint_docs(binary_df, **fp_kwargs)
+    cands = lsh_candidate_pairs(
+        docs, "path", "text", n_bands=n_bands, shingle_k=1, max_bucket_size=cap
+    )
+    return jaccard_pairs(
+        docs, cands.select("id_a", "id_b"), "path", "text", shingle_k=1
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -97,3 +97,49 @@ def test_audio_logmel_spark_rows(spark, tmp_path):
     assert hot.any()
     assert np.allclose(got[hot], local[hot], atol=2e-3)
     assert (got.argmax(axis=1) == local.argmax(axis=1)).all()
+
+
+def test_audio_near_dup_composition(spark, tmp_path):
+    """Audio near-dup via HK fingerprints: an exact copy and a
+    hop-aligned clip pair with the source; different audio doesn't.
+    Token jaccard for the clip equals the exact frame-set overlap."""
+    from magicxml_spark.operators.audio_features import (
+        audio_near_dup_pairs,
+        hk_fingerprint_frames,
+        logmel_frames,
+    )
+    from magicxml_spark.sources.binary_docs import read_binary
+
+    # 2 s of structured audio: tone sweeps with distinct segments
+    t = np.arange(2 * RATE) / RATE
+    x = 0.5 * np.sin(2 * np.pi * (400 + 300 * np.sin(t * 3.1)) * t)
+    hop, n_fft = 256, 512
+    # clip = the second half, starting on an exact hop boundary
+    clip_start = (len(x) // 2 // hop) * hop
+    clip = x[clip_start:]
+    other = 0.5 * np.sin(2 * np.pi * 2500.0 * t)
+
+    (tmp_path / "src.wav").write_bytes(_wav_bytes(x))
+    (tmp_path / "copy.wav").write_bytes(_wav_bytes(x))
+    (tmp_path / "clip.wav").write_bytes(_wav_bytes(clip))
+    (tmp_path / "other.wav").write_bytes(_wav_bytes(other))
+
+    pairs = audio_near_dup_pairs(
+        read_binary(spark, str(tmp_path), "*.wav"), min_jaccard=0.3
+    ).collect()
+    names = {
+        tuple(sorted((r["id_a"].rsplit("/", 1)[-1], r["id_b"].rsplit("/", 1)[-1]))): r[
+            "jaccard"
+        ]
+        for r in pairs
+    }
+    assert ("copy.wav", "src.wav") in names
+    assert names[("copy.wav", "src.wav")] == 1.0  # identical bytes
+    assert ("clip.wav", "src.wav") in names  # hop-aligned suffix clip
+    assert all("other.wav" not in p for p in names)
+
+    # the HK bit contract itself: dd>0 per band, frame count n-1
+    feats = logmel_frames(x[: RATE // 2], RATE, n_fft=n_fft, hop=hop, n_mels=33)
+    fps = hk_fingerprint_frames(feats)
+    assert len(fps) == len(feats) - 1
+    assert all(int(v) < (1 << 32) for v in fps)  # 32 bits from 33 bands
