@@ -24,6 +24,10 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame
 
+from magicxml_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE as _DEFAULT_CAP,
+)
+
 LOGMEL_SCHEMA = (
     "path string, frame_idx int, t_start_s double, sample_rate int, "
     "logmel array<double>"
@@ -158,6 +162,8 @@ def hk_fingerprint_frames(feats: "np.ndarray") -> "np.ndarray":
 
 def audio_fingerprint_docs(
     binary_df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
     n_fft: int = 512,
     hop: int = 256,
     n_mels: int = 33,
@@ -172,10 +178,12 @@ def audio_fingerprint_docs(
     (hamming_near_dup_pairs over the frame fingerprints)."""
     import pandas as pd
 
+    id_dtype = dict(binary_df.dtypes)[id_col]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path, content in zip(pdf[id_col], pdf[content_col]):
                 dec = _wav_to_mono_float(content)
                 if dec is None:
                     continue
@@ -189,32 +197,32 @@ def audio_fingerprint_docs(
                 rows.append((path, " ".join(format(v, "x") for v in fps)))
             yield pd.DataFrame(rows, columns=["path", "text"])
 
-    return binary_df.select("path", "content").mapInPandas(
-        batches, schema="path string, text string"
+    return binary_df.select(id_col, content_col).mapInPandas(
+        batches, schema=f"path {id_dtype}, text string"
     )
 
 
 def audio_near_dup_pairs(
     binary_df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
     min_jaccard: float = 0.5,
     n_bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = _DEFAULT_CAP,
     **fp_kwargs,
 ) -> DataFrame:
     """Audio near-duplicate pairs (path_a < path_b, fingerprint-token
     jaccard >= ``min_jaccard``) — pure composition over the existing
-    dedup operators, mirroring video_near_dup_pairs."""
-    from magicxml_spark.operators.dedup import (
-        DEFAULT_MAX_BUCKET_SIZE,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-    )
+    dedup operators, mirroring video_near_dup_pairs. ``max_bucket_size``
+    follows the dedup-module convention: capped by default, ``None`` =
+    explicit exact opt-out."""
+    from magicxml_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
     from pyspark.sql import functions as F
 
-    cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
-    docs = audio_fingerprint_docs(binary_df, **fp_kwargs)
+    docs = audio_fingerprint_docs(binary_df, id_col, content_col, **fp_kwargs)
     cands = lsh_candidate_pairs(
-        docs, "path", "text", n_bands=n_bands, shingle_k=1, max_bucket_size=cap
+        docs, "path", "text", n_bands=n_bands, shingle_k=1,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_pairs(
         docs, cands.select("id_a", "id_b"), "path", "text", shingle_k=1

@@ -1136,6 +1136,15 @@ def hamming_near_dup_pairs(
     if n_bits % n_slices:
         raise ValueError(f"n_slices={n_slices} must divide n_bits={n_bits}")
     bits_per = n_bits // n_slices
+    if bits_per > 63:
+        # the slice mask (1 << bits_per) - 1 must fit a Spark LongType
+        # literal; n_slices=1 (legal pigeonhole-wise when max_hamming=0)
+        # would need a 2^64-1 mask that overflows bigint
+        raise ValueError(
+            f"n_slices={n_slices} gives {bits_per}-bit slices; slice masks "
+            "must fit a signed 64-bit literal (need n_slices >= 2 for "
+            "n_bits=64)"
+        )
     mask = (1 << bits_per) - 1
     sk = df.select(F.col(id_col).alias("id"), F.col(sketch_col).alias("sk"))
     slices = sk.select(

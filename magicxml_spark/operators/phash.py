@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 _N = 32  # downsample grid
 _K = 8  # low-frequency block
 
+# mirrored from operators.dedup at call time is awkward for a default
+# argument; keep one module-level alias (same value, import-checked in
+# tests) so wrappers share the dedup convention: capped by default,
+# None = explicit exact opt-out
+from magicxml_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE as _DEFAULT_CAP,
+)
+
 
 def _dct_matrix(n: int) -> "np.ndarray":
     """Orthonormal DCT-II basis (same formula as jpeg_lite's 8x8 _C,
@@ -75,8 +83,11 @@ def phash64_bytes(data: bytes) -> int | None:
     block = coefs[:_K, :_K].flatten()
     med = np.median(block[1:])  # AC median; DC would swamp it
     bits = 0
+    # bit 0 (DC) stays fixed at 0: DC is almost always far above the AC
+    # median, so including it would burn a constant bit — the signature
+    # is the documented 63-AC pHash
     for i, v in enumerate(block):
-        if v > med:
+        if i and v > med:
             bits |= 1 << i
     # bigint-safe: Python ints are unbounded, Spark longs are not —
     # map to signed 64-bit two's complement
@@ -114,18 +125,14 @@ def image_near_dup_pairs(
     id_col: str = "path",
     content_col: str = "content",
     max_hamming: int = 7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Image near-duplicate pairs (id_a < id_b, hamming <= cap) over
     binary image rows: pHash then pigeonhole-banded Hamming join.
-    ``max_bucket_size=None`` here delegates to the dedup module's
-    default cap (ON)."""
-    from magicxml_spark.operators.dedup import (
-        DEFAULT_MAX_BUCKET_SIZE,
-        hamming_near_dup_pairs,
-    )
+    ``max_bucket_size`` follows the dedup-module convention: capped by
+    default, ``None`` is the explicit exact all-pairs opt-out."""
+    from magicxml_spark.operators.dedup import hamming_near_dup_pairs
 
-    cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
     hashed = image_phash(df, id_col, content_col).filter(F.col("phash").isNotNull())
     return hamming_near_dup_pairs(
         hashed,
@@ -134,7 +141,7 @@ def image_near_dup_pairs(
         n_bits=64,
         max_hamming=max_hamming,
         n_slices=8,
-        max_bucket_size=cap,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -219,24 +226,20 @@ def video_near_dup_pairs(
     every_n: int = 1,
     max_frames: int = 256,
     n_bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Video near-duplicate pairs (id_a < id_b, frame-set jaccard >=
     ``min_jaccard``): MinHash-LSH candidates over the frame-token
     documents, then exact shingle_k=1 Jaccard verify — pure composition
     of the existing dedup operators (one shuffle for banding, one for
-    the verify join). ``max_bucket_size=None`` delegates to the dedup
-    module's default cap."""
-    from magicxml_spark.operators.dedup import (
-        DEFAULT_MAX_BUCKET_SIZE,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-    )
+    the verify join). ``max_bucket_size`` follows the dedup-module
+    convention: capped by default, ``None`` = explicit exact opt-out."""
+    from magicxml_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
 
-    cap = DEFAULT_MAX_BUCKET_SIZE if max_bucket_size is None else max_bucket_size
     docs = video_fingerprint_docs(df, id_col, content_col, every_n, max_frames)
     cands = lsh_candidate_pairs(
-        docs, "id", "text", n_bands=n_bands, shingle_k=1, max_bucket_size=cap
+        docs, "id", "text", n_bands=n_bands, shingle_k=1,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_pairs(docs, cands.select("id_a", "id_b"), "id", "text", shingle_k=1).filter(
         F.col("jaccard") >= min_jaccard

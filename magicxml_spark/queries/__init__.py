@@ -44,28 +44,92 @@ from magicxml_spark.queries import hierarchy  # noqa: E402,F401
 from magicxml_spark.queries import analytics  # noqa: E402,F401
 from magicxml_spark.queries import extensions  # noqa: E402,F401
 from magicxml_spark.queries import pipeline  # noqa: E402,F401
+from magicxml_spark.queries import multimodal  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-6 rotation
-# (VERDICT r5 "Next #2"): the three r3-stale queries lead
-# (q_tfidf_top_terms, q_corpus_filter, q_events_stream_windowed — the
-# only rows older than r4), then q_substring_dedup (its first-occurrence
-# order key changed to struct min this round — re-pin it), the
-# flagship, and the 45 head entries of the r4-green tail. The 50
-# queries freshly sampled in r5 close the list; the 4 r4-green entries
-# squeezed past slot 50 (q_decimal_comma/size_strip/defaults/
-# csv_normalize) lead r7's window. Names missing from the list (future
+# get a driver-recorded correctness row each round. Round-7 rotation
+# (VERDICT r6 "Next #2"): the five r4-latest rows lead
+# (q_dedup_delimited ... q_csv_normalize — the only rows older than
+# r5), then the three NEW multimodal invariant queries, then
+# q_embedding_cluster_dedup (its planted-offset derivation changed this
+# round — re-pin it). The 49 r5-latest queries follow (41 fit the ~50
+# window; the 8 placed just past the cut are simple stable scalar ops
+# that stay r5-green and lead r8's window), and the 49 remaining
+# r6-fresh rows close the list. Names missing from the list (future
 # additions) append in registration order; the assertion keeps the
 # list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
+    # --- r4-stale head (rotation target) ---
+    "q_dedup_delimited",
+    "q_decimal_comma",
+    "q_size_strip",
+    "q_defaults",
+    "q_csv_normalize",
+    # --- new this round: multimodal invariant gates ---
+    "q_image_near_dup",
+    "q_video_near_dup",
+    "q_audio_near_dup",
+    # --- changed this round: re-pin ---
+    "q_embedding_cluster_dedup",
+    # --- r5-latest block (41 inside the ~50 window) ---
+    "q_minhash_lsh_pairs",
+    "q_lsh_pairs_capped",
+    "q_lsh_xxhash64_recall",
+    "q_winnow_pairs_capped",
+    "q_exact_dedup",
+    "q_snapshot_dedup",
+    "q_incremental_dedup",
+    "q_simhash",
+    "q_simhash_near_dup",
+    "q_simhash_wide",
+    "q_simhash_wide_near_dup",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_auto",
+    "q_cosine_topk_int8",
+    "q_ann_recall",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_ivf_snapshot_search",
+    "q_category_path",
+    "q_category_path_recursive",
+    "q_stock_aggregate",
+    "q_text_profile",
+    "q_repetition_profile",
+    "q_contamination",
+    "q_decontaminate",
+    "q_curation_pipeline",
+    "q_asof_join",
+    "q_asof_prev_purchase",
+    "q_range_join",
+    "q_salted_agg",
+    "q_session_window",
+    "q_key_skew",
+    "q_stream_interval_join",
+    "q_stream_interval_semi",
+    "q_stream_simhash_wide_pairs",
+    "q_hll_union",
+    "q_cm_union",
+    "q_md5_user_hash",
+    "q_html_clean",
+    # --- r5-latest tail (just past the window; stable scalar ops) ---
+    "q_jaccard_pairs",
+    "q_json_props",
+    "q_quota_sample",
+    "q_stratified_sample",
+    "q_hash_split",
+    "q_line_dedup",
+    "q_chunk_text",
+    "q_chunks_to_shards",
+    # --- r6-fresh block ---
     "q_tfidf_top_terms",
     "q_corpus_filter",
     "q_events_stream_windowed",
-    "q_embedding_cluster_dedup",
     "q_substring_dedup",
     "q_flagship_revenue",
     "q_pii_scrub",
@@ -112,60 +176,6 @@ _DRIVER_SAMPLE_ORDER = [
     "q_set_ops",
     "q_pivot",
     "q_sanitize_name",
-    "q_dedup_delimited",
-    "q_decimal_comma",
-    "q_size_strip",
-    "q_defaults",
-    "q_csv_normalize",
-    "q_lsh_pairs_capped",
-    "q_lsh_xxhash64_recall",
-    "q_winnow_pairs_capped",
-    "q_hll_union",
-    "q_cm_union",
-    "q_md5_user_hash",
-    "q_html_clean",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_cosine_topk_ivf",
-    "q_cosine_topk_auto",
-    "q_cosine_topk_int8",
-    "q_ann_recall",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_stock_aggregate",
-    "q_category_path",
-    "q_minhash_lsh_pairs",
-    "q_simhash_wide_near_dup",
-    "q_simhash_near_dup",
-    "q_simhash",
-    "q_curation_pipeline",
-    "q_stream_interval_join",
-    "q_stream_simhash_wide_pairs",
-    "q_decontaminate",
-    "q_exact_dedup",
-    "q_category_path_recursive",
-    "q_snapshot_dedup",
-    "q_asof_join",
-    "q_range_join",
-    "q_asof_prev_purchase",
-    "q_salted_agg",
-    "q_session_window",
-    "q_key_skew",
-    "q_repetition_profile",
-    "q_contamination",
-    "q_incremental_dedup",
-    "q_quota_sample",
-    "q_stratified_sample",
-    "q_hash_split",
-    "q_json_props",
-    "q_line_dedup",
-    "q_chunk_text",
-    "q_ivf_snapshot_search",
-    "q_chunks_to_shards",
-    "q_simhash_wide",
-    "q_stream_interval_semi",
-    "q_jaccard_pairs",
-    "q_text_profile",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

@@ -1167,14 +1167,19 @@ def q_embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.similarity import embedding_cluster_dedup
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # offset derived from the actual max id (scalar collect) so planted
+    # ids can never collide with originals at any scale factor — a fixed
+    # 10M constant would misclassify once real vec_id reaches 10M
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    offset = max_id + 1
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
     )
     twin = emb.unionByName(planted)
     labeled = embedding_cluster_dedup(
         twin, "vec_id", "embedding", threshold=0.95, n_cells=16
     )
-    is_planted = (F.col("id") >= 10_000_000).cast("long")
+    is_planted = (F.col("id") > max_id).cast("long")
     return labeled.agg(
         F.count("*").alias("n_input"),
         F.sum(is_planted).alias("n_planted"),

@@ -309,10 +309,15 @@ def _literal_bytes(data: bytes, start: int) -> bytes | None:
     return bytes(out) if not depth or i < len(data) else None
 
 
-def _resolve_colorspace(dict_bytes: bytes, objs: dict | None):
+def _resolve_colorspace(dict_bytes: bytes, objs: dict | None, _depth: int = 0):
     """-> 'rgb' | 'gray' | ('indexed', n_base_comps, palette_bytes) |
     None (unsupported). Follows one level of indirection for both the
-    /ColorSpace value and an Indexed palette stream."""
+    /ColorSpace value and an Indexed palette stream; a cyclic or deeply
+    chained indirect reference (obj N whose body is another ref) returns
+    None instead of recursing unboundedly (return-None-on-corrupt
+    contract)."""
+    if _depth > 2:
+        return None
     m = re.search(
         rb"/ColorSpace\s*(?:/(?P<name>\w+)|(?P<ref>\d+)\s+0\s+R|(?P<arr>\[))",
         dict_bytes,
@@ -326,7 +331,7 @@ def _resolve_colorspace(dict_bytes: bytes, objs: dict | None):
         if target is None:
             return None
         # the referenced body IS the colorspace value
-        return _resolve_colorspace(b"/ColorSpace " + target[0], objs)
+        return _resolve_colorspace(b"/ColorSpace " + target[0], objs, _depth + 1)
     if m.group("name") is not None:
         name = m.group("name")
         if name in (b"DeviceRGB", b"CalRGB"):

@@ -2160,3 +2160,19 @@ def test_tiff_planar_layout_stays_gated():
             out[at + 8 : at + 12] = st.pack(bo + "I", old + 12)
         at += 12
     assert decode_tiff(bytes(out)) is None
+
+
+def test_resolve_colorspace_cyclic_indirect_returns_none():
+    """A crafted PDF whose /ColorSpace indirect reference points at an
+    object that is itself a reference (including a self-cycle) must
+    return None under the return-None-on-corrupt contract, not blow the
+    task with RecursionError."""
+    from magicxml_spark.sources.pdf_raster import _resolve_colorspace
+
+    cyc = {5: (b"5 0 R", None)}  # obj 5 -> itself
+    assert _resolve_colorspace(b"/ColorSpace 5 0 R", cyc) is None
+    ab = {5: (b"6 0 R", None), 6: (b"5 0 R", None)}  # two-cycle
+    assert _resolve_colorspace(b"/ColorSpace 5 0 R", ab) is None
+    # one clean level of indirection still resolves
+    ok = {7: (b"/DeviceRGB", None)}
+    assert _resolve_colorspace(b"/ColorSpace 7 0 R", ok) == "rgb"

@@ -119,6 +119,11 @@ def test_hamming_near_dup_guards_and_sign(spark):
         hamming_near_dup_pairs(df, "id", "sk", max_hamming=9, n_slices=8)
     with pytest.raises(ValueError, match="divide"):
         hamming_near_dup_pairs(df, "id", "sk", max_hamming=3, n_slices=7)
+    # n_slices=1 is legal pigeonhole-wise at max_hamming=0 but its
+    # 64-bit slice mask would overflow a LongType literal — must raise
+    # the usual ValueError, not a confusing runtime error
+    with pytest.raises(ValueError, match="64-bit"):
+        hamming_near_dup_pairs(df, "id", "sk", max_hamming=0, n_slices=1)
 
 
 def test_video_near_dup_composition(spark, tmp_path):
