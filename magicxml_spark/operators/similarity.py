@@ -414,15 +414,54 @@ def embedding_near_dup_blocked(
     )
 
 
+def _assign_cells_gemm(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id, v, cell) — nearest-centroid assignment as one Arrow-batched
+    GEMM pass (``d2 = |c|² - 2 v·c`` per batch, argmin per row; the
+    |v|² term is constant per row so the argmin is unchanged).
+
+    This is the assignment path for ``embedding_cluster_dedup``'s
+    precomputed-centroid arm, where the WHOLE corpus is assigned and
+    the operator's consumers rescan the subtree several times: n_rows x
+    n_cells x dim multiply-adds run at BLAS speed instead of through
+    interpreted higher-order expressions (measured ~40x at 157k rows x
+    396 cells x 64 dims). Deterministic: numpy argmin takes the lowest
+    index on exact ties, and identical vectors produce identical
+    distance rows — exact duplicates still always share a cell, which
+    is what the dedup invariant needs. ``with_probe_cells`` stays the
+    assignment path for the snapshot-search family, whose (d2, cell)
+    tie-break is oracle-pinned to the JVM expression semantics."""
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = dict(base.dtypes)["id"]
+    cmat = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = cnorm2[None, :] - 2.0 * (v @ cmat.T)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "cell": np.argmin(d2, axis=1)}
+            )
+
+    return base.select("id", "v").mapInPandas(
+        batches, schema=f"id {id_dtype}, v array<double>, cell int"
+    )
+
+
 def embedding_cluster_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     fit_sample_rows: int = 200_000,
     block_rows: int = 2048,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-class semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans cells bound the quadratic near-duplicate
@@ -441,8 +480,19 @@ def embedding_cluster_dedup(
     contract: near-duplicates split across a cell boundary are missed
     (that is SemDeDup's accepted trade); EXACT duplicates are never
     missed — identical vectors always land in the same cell (cell
-    assignment is a pure function of the vector), which is the
-    invariant ``q_embedding_cluster_dedup`` oracle-gates.
+    assignment is a pure function of the vector, in BOTH the KMeans
+    and the precomputed-centroid arms), which is the invariant
+    ``q_embedding_cluster_dedup`` oracle-gates.
+
+    ``n_cells=None`` (default) derives ~sqrt(n) cells from one count
+    (``auto_n_cells`` — the same rule as the IVF dispatch), so the
+    Σ|cell|² bound keeps pace with corpus growth instead of a fixed
+    16x reduction. ``centroids`` (a list of centroid vectors, e.g.
+    read back from ``write_ivf_snapshot``'s ``{path}/centroids``
+    parquet) skips the KMeans fit entirely and assigns by
+    nearest-stored-centroid (``with_probe_cells``, n_probe=1) — the
+    amortization path for repeated runs over a growing corpus,
+    mirroring ``search_ivf_snapshot``.
 
     The assigned (scan + KMeans transform) subtree feeds the size
     table, both cogroup sides, and the final label join — Catalyst
@@ -456,8 +506,13 @@ def embedding_cluster_dedup(
     import pandas as pd
 
     base = _with_norm(df, id_col, vec_col)
-    model, ml = _fit_centroids(base, n_cells, seed, fit_sample_rows)
-    assigned = model.transform(ml).select("id", "v", "cell")
+    if centroids is not None:
+        assigned = _assign_cells_gemm(base, centroids)
+    else:
+        n_rows = base.count()
+        cells = n_cells if n_cells is not None else auto_n_cells(n_rows)
+        model, ml = _fit_centroids(base, cells, seed, fit_sample_rows, n_rows=n_rows)
+        assigned = model.transform(ml).select("id", "v", "cell")
 
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_cn"))
     sized = assigned.join(F.broadcast(sizes), "cell")
@@ -639,6 +694,16 @@ def cosine_topk_ivf(
 ANN_EXACT_MAX_ROWS = 100_000
 
 
+def auto_n_cells(n_rows: int) -> int:
+    """Shared cell-count rule for the IVF dispatch and
+    ``embedding_cluster_dedup``: ~sqrt(n) cells, so cells hold ~sqrt(n)
+    vectors each and the per-cell quadratic work balances against probe
+    /grid fan-out. Floored at 16 (tiny corpora still get real cells),
+    capped at 32768 (the broadcast centroid table stays trivially
+    small)."""
+    return max(16, min(32768, int(n_rows**0.5)))
+
+
 def choose_ann_strategy(
     n_rows: int,
     exact_max_rows: int = ANN_EXACT_MAX_ROWS,
@@ -666,8 +731,7 @@ def choose_ann_strategy(
     """
     if n_rows <= exact_max_rows:
         return {"algo": "exact", "block_rows": 2048}
-    n_cells = max(16, min(32768, int(n_rows**0.5)))
-    return {"algo": "ivf", "n_cells": n_cells, "n_probe": 8}
+    return {"algo": "ivf", "n_cells": auto_n_cells(n_rows), "n_probe": 8}
 
 
 def cosine_topk(
@@ -775,10 +839,18 @@ def with_probe_cells(
     (distance, cell) tie-break):
 
     * few cells — ``probe_cells`` literal expression, pure projection;
-    * many cells — broadcast join against the centroid table + per-row
-      window top-n_probe. n_rows x n_cells distance evaluations is the
-      inherent IVF assignment cost; the join spreads it across the
-      cluster instead of compiling it into one untenable expression.
+    * many cells — broadcast join against the centroid table, then a
+      partial-aggregating top-n_probe per id over bare (d2, cell)
+      structs, rejoined to ``df`` by id. n_rows x n_cells distance
+      evaluations is the inherent IVF assignment cost; the join spreads
+      it across the cluster instead of compiling it into one untenable
+      expression. The d2/cell triples are 12 bytes each, so the
+      aggregate's shuffle stays ~n_cells*12 B per row — the earlier
+      window spelling shuffled the full join explosion WITH vector and
+      centroid payloads (measured 10x slower at 157k rows x 396 cells:
+      363 s vs 34 s end-to-end for the cluster-dedup caller). Identical
+      (d2, cell) tie-break to the literal arm: array_sort on the struct
+      orders by d2 then cell.
     """
     if max_literal_cells is None:
         max_literal_cells = MAX_LITERAL_PROBE_CELLS  # read at call time
@@ -792,28 +864,45 @@ def with_probe_cells(
         "cell int, _centroid array<double>",
     )
     diff = F.zip_with(F.col("v"), F.col("_centroid"), lambda a, b: a - b)
-    w = W.partitionBy(id_col).orderBy("_d2", "cell")
-    return (
-        df.join(F.broadcast(cdf))
-        .withColumn("_d2", dot(diff, diff))
-        .withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= n_probe)
-        .drop("_centroid", "_d2", "_pr")
+    probes = (
+        df.select(id_col, "v")
+        .join(F.broadcast(cdf))
+        .select(id_col, dot(diff, diff).alias("_d2"), "cell")
+        .groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_d2", "cell"))), 1, n_probe
+            ).alias("_pc")
+        )
+        .select(
+            id_col,
+            F.explode(F.transform("_pc", lambda p: p["cell"])).alias("cell"),
+        )
     )
+    return df.join(probes, id_col)
 
 
-def _fit_centroids(base: DataFrame, n_cells: int, seed: int, fit_sample_rows: int):
+def _fit_centroids(
+    base: DataFrame,
+    n_cells: int,
+    seed: int,
+    fit_sample_rows: int,
+    n_rows: int | None = None,
+):
     """Shared KMeans fit for the in-memory IVF path and the persisted
     snapshot writer: train on at most ``fit_sample_rows`` vectors via a
     hash-deterministic subset (centroid quality converges long before
     corpus size), full table below the cap. Returns (model, ml) where
-    ``ml`` is ``base`` with the ML features column attached."""
+    ``ml`` is ``base`` with the ML features column attached.
+    ``n_rows`` skips the count when the caller already knows it (e.g.
+    it counted for the auto cell rule)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     ml = base.withColumn("features", array_to_vector(F.col("v")))
     fit_on = ml
-    n_rows = ml.count()
+    if n_rows is None:
+        n_rows = ml.count()
     if n_rows > fit_sample_rows:
         frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
         cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))

@@ -1176,9 +1176,9 @@ def q_embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
     )
     twin = emb.unionByName(planted)
-    labeled = embedding_cluster_dedup(
-        twin, "vec_id", "embedding", threshold=0.95, n_cells=16
-    )
+    # n_cells auto-derived (~sqrt(n)) — the invariant is family-
+    # independent, so the driver row also gates the auto rule
+    labeled = embedding_cluster_dedup(twin, "vec_id", "embedding", threshold=0.95)
     is_planted = (F.col("id") > max_id).cast("long")
     return labeled.agg(
         F.count("*").alias("n_input"),

@@ -1433,3 +1433,47 @@ def test_embedding_cluster_dedup_semantics(spark):
     # block_rows=2 forces multi-block cells: the per-cell grid must
     # still see every (a, b) pair (id 2's dominator may sit in any
     # query block) — already asserted by the keep sets above
+
+
+def test_embedding_cluster_dedup_auto_cells_and_snapshot_centroids(spark):
+    """n_cells=None derives ~sqrt(n) cells (shared auto_n_cells rule);
+    precomputed centroids skip the KMeans fit and give the same keep
+    semantics — nearest-centroid assignment is still a pure function of
+    the vector, so exact dups still never escape."""
+    import math
+
+    from magicxml_spark.operators.similarity import (
+        auto_n_cells,
+        embedding_cluster_dedup,
+    )
+
+    assert auto_n_cells(100) == 16          # floor
+    assert auto_n_cells(1_000_000) == 1000  # sqrt
+    assert auto_n_cells(10**12) == 32768    # cap
+
+    def unit(*v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (1, unit(1.0, 0.01, 0.0)),
+        (2, unit(1.0, 0.01, 0.0)),      # exact dup of 1 -> dropped
+        (3, unit(1.0, 0.5, 0.0)),       # sim ~0.9 < 0.95 -> kept
+        (10, unit(0.0, 1.0, 0.02)),
+        (11, unit(0.01, 1.0, 0.02)),    # near-dup of 10 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [unit(1.0, 0.2, 0.0), unit(0.0, 1.0, 0.0)]
+    out = {
+        r["id"]: r
+        for r in embedding_cluster_dedup(
+            df, "vec_id", "embedding", threshold=0.95, block_rows=2,
+            centroids=cents,
+        ).collect()
+    }
+    assert {i for i, r in out.items() if r["keep"] == 1} == {1, 3, 10}
+    assert {i for i, r in out.items() if r["keep"] == 0} == {2, 11}
+    assert out[1]["cell"] == 0 and out[10]["cell"] == 1
+    # auto arm still runs end-to-end (floored at 16 cells on 5 rows)
+    auto = embedding_cluster_dedup(df, "vec_id", "embedding", threshold=0.95)
+    assert {r["id"]: r["keep"] for r in auto.collect()}[2] == 0
