@@ -171,3 +171,106 @@ def test_datasource_samples_mode(spark, tmp_path):
     assert set(rows) == {"imgs/000001", "imgs/000002", "other/000002"}
     assert sorted(rows["imgs/000001"]["exts"]) == ["json", "txt"]  # png pruned
     assert bytes(rows["imgs/000002"]["parts"]["txt"]) == b"two dogs running"
+
+
+# ---------------------------------------------------------------------------
+# Sink: write_webdataset round-trip, shard rolling, determinism
+# ---------------------------------------------------------------------------
+
+
+def _sample_rows(n, part_bytes=200):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                f"s{i:04d}",
+                ["png", "txt"],
+                {"png": bytes([i % 251]) * part_bytes, "txt": f"caption {i}".encode()},
+            )
+        )
+    return rows
+
+
+def _samples_df(spark, n, parts=2, part_bytes=200):
+    return spark.createDataFrame(
+        _sample_rows(n, part_bytes),
+        "sample_key string, exts array<string>, parts map<string, binary>",
+    ).repartition(parts)
+
+
+def test_write_webdataset_roundtrip_bytes_identical(spark, tmp_path):
+    from magicxml_spark.sinks.webdataset_sink import write_webdataset
+
+    out = tmp_path / "out"
+    df = _samples_df(spark, 12, parts=2)
+    manifest = write_webdataset(df, str(out), exts_col="exts")
+    assert sum(m["n_samples"] for m in manifest) == 12
+    assert sum(m["n_members"] for m in manifest) == 24
+    # member order within a sample honors exts (png before txt)
+    back = {
+        r["sample_key"]: r
+        for r in read_webdataset_samples(spark, str(out)).collect()
+    }
+    orig = {k: p for k, _, p in _sample_rows(12)}
+    assert set(back) == set(orig)
+    for k, p in orig.items():
+        assert back[k]["exts"] == ["png", "txt"]
+        assert {e: bytes(b) for e, b in back[k]["parts"].items()} == p
+
+
+def test_write_webdataset_rolls_shards_and_never_splits_samples(spark, tmp_path):
+    from magicxml_spark.sinks.webdataset_sink import write_webdataset
+
+    out = tmp_path / "out"
+    # ~1.5 KiB per sample (two members, 512B-rounded) against a 4 KiB
+    # target -> multiple shards per partition
+    manifest = write_webdataset(
+        _samples_df(spark, 20, parts=1, part_bytes=700),
+        str(out),
+        target_shard_bytes=4096,
+    )
+    assert len(manifest) > 1
+    assert sum(m["n_samples"] for m in manifest) == 20
+    # every sample's members live in ONE shard
+    members = read_webdataset(spark, str(out)).collect()
+    shards_per_key = {}
+    for r in members:
+        shards_per_key.setdefault(r["sample_key"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in shards_per_key.values())
+    # deterministic naming: partition 0, increasing sequence
+    names = sorted(m["shard"].rsplit("/", 1)[-1] for m in manifest)
+    assert names[0] == "shard-00000-00000.tar"
+    assert names[1] == "shard-00000-00001.tar"
+
+
+def test_write_webdataset_gz_and_determinism(spark, tmp_path):
+    from magicxml_spark.sinks.webdataset_sink import write_webdataset
+
+    df = _samples_df(spark, 8, parts=1)
+    m1 = write_webdataset(df, str(tmp_path / "a"), compress="gz")
+    assert all(m["shard"].endswith(".tar.gz") for m in m1)
+    back = read_webdataset_samples(spark, str(tmp_path / "a")).collect()
+    assert len(back) == 8
+    # identical input partitions -> byte-identical shards
+    write_webdataset(df, str(tmp_path / "b"), compress="gz")
+    for m in m1:
+        name = m["shard"].rsplit("/", 1)[-1]
+        a = (tmp_path / "a" / name).read_bytes()
+        b = (tmp_path / "b" / name).read_bytes()
+        assert a == b
+
+
+def test_pack_webdataset_plan_is_shuffle_free(spark, tmp_path):
+    from magicxml_spark.sinks.webdataset_sink import pack_webdataset
+
+    df = spark.createDataFrame(
+        _sample_rows(4),
+        "sample_key string, exts array<string>, parts map<string, binary>",
+    )
+    plan = (
+        pack_webdataset(df, str(tmp_path / "p"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
