@@ -52,25 +52,33 @@ def main() -> None:
         "q_salted_agg",
         "q_events_stream_windowed",
     ]
-    # Secondary list: the round-4 operator class (sketches, winnowing,
-    # layout, parse) plus the round-5 capped-emission gate — timed and
-    # reported under "secondary" so regressions in the NEW operator
-    # class are machine-visible round-over-round (VERDICT r4 #7), while
-    # "value" stays the headline total comparable to every prior round.
-    secondary = [
-        "q_winnow_fingerprint",
-        "q_winnow_pairs",
-        "q_hll_distinct",
-        "q_cm_heavy_hitters",
-        "q_bloom_prefilter",
-        "q_histogram_quantiles",
-        "q_dependency_parse",
-        "q_zorder_key",
-        "q_lsh_pairs_capped",
-        "q_winnow_pairs_capped",
-        "q_substring_dedup",
-        "q_embedding_cluster_dedup",
-    ]
+    # Secondary tracking, grouped into STABLE-composition subtotals so
+    # round-over-round totals stay comparable when a group is added
+    # (round-7 fix for the r6 honest-accounting nit: secondary_value
+    # jumped purely from list growth, and the q_winnow_pairs EXACT
+    # opt-out was summed alongside shipping-default capped queries).
+    # A new operator class gets a NEW group; existing groups never
+    # change membership. "secondary_value" remains the grand total.
+    secondary_groups = {
+        # round-4 operator class: sketches, winnowing, layout, parse
+        "sketch_class_r4": [
+            "q_winnow_fingerprint",
+            "q_hll_distinct",
+            "q_cm_heavy_hitters",
+            "q_bloom_prefilter",
+            "q_histogram_quantiles",
+            "q_dependency_parse",
+            "q_zorder_key",
+        ],
+        # explicit exact all-pairs opt-out — NOT the shipping default;
+        # its cost class differs from everything else here by design
+        "exact_optout": ["q_winnow_pairs"],
+        # round-5 capped-emission shipping defaults
+        "capped_defaults_r5": ["q_lsh_pairs_capped", "q_winnow_pairs_capped"],
+        # round-6 heavy additions
+        "heavy_r6": ["q_substring_dedup", "q_embedding_cluster_dedup"],
+    }
+    secondary = [n for g in secondary_groups.values() for n in g]
     spark = get_spark("magicxml-bench")
     # Warm-up: run every headline query once at the smallest SF so the
     # timed runs measure data-proportional work, not whole-stage-codegen
@@ -120,6 +128,10 @@ def main() -> None:
                 "queries": timings,
                 "secondary": sec_timings,
                 "secondary_value": round(sum(sec_timings.values()), 3),
+                "secondary_subtotals": {
+                    g: round(sum(sec_timings.get(n, 0.0) for n in names), 3)
+                    for g, names in secondary_groups.items()
+                },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

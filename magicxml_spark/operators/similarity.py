@@ -511,7 +511,16 @@ def embedding_cluster_dedup(
     else:
         n_rows = base.count()
         cells = n_cells if n_cells is not None else auto_n_cells(n_rows)
-        model, ml = _fit_centroids(base, cells, seed, fit_sample_rows, n_rows=n_rows)
+        model, ml = _fit_centroids(
+            base,
+            cells,
+            seed,
+            fit_sample_rows,
+            n_rows=n_rows,
+            # this operator's invariant is centroid-independent, so it
+            # opts into the parallel fit (see _fit_centroids)
+            fit_partitions=base.sparkSession.sparkContext.defaultParallelism,
+        )
         assigned = model.transform(ml).select("id", "v", "cell")
 
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_cn"))
@@ -888,6 +897,7 @@ def _fit_centroids(
     seed: int,
     fit_sample_rows: int,
     n_rows: int | None = None,
+    fit_partitions: int | None = None,
 ):
     """Shared KMeans fit for the in-memory IVF path and the persisted
     snapshot writer: train on at most ``fit_sample_rows`` vectors via a
@@ -895,7 +905,19 @@ def _fit_centroids(
     corpus size), full table below the cap. Returns (model, ml) where
     ``ml`` is ``base`` with the ML features column attached.
     ``n_rows`` skips the count when the caller already knows it (e.g.
-    it counted for the auto cell rule)."""
+    it counted for the auto cell rule).
+
+    ``fit_partitions`` repartitions the (sample-sized) fit input so the
+    ~20 KMeans iterations parallelize: the sample inherits the SOURCE's
+    partitioning, which is pathological in both directions — a couple
+    of local parquet files serialize every iteration on 2 tasks, and a
+    100 TB corpus leaves the ≤fit_sample_rows sample smeared over tens
+    of thousands of near-empty partitions paying per-task scheduling
+    ~20 times. Off by default because repartitioning changes float
+    aggregation order and therefore centroid low bits — the IVF query
+    family pins KMeans-dependent recall scalars in its oracles
+    (q_ann_recall) and must stay byte-stable; callers whose invariants
+    are centroid-independent (embedding_cluster_dedup) opt in."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -907,6 +929,8 @@ def _fit_centroids(
         frac_rank = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
         cutoff = int(0xFFFFFFFF * (fit_sample_rows / n_rows))
         fit_on = ml.filter(frac_rank.cast("long") <= F.lit(cutoff))
+    if fit_partitions is not None:
+        fit_on = fit_on.repartition(fit_partitions)
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
     ).fit(fit_on)

@@ -11,22 +11,23 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _list_from(path: str, var: str) -> list[str]:
+def _assigned(path: str, var: str):
     tree = ast.parse(open(os.path.join(REPO, path)).read())
     for node in ast.walk(tree):
         if isinstance(node, ast.Assign):
             for t in node.targets:
                 if isinstance(t, ast.Name) and t.id == var:
-                    return [ast.literal_eval(e) for e in node.value.elts]
+                    return ast.literal_eval(node.value)
     raise AssertionError(f"{var} not found in {path}")
 
 
 def test_bench_lists_name_registered_queries():
     from magicxml_spark.queries import ORACLE, QUERIES
 
-    headline = _list_from("bench.py", "headline")
-    secondary = _list_from("bench.py", "secondary")
-    oracle_headline = _list_from("tools/bench_oracle.py", "HEADLINE")
+    headline = _assigned("bench.py", "headline")
+    groups = _assigned("bench.py", "secondary_groups")
+    secondary = [n for g in groups.values() for n in g]
+    oracle_headline = _assigned("tools/bench_oracle.py", "HEADLINE")
     for name in headline + secondary + oracle_headline:
         assert name in QUERIES, f"bench list names unregistered query {name}"
         assert name in ORACLE, f"bench query {name} has no oracle"
@@ -34,3 +35,6 @@ def test_bench_lists_name_registered_queries():
     # in BASELINE.md divide one by the other)
     assert headline == oracle_headline
     assert len(set(headline) & set(secondary)) == 0
+    # subtotal groups are disjoint (each query contributes to exactly
+    # one stable subtotal)
+    assert len(secondary) == len(set(secondary))
