@@ -77,6 +77,13 @@ def main() -> None:
         "capped_defaults_r5": ["q_lsh_pairs_capped", "q_winnow_pairs_capped"],
         # round-6 heavy additions
         "heavy_r6": ["q_substring_dedup", "q_embedding_cluster_dedup"],
+        # round-7 published-recipe curation class
+        "curation_r7": [
+            "q_paragraph_dedup",
+            "q_gopher_quality",
+            "q_c4_clean",
+            "q_perplexity_buckets",
+        ],
     }
     secondary = [n for g in secondary_groups.values() for n in g]
     spark = get_spark("magicxml-bench")

@@ -1,0 +1,500 @@
+"""Published-recipe corpus curation filters (round 7).
+
+The heavy-hitter text-curation recipes from the public literature,
+re-expressed Spark-first over a (id, text) frame:
+
+* ``paragraph_dedup`` — Dolma-class corpus-wide paragraph-level exact
+  dedup, FIRST occurrence wins (Soldaini et al. 2024 "Dolma" §4.1 run
+  dedup at document/paragraph granularity; Lee et al. 2021 establish
+  first-occurrence-wins for exact substring dedup).
+* ``gopher_repetition`` / ``gopher_quality`` — the Gopher quality
+  rules (Rae et al. 2021, "Scaling Language Models", Appendix A1.1):
+  word-count / word-length / symbol / alpha / stopword gates plus the
+  full n-gram repetition battery (top 2-4-gram char fraction,
+  duplicated 5-10-gram char fraction).
+* ``c4_line_filters`` — the C4 line-level cleaning rules (Raffel et
+  al. 2020 §2.2): terminal punctuation, minimum words per line,
+  blocklisted fragments, minimum surviving lines per document.
+* ``exact_ntile`` — distributed exact NTILE over an explicit total
+  order (two-phase rank: range partition + local window + tiny offset
+  collect — the pack_shards pattern; a plain global window would be
+  one sorted task at 100 TB).
+* ``perplexity_buckets`` — CCNet-class head/middle/tail bucketing
+  (Wenzek et al. 2020 §4.3) over the unigram-surprisal score, using
+  ``exact_ntile`` so bucket boundaries are rank-exact (no float
+  quantile interpolation to drift between engines).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs): these paths run inside whole-stage codegen and shuffle only on
+hashed keys or pre-aggregated metric rows. The reference repo
+(main.py) has no corpus-curation surface; these extend the
+LLM-data-pipeline class alongside operators/dedup.py and text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------------
+# Dolma-class paragraph dedup (first occurrence wins)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: split each document on
+    ``sep``, keep only the FIRST occurrence (by ``(id, position)``
+    order) of every distinct paragraph, and reassemble documents from
+    their surviving paragraphs.
+
+    This is the Dolma paragraph-granularity dedup pass — distinct from
+    ``dedup.dedup_lines`` (which REMOVES every occurrence of lines
+    whose document frequency exceeds a cap, the C4 boilerplate rule):
+    here exactly one copy of each paragraph survives corpus-wide, so
+    no content is lost, only repetition.
+
+    Output: one row per input document —
+    ``(id, n_paras, n_kept, text_dedup)`` where ``text_dedup`` is the
+    surviving paragraphs re-joined with ``sep`` (empty string when
+    every paragraph was a later duplicate).
+
+    Scale shape: posexplode -> ONE window shuffle keyed on the
+    paragraph hash (min order-key per paragraph = first occurrence; the
+    window partitions on ``md5(para)``) -> ONE groupBy on the doc id
+    that computes totals, kept counts, and the reassembled text in the
+    same aggregation (keep/drop rides as a marker column, so there is
+    no totals-vs-rebuilt join and the exploded corpus is materialized
+    exactly once). No self-join, nothing quadratic; skew = the most
+    repeated paragraph's occurrence count, which the window's
+    partial-sort handles (same shape as substring_dedup's gram
+    window)."""
+    import re
+
+    from pyspark.sql import Window
+
+    # split on the LITERAL separator (F.split takes a regex; "|" or
+    # "." as sep would otherwise split on everything/anything)
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
+            "_pos", "_para"
+        ),
+    )
+    # first-occurrence key: global (id, pos) order, hash-keyed window.
+    # min(struct) is the proven order-isomorphic spelling from
+    # substring_dedup (any id type, one aggregate-free window pass).
+    w = Window.partitionBy(F.md5("_para"))
+    marked = paras.withColumn("_okey", F.struct("_id", "_pos")).withColumn(
+        "_keep", F.min("_okey").over(w) == F.col("_okey")
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_keep", "_para"))
+                        ),
+                        lambda s: s["_keep"],
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+        .select(F.col("_id").alias(id_col), "n_paras", "n_kept", "text_dedup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition + quality rules (Rae et al. 2021 Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: (metric, n, threshold): document is LOW QUALITY when metric > threshold.
+#: Values are the published Gopher table.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _ngrams_tagged(words: Column, orders: list[int]) -> Column:
+    """Array of (n, gram) structs for every order in ``orders`` —
+    built in ONE projection so all orders ride a single explode.
+    Documents shorter than an order contribute no grams for it
+    (``F.sequence(1, k)`` DESCENDS for k < 1, so the short case must
+    be gated, not clamped)."""
+
+    def one(n: int) -> Column:
+        # closure factory, NOT `lambda i, n=n`: a default-arg capture
+        # gives the lambda a 2-arg signature and F.transform would bind
+        # the second parameter to the ELEMENT INDEX instead of n
+        def gram_at(i: Column) -> Column:
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(words, i, n), " ").alias("gram"),
+            )
+
+        # the sequence end is clamped to 1 because BOTH when-branches
+        # evaluate: on short docs sequence(1, size-n+1) would DESCEND
+        # through 0 and slice(words, 0, n) is a runtime error; the one
+        # clamped (truncated) gram is then filtered away below
+        arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            gram_at,
+        )
+
+        # typed empty array without a cast dance (single-arg closure
+        # per the lambda signature-binding rule)
+        def _none(x: Column) -> Column:
+            return F.lit(False)
+
+        return F.when(F.size(words) >= n, arr).otherwise(F.filter(arr, _none))
+
+    return F.flatten(F.array(*[one(n) for n in orders]))
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher n-gram repetition battery, exactly as published:
+
+    * ``top_ngram_frac_{2,3,4}`` — fraction of the document's
+      CHARACTERS accounted for by its single most frequent n-gram
+      (count x gram length / total chars).
+    * ``dup_ngram_frac_{5..10}`` — fraction of characters contained in
+      duplicated n-grams, where every non-first occurrence of a gram
+      contributes its length (the standard de-overlap-free
+      implementation used by the public curation stacks; documented
+      approximation of the paper's character-coverage phrasing).
+
+    Character totals use the whitespace-normalized token join (tokens
+    joined by single spaces) so the fractions are tokenizer-consistent
+    rather than raw-byte-sensitive.
+
+    Scale shape: ONE explode producing (id, n, gram) for all nine
+    orders (9x token-stream amplification — inherent to the metric,
+    same cost class as the paper's own pipeline), ONE partial-combine
+    aggregate on (id, n, gram), then a per-(id, n) rollup conditionally
+    aggregated into the nine metric columns (no pivot shuffle: n is a
+    9-value literal set). Docs shorter than the order emit no grams
+    and report 0 for that metric."""
+    words = tokens(F.col(text_col))
+    orders = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        words.alias("_w"),
+    ).select(
+        "_id",
+        (F.length(F.array_join("_w", " "))).alias("_chars"),
+        F.explode_outer(_ngrams_tagged(F.col("_w"), orders)).alias("_t"),
+    )
+    per_gram = (
+        base.groupBy("_id", "_chars", F.col("_t.n").alias("_n"), F.col("_t.gram").alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    glen = F.length("_g")
+    per_order = per_gram.groupBy("_id", "_chars", "_n").agg(
+        # top n-gram char mass: the most frequent gram's count x length;
+        # ties broken toward the larger char mass (max of the product).
+        F.max(F.col("_c") * glen).alias("_top_mass"),
+        # duplicated-gram char mass: non-first occurrences only
+        F.sum(F.when(F.col("_c") > 1, (F.col("_c") - 1) * glen).otherwise(F.lit(0))).alias(
+            "_dup_mass"
+        ),
+    )
+    frac = lambda mass: F.round(mass / F.col("_chars"), 6)  # noqa: E731
+    aggs = []
+    for n in sorted(GOPHER_TOP_NGRAM_MAX):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, frac(F.col("_top_mass")))), F.lit(0.0)
+            ).alias(f"top_ngram_frac_{n}")
+        )
+    for n in sorted(GOPHER_DUP_NGRAM_MAX):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, frac(F.col("_dup_mass")))), F.lit(0.0)
+            ).alias(f"dup_ngram_frac_{n}")
+        )
+    return (
+        per_order.groupBy("_id", "_chars")
+        .agg(*aggs)
+        .select(F.col("_id").alias(id_col), F.col("_chars").alias("n_chars_norm"), *[
+            f"top_ngram_frac_{n}" for n in sorted(GOPHER_TOP_NGRAM_MAX)
+        ], *[f"dup_ngram_frac_{n}" for n in sorted(GOPHER_DUP_NGRAM_MAX)])
+    )
+
+
+#: Published scalar-gate thresholds (Rae et al. 2021 A1.1).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Per-document Gopher quality gate: the scalar rules computed in
+    one codegen projection, joined with :func:`gopher_repetition`'s
+    n-gram battery, and the published thresholds folded into a single
+    ``keep`` flag. Word-count bounds are parameters (the paper's 50 /
+    100k defaults) because every downstream corpus retunes them.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stopwords, rep_flag, keep) — ``rep_flag`` true
+    when ANY repetition metric exceeds its published cap, ``keep`` the
+    full conjunction. Metric columns are rounded to 6dp so the frame
+    is engine-exact.
+
+    Scale: the scalar arm is a pure projection (zero shuffle); the
+    join with the repetition arm is id-keyed, both sides one row per
+    doc."""
+    words = tokens(F.col(text_col))
+    scalars = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        words.alias("_w"),
+    ).select(
+        "_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.coalesce(
+                F.aggregate("_w", F.lit(0), lambda a, w: a + F.length(w))
+                / F.size("_w"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mean_word_len"),
+        # symbol-to-word ratio: '#' and ellipsis occurrences per word
+        F.round(
+            F.coalesce(
+                (
+                    F.size(F.split("_text", "#", -1))
+                    - 1
+                    + F.size(F.split("_text", "\\.\\.\\.", -1))
+                    - 1
+                )
+                / F.size("_w"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.coalesce(
+                F.size(F.filter("_w", lambda w: w.rlike("[a-z]")))
+                / F.size("_w"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("alpha_word_frac"),
+        F.size(F.filter("_w", lambda w: w.isin(GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    rep = gopher_repetition(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    rep_exceeds = [
+        F.col(f"top_ngram_frac_{n}") > F.lit(t) for n, t in GOPHER_TOP_NGRAM_MAX.items()
+    ] + [
+        F.col(f"dup_ngram_frac_{n}") > F.lit(t) for n, t in GOPHER_DUP_NGRAM_MAX.items()
+    ]
+    rep_flag = None
+    for c in rep_exceeds:
+        rep_flag = c if rep_flag is None else (rep_flag | c)
+    joined = scalars.join(rep, "_id", "left")
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+        & ~F.coalesce(rep_flag, F.lit(False))
+    )
+    rep_cols = [f"top_ngram_frac_{n}" for n in sorted(GOPHER_TOP_NGRAM_MAX)] + [
+        f"dup_ngram_frac_{n}" for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    ]
+    return joined.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "n_stopwords",
+        *[F.coalesce(c, F.lit(0.0)).alias(c) for c in rep_cols],
+        F.coalesce(rep_flag, F.lit(False)).alias("rep_flag"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_BAD_FRAGMENTS = ["javascript", "lorem ipsum", "{"]
+C4_MIN_LINE_WORDS = 3
+C4_MIN_DOC_LINES = 5
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filters(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    pos_col: str = "pos",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_doc_lines: int = C4_MIN_DOC_LINES,
+) -> DataFrame:
+    """The C4 cleaning pass over an exploded (id, pos, line) frame:
+
+    * keep only lines ending in terminal punctuation (. ! ? ");
+    * drop lines with fewer than ``min_line_words`` words;
+    * drop lines containing a blocklisted fragment ("javascript",
+      curly brace — the paper's code/boilerplate tells); documents
+      containing "lorem ipsum" ANYWHERE are dropped whole;
+    * finally drop documents with fewer than ``min_doc_lines``
+      surviving lines.
+
+    Output: one row per SURVIVING document —
+    ``(id, n_lines, n_kept, text_clean)`` with the surviving lines
+    re-joined by newline in position order.
+
+    Scale shape: per-line predicates are a pure projection; the
+    lorem-ipsum doc kill and the reassembly are one id-keyed aggregate
+    each (partial combine; no join carries line text). Takes the lines
+    frame as input so callers own the line-splitting (real newline
+    corpora split on \\n; the test corpus synthesizes lines the same
+    way q_line_dedup does)."""
+    lc = F.lower(F.col(line_col))
+    line_ok = (
+        F.col(line_col).rlike("[.!?\"]$")
+        & (F.size(tokens(F.col(line_col))) >= min_line_words)
+        & ~lc.contains("javascript")
+        & ~lc.contains("{")
+    )
+    marked = lines.select(
+        F.col(id_col).alias("_id"),
+        F.col(pos_col).alias("_pos"),
+        F.col(line_col).alias("_line"),
+        line_ok.alias("_ok"),
+        lc.contains("lorem ipsum").alias("_lorem"),
+    )
+    agg = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_ok").cast("int")).alias("n_kept"),
+        F.max("_lorem").alias("_doc_lorem"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_ok"), F.struct("_pos", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        agg.filter(~F.col("_doc_lorem") & (F.col("n_kept") >= min_doc_lines))
+        .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "text_clean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact NTILE + CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a total order WITHOUT a single-task global
+    window: range-partition on the order columns, rank locally per
+    partition, then add per-partition row-count offsets (one tiny
+    driver collect — rows = partitions, not data; the pack_shards
+    two-phase pattern). Bucket = floor((rank-1) * n / total) + 1,
+    which reproduces SQL NTILE exactly when total % n == 0 and differs
+    from it by at most the placement of the remainder rows otherwise
+    (SQL NTILE front-loads remainders; this closed form spreads them —
+    both are rank-exact, this one needs no second pass). The order
+    must be TOTAL (include a unique tiebreaker column) or bucket
+    assignment at boundaries is nondeterministic."""
+    from pyspark.sql import Window
+
+    n = n_range_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_lrank", F.row_number().over(w))
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["_c"]
+    total = acc
+    off = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(o))
+            for pid, o in offsets.items()
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    rank = off + F.col("_lrank")
+    return local.withColumn(
+        bucket_col,
+        (((rank - 1) * n_buckets) / F.lit(total)).cast("long") + 1,
+    ).drop("_pid", "_lrank")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-class corpus partitioning: score every document with the
+    unigram-surprisal perplexity proxy (text.unigram_surprisal — exact
+    micro-nat arithmetic, engine-reproducible), then split the corpus
+    into ``n_buckets`` rank-exact tiers (CCNet's head/middle/tail for
+    n=3; low surprisal = common/fluent = head). Ties on the score
+    break by id so the order is total.
+
+    Output: one row per document — (id, n_tokens, surprisal, bucket)
+    with bucket 1 = head (lowest surprisal).
+
+    Scale: surprisal is two agg shuffles + a broadcast vocab join;
+    bucketing is the two-phase exact_ntile (range shuffle + tiny
+    offset collect). Nothing global-sorts on one task."""
+    from magicxml_spark.operators.text import unigram_surprisal
+
+    scored = unigram_surprisal(df, id_col, text_col)
+    return exact_ntile(scored, ["surprisal", id_col], n_buckets).select(
+        id_col, "n_tokens", "surprisal", F.col("bucket").cast("long").alias("bucket")
+    )

@@ -75,6 +75,11 @@ _DRIVER_SAMPLE_ORDER = [
     "q_audio_near_dup",
     # --- changed this round: re-pin ---
     "q_embedding_cluster_dedup",
+    # --- new this round: published-recipe curation class ---
+    "q_paragraph_dedup",
+    "q_gopher_quality",
+    "q_c4_clean",
+    "q_perplexity_buckets",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

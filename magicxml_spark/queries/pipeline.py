@@ -1272,3 +1272,293 @@ def q_chunks_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# ===========================================================================
+# Round-7 published-recipe curation class (operators/curation.py):
+# Dolma paragraph dedup, Gopher quality rules, C4 line cleaning, CCNet
+# perplexity buckets. documents.text is single-line word salad, so the
+# paragraph/line queries synthesize structure IDENTICALLY in both
+# engines (the established q_line_dedup / PII-injection pattern): the
+# point is exercising the published rule sets on non-trivial data.
+# ===========================================================================
+
+
+# --- Dolma-class paragraph dedup (first occurrence wins) ---------------------
+# Synthetic multi-paragraph corpus with GUARANTEED repeats: doc d's
+# paragraph p (p in 0..2) is the text of document (d*3+p) mod 100, so
+# every paragraph recurs ~3n/100 times and the dedup keeps exactly the
+# first (doc order) occurrence of each of the <=100 distinct texts.
+@query(
+    "q_paragraph_dedup",
+    oracle="""
+    WITH src AS (SELECT doc_id AS src_id, text AS para FROM documents
+                 WHERE doc_id < 100),
+    expl AS (SELECT d.doc_id, t.p, (d.doc_id * 3 + t.p) % 100 AS src_id
+             FROM documents d, (SELECT unnest([0, 1, 2]) AS p) t),
+    paras AS (SELECT e.doc_id, e.p AS pos, s.para
+              FROM expl e JOIN src s USING (src_id)),
+    firsts AS (SELECT doc_id, pos, para,
+                      row_number() OVER (PARTITION BY para
+                                         ORDER BY doc_id, pos) AS rn
+               FROM paras),
+    totals AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+    rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+                         AS dedup_fp
+                FROM firsts WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.dedup_fp, md5('')) AS dedup_fp
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import paragraph_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("para")
+    )
+    synth = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("p"),
+        )
+        .withColumn("src_id", (F.col("doc_id") * 3 + F.col("p")) % 100)
+        .join(F.broadcast(src), "src_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    out = paragraph_dedup(synth, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text_dedup").alias("dedup_fp")
+    )
+
+
+# --- Gopher quality gate (Rae et al. 2021 A1.1) ------------------------------
+# The oracle mirrors the full battery: scalar gates + nine n-gram
+# repetition metrics; SQL assembled from the same threshold tables the
+# operator ships so the rule set can never silently drift.
+def _gopher_oracle() -> str:
+    from magicxml_spark.operators.curation import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_STOPWORDS,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    top_cols = ",\n".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(top_mass * 1.0 / chars, 6) END), 0.0)"
+        f" AS top_ngram_frac_{n}"
+        for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    )
+    dup_cols = ",\n".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(dup_mass * 1.0 / chars, 6) END), 0.0)"
+        f" AS dup_ngram_frac_{n}"
+        for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    )
+    rep_sel = ", ".join(
+        [f"coalesce(r.top_ngram_frac_{n}, 0.0) AS top_ngram_frac_{n}"
+         for n in sorted(GOPHER_TOP_NGRAM_MAX)]
+        + [f"coalesce(r.dup_ngram_frac_{n}, 0.0) AS dup_ngram_frac_{n}"
+           for n in sorted(GOPHER_DUP_NGRAM_MAX)]
+    )
+    rep_flag = " OR ".join(
+        [f"coalesce(r.top_ngram_frac_{n}, 0.0) > {t}"
+         for n, t in GOPHER_TOP_NGRAM_MAX.items()]
+        + [f"coalesce(r.dup_ngram_frac_{n}, 0.0) > {t}"
+           for n, t in GOPHER_DUP_NGRAM_MAX.items()]
+    )
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    scal AS (
+      SELECT doc_id, len(w) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE round(list_sum(list_transform(w, x -> length(x))) * 1.0
+                             / len(w), 6) END AS mean_word_len,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE round((len(string_split(text, '#')) - 1
+                              + len(string_split(text, '...')) - 1) * 1.0
+                             / len(w), 6) END AS symbol_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                             * 1.0 / len(w), 6) END AS alpha_word_frac,
+             len(list_filter(w, x -> x IN ({stop_list}))) AS n_stopwords
+      FROM w),
+    gl AS (SELECT doc_id, t.n,
+                  length(array_to_string(w, ' ')) AS chars,
+                  list_transform(range(1, greatest(len(w) - t.n + 2, 1)),
+                                 i -> array_to_string(w[i : i + t.n - 1], ' ')) AS gs
+           FROM w, range(2, 11) t(n)),
+    grams AS (SELECT doc_id, n, chars, unnest(gs) AS g FROM gl),
+    per_gram AS (SELECT doc_id, n, chars, g, count(*) AS c
+                 FROM grams GROUP BY doc_id, n, chars, g),
+    per_order AS (SELECT doc_id, n, chars,
+                         max(c * length(g)) AS top_mass,
+                         sum(CASE WHEN c > 1 THEN (c - 1) * length(g)
+                                  ELSE 0 END) AS dup_mass
+                  FROM per_gram GROUP BY doc_id, n, chars),
+    rep AS (SELECT doc_id, {top_cols}, {dup_cols}
+            FROM per_order GROUP BY doc_id)
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_ratio,
+           s.alpha_word_frac, s.n_stopwords, {rep_sel},
+           CAST(CASE WHEN {rep_flag} THEN 1 ELSE 0 END AS INTEGER) AS rep_flag,
+           CAST(CASE WHEN s.n_words >= {GOPHER_MIN_WORDS}
+                      AND s.n_words <= {GOPHER_MAX_WORDS}
+                      AND s.mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                      AND s.mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                      AND s.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                      AND s.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                      AND s.n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                      AND NOT ({rep_flag})
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM scal s LEFT JOIN rep r USING (doc_id)
+    """
+
+
+@query("q_gopher_quality", oracle=_gopher_oracle())
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import gopher_quality
+
+    docs = table(spark, sf_dir, "documents")
+    out = gopher_quality(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "n_stopwords",
+        *[c for c in out.columns if c.startswith(("top_ngram_", "dup_ngram_"))],
+        F.col("rep_flag").cast("int").alias("rep_flag"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2) ------------------------
+# Lines are the q_line_dedup 3-word synthesis; punctuation and
+# blocklist hits are injected by pure integer arithmetic so both
+# engines build the identical corpus: (doc_id+pos)%4 -> . . ? bare,
+# (doc_id*31+pos)%97 -> {0: javascript line, 1: lorem-ipsum doc kill,
+# 2: curly-brace line}.
+@query(
+    "q_c4_clean",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1),
+                            i -> array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')) AS ls
+      FROM w WHERE len(w) > 0),
+    expl AS (SELECT doc_id, unnest(ls) AS bline,
+                    unnest(range(0, len(ls))) AS pos
+             FROM lines),
+    aug AS (SELECT doc_id, pos,
+                   CASE WHEN (doc_id * 31 + pos) % 97 = 0
+                          THEN 'click to enable javascript now.'
+                        WHEN (doc_id * 31 + pos) % 97 = 1
+                          THEN 'lorem ipsum dolor sit amet.'
+                        WHEN (doc_id * 31 + pos) % 97 = 2
+                          THEN 'call function() {{ now }}.'
+                        WHEN (doc_id + pos) % 4 IN (0, 1) THEN bline || '.'
+                        WHEN (doc_id + pos) % 4 = 2 THEN bline || '?'
+                        ELSE bline END AS line
+            FROM expl),
+    marked AS (SELECT doc_id, pos, line,
+                      (regexp_matches(line, '[.!?"]$')
+                       AND len(list_filter(string_split_regex(lower(line), '\\s+'),
+                                           x -> x <> '')) >= 3
+                       AND NOT contains(lower(line), 'javascript')
+                       AND NOT contains(lower(line), '{{')) AS ok,
+                      contains(lower(line), 'lorem ipsum') AS lorem
+               FROM aug),
+    agg AS (SELECT doc_id, count(*) AS n_lines,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   max(lorem) AS doc_lorem,
+                   md5(string_agg(CASE WHEN ok THEN line END, chr(10)
+                                  ORDER BY pos)) AS clean_fp
+            FROM marked GROUP BY doc_id)
+    SELECT doc_id, n_lines, n_kept, clean_fp
+    FROM agg WHERE NOT doc_lorem AND n_kept >= 5
+    """,
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import c4_line_filters
+    from magicxml_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") > 0)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(3.0)).cast("int")),
+                lambda i: F.array_join(F.slice("w", (i - 1) * 3 + 1, 3), " "),
+            )
+        ).alias("pos", "bline"),
+    )
+    k = (F.col("doc_id") * 31 + F.col("pos")) % 97
+    r = (F.col("doc_id") + F.col("pos")) % 4
+    aug = lines.select(
+        "doc_id",
+        "pos",
+        F.when(k == 0, F.lit("click to enable javascript now."))
+        .when(k == 1, F.lit("lorem ipsum dolor sit amet."))
+        .when(k == 2, F.lit("call function() { now }."))
+        .when(r.isin(0, 1), F.concat(F.col("bline"), F.lit(".")))
+        .when(r == 2, F.concat(F.col("bline"), F.lit("?")))
+        .otherwise(F.col("bline"))
+        .alias("line"),
+    )
+    out = c4_line_filters(aug, "doc_id", "line", "pos")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text_clean").alias("clean_fp")
+    )
+
+
+# --- CCNet perplexity buckets (Wenzek et al. 2020 §4.3) ----------------------
+# Head/middle/tail by unigram surprisal, rank-exact (ntile semantics
+# via the two-phase exact_ntile — no single-task global window, no
+# float quantile interpolation to drift between engines).
+@query(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    micro AS (SELECT doc_id,
+                     CAST(round(ln(CAST(n_total AS DOUBLE) / c) * 1e6, 0) AS BIGINT)
+                       AS m
+              FROM tok JOIN vocab USING (term), tot),
+    scored AS (SELECT doc_id, count(*) AS n_tokens,
+                      round(sum(m) / count(*) / 1e6, 6) AS surprisal
+               FROM micro GROUP BY doc_id),
+    nn AS (SELECT count(*) AS n FROM scored)
+    SELECT doc_id, n_tokens, surprisal,
+           CAST(floor((row_number() OVER (ORDER BY surprisal, doc_id) - 1)
+                      * 3.0 / n) AS BIGINT) + 1 AS bucket
+    FROM scored, nn
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import perplexity_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)

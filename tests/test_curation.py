@@ -1,0 +1,155 @@
+"""Unit tests for operators/curation.py — the published-recipe
+curation filters (Dolma paragraph dedup, Gopher rules, C4 line
+cleaning, exact ntile, CCNet perplexity buckets) on crafted inputs
+with hand-computed expectations. Engine-level parity for the
+registered queries lives in test_oracle_parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from magicxml_spark.operators.curation import (
+    GOPHER_STOPWORDS,
+    c4_line_filters,
+    exact_ntile,
+    gopher_quality,
+    gopher_repetition,
+    paragraph_dedup,
+    perplexity_buckets,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\n\nbeta"),
+            (2, "beta\n\ngamma"),  # beta already seen in doc 1
+            (3, "alpha\n\nbeta"),  # both seen -> empty doc
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "alpha\n\nbeta"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "gamma"
+    assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""
+
+
+def test_paragraph_dedup_position_order_within_doc(spark):
+    # first occurrence is decided by (doc order, position order)
+    df = _docs(spark, [(5, "x\n\ny\n\nx")])
+    row = paragraph_dedup(df, "doc_id", "text").collect()[0]
+    assert row["n_paras"] == 3
+    assert row["n_kept"] == 2
+    assert row["text_dedup"] == "x\n\ny"
+
+
+def test_gopher_repetition_known_fractions(spark):
+    # "a b a b a b": normalized chars = 11; 2-grams: "a b" x3, "b a" x2
+    # -> top-2 mass = 3 * len("a b") = 9 -> 9/11
+    df = _docs(spark, [(1, "a b a b a b")])
+    row = gopher_repetition(df).collect()[0]
+    assert row["top_ngram_frac_2"] == round(9 / 11, 6)
+    # 5-grams: "a b a b a", "b a b a b" each once -> no duplication
+    assert row["dup_ngram_frac_5"] == 0.0
+
+
+def test_gopher_repetition_dup_mass_can_exceed_one(spark):
+    # documented approximation (no character de-overlap): "x y" * 4 has
+    # 5-grams {"x y x y x" x2, "y x y x y" x2}; dup mass = 2 * 1 * 9 =
+    # 18 over 15 normalized chars = 1.2 — the APPROXIMATE fraction may
+    # exceed 1 on pathological repetition, which only strengthens the
+    # over-threshold signal the rule exists for.
+    df = _docs(spark, [(1, "x y x y x y x y")])
+    row = gopher_repetition(df).collect()[0]
+    assert row["dup_ngram_frac_5"] == round(18 / 15, 6)
+
+
+def test_gopher_repetition_short_doc_all_zero(spark):
+    df = _docs(spark, [(1, "word")])
+    row = gopher_repetition(df).collect()[0]
+    for n in (2, 3, 4):
+        assert row[f"top_ngram_frac_{n}"] == 0.0
+    for n in range(5, 11):
+        assert row[f"dup_ngram_frac_{n}"] == 0.0
+
+
+def test_gopher_quality_gates(spark):
+    good = " ".join(["the", "quick", "brown", "fox", "jumps"] * 12)  # 60 words
+    short = "the of tiny"
+    df = _docs(spark, [(1, good), (2, short)])
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["n_words"] == 60
+    assert out[1]["n_stopwords"] == 12  # "the" x12
+    assert out[2]["keep"] is False  # fails min_words
+    # the good doc repeats its 5-gram 12x -> repetition flag trips
+    assert out[1]["rep_flag"] is True and out[1]["keep"] is False
+    # a genuinely varied doc passes (filler words long enough to clear
+    # the mean-word-length >= 3 gate)
+    varied = " ".join(
+        GOPHER_STOPWORDS + [f"word{i}" for i in range(55)]
+    )
+    row = gopher_quality(_docs(spark, [(3, varied)])).collect()[0]
+    assert row["rep_flag"] is False and row["keep"] is True
+
+
+def test_c4_line_filters_branches(spark):
+    rows = [
+        # doc 1: six good lines -> survives
+        *[(1, p, f"good line number {p} stays.") for p in range(6)],
+        (1, 6, "no terminal punctuation here"),  # dropped: punct
+        (1, 7, "too short."),  # dropped: < 3 words
+        (1, 8, "please enable javascript today."),  # dropped: fragment
+        (1, 9, "call function() { now }."),  # dropped: brace
+        # doc 2: lorem ipsum anywhere kills the whole doc
+        *[(2, p, f"good line number {p} stays.") for p in range(6)],
+        (2, 6, "lorem ipsum dolor sit amet."),
+        # doc 3: only 4 surviving lines -> below min_doc_lines
+        *[(3, p, f"good line number {p} stays.") for p in range(4)],
+    ]
+    lines = spark.createDataFrame(rows, "doc_id long, pos int, line string")
+    out = {r["doc_id"]: r for r in c4_line_filters(lines).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_lines"] == 10
+    assert out[1]["n_kept"] == 6
+    assert out[1]["text_clean"].count("\n") == 5
+    assert "javascript" not in out[1]["text_clean"]
+
+
+def test_exact_ntile_matches_closed_form_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    for parts in (1, 3, 7):
+        out = exact_ntile(df, ["v"], 3, n_range_partitions=parts).collect()
+        got = {r["v"]: r["bucket"] for r in out}
+        # closed form: floor(rank0 * 3 / 10) + 1
+        assert got == {i: (i * 3) // 10 + 1 for i in range(10)}
+
+
+def test_perplexity_buckets_rank_exact(spark):
+    # doc k repeats a token whose corpus frequency decreases with k ->
+    # surprisal strictly increases with k -> bucket = rank order
+    rows = []
+    for k in range(6):
+        tok = f"t{k}"
+        rows.append((k, " ".join([tok] * (12 - 2 * k))))
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in perplexity_buckets(df, n_buckets=3).collect()}
+    assert [out[k]["bucket"] for k in range(6)] == [1, 1, 2, 2, 3, 3]
+    assert out[0]["surprisal"] <= out[5]["surprisal"]
+
+
+def test_paragraph_dedup_custom_separator(spark):
+    df = _docs(spark, [(1, "p|q"), (2, "q|r")])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, sep="|").collect()}
+    assert out[1]["text_dedup"] == "p|q"
+    assert out[2]["text_dedup"] == "r"
