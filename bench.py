@@ -83,6 +83,8 @@ def main() -> None:
             "q_gopher_quality",
             "q_c4_clean",
             "q_perplexity_buckets",
+            "q_bigram_surprisal",
+            "q_corpus_shuffle",
         ],
     }
     secondary = [n for g in secondary_groups.values() for n in g]

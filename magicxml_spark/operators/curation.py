@@ -424,24 +424,22 @@ def c4_line_filters(
 # ---------------------------------------------------------------------------
 
 
-def exact_ntile(
+def two_phase_rank(
     df: DataFrame,
     order_cols: list[str],
-    n_buckets: int,
-    bucket_col: str = "bucket",
+    rank_col: str = "rank",
     n_range_partitions: int | None = None,
-) -> DataFrame:
-    """Exact NTILE(n) over a total order WITHOUT a single-task global
-    window: range-partition on the order columns, rank locally per
-    partition, then add per-partition row-count offsets (one tiny
-    driver collect — rows = partitions, not data; the pack_shards
-    two-phase pattern). Bucket = floor((rank-1) * n / total) + 1,
-    which reproduces SQL NTILE exactly when total % n == 0 and differs
-    from it by at most the placement of the remainder rows otherwise
-    (SQL NTILE front-loads remainders; this closed form spreads them —
-    both are rank-exact, this one needs no second pass). The order
-    must be TOTAL (include a unique tiebreaker column) or bucket
-    assignment at boundaries is nondeterministic."""
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank over a total order WITHOUT a
+    single-task global window: range-partition on the order columns,
+    rank locally per partition, then add per-partition row-count
+    offsets (one tiny driver collect — rows = partitions, not data;
+    the pack_shards two-phase pattern). Returns ``(df + rank_col,
+    total_rows)``. The order must be TOTAL (include a unique
+    tiebreaker column) or ranks at boundaries are nondeterministic.
+
+    Shared engine under :func:`exact_ntile` and
+    ``sampling.seeded_shuffle``."""
     from pyspark.sql import Window
 
     n = n_range_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -458,7 +456,6 @@ def exact_ntile(
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["_c"]
-    total = acc
     off = F.coalesce(
         *[
             F.when(F.col("_pid") == pid, F.lit(o))
@@ -466,11 +463,32 @@ def exact_ntile(
         ],
         F.lit(0),
     ) if offsets else F.lit(0)
-    rank = off + F.col("_lrank")
-    return local.withColumn(
+    out = local.withColumn(rank_col, (off + F.col("_lrank")).cast("long")).drop(
+        "_pid", "_lrank"
+    )
+    return out, acc
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a total order, built on
+    :func:`two_phase_rank`. Bucket = floor((rank-1) * n / total) + 1,
+    which reproduces SQL NTILE exactly when total % n == 0 and differs
+    from it by at most the placement of the remainder rows otherwise
+    (SQL NTILE front-loads remainders; this closed form spreads them —
+    both are rank-exact, this one needs no second pass). The order
+    must be TOTAL (include a unique tiebreaker column) or bucket
+    assignment at boundaries is nondeterministic."""
+    ranked, total = two_phase_rank(df, order_cols, "_rank", n_range_partitions)
+    return ranked.withColumn(
         bucket_col,
-        (((rank - 1) * n_buckets) / F.lit(total)).cast("long") + 1,
-    ).drop("_pid", "_lrank")
+        (((F.col("_rank") - 1) * n_buckets) / F.lit(total)).cast("long") + 1,
+    ).drop("_rank")
 
 
 def perplexity_buckets(
@@ -497,4 +515,99 @@ def perplexity_buckets(
     scored = unigram_surprisal(df, id_col, text_col)
     return exact_ntile(scored, ["surprisal", id_col], n_buckets).select(
         id_col, "n_tokens", "surprisal", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (Jelinek-Mercer interpolation) — the CCNet-class
+# scorer one order up from text.unigram_surprisal
+# ---------------------------------------------------------------------------
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated bigram language-model surprisal —
+    avg over positions of ``-ln p(w_i | w_{i-1})`` with Jelinek-Mercer
+    smoothing ``p = lam * c(prev,w)/c(prev) + (1-lam) * c(w)/N``
+    (Jelinek & Mercer 1980; the standard backoff-free interpolation).
+    Position 0 of each document scores with the unigram term alone.
+    CCNet proper uses a 5-gram KenLM; this is the distributed
+    closed-form scorer one order up from the unigram proxy, good
+    enough to separate fluent from shuffled text.
+
+    Engine-exactness: the same micro-nat contract as
+    ``text.unigram_surprisal`` — each position's ``-ln p`` is rounded
+    ROW-WISE to integer micro-nats (ln+round on identical inputs is
+    deterministic), per-doc aggregation is an exact BIGINT sum, one
+    final correctly-rounded division. The probability itself is
+    computed in one double expression from integer counts, so it is
+    bit-identical on any partitioning and in DuckDB.
+
+    Scale shape: ONE projection builds (prev, cur) pairs from the
+    token array (no window, no lead()), one explode; bigram and
+    unigram count tables are aggregates of the same stream; both join
+    back by key — broadcast when dimension-sized, shuffle-join with
+    AQE skew handling otherwise (frequent grams are the skewed keys,
+    the same class the unigram scorer already carries).
+
+    Output: (id, n_tokens, surprisal) — ``n_tokens`` counts scored
+    positions (= document tokens; empty docs emit no row)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
+    ).filter(F.size("_w") > 0)
+
+    def pair_at(i: Column) -> Column:
+        return F.struct(
+            # element_at(_, 0) RAISES, it does not return null — the
+            # i=1 case must be guarded with a lazy CASE branch
+            F.when(i > 1, F.element_at("_w", i - 1)).alias("prev"),
+            F.element_at("_w", i).alias("cur"),
+            (i == 1).alias("is_first"),
+        )
+
+    pos = toks.select(
+        "_id", F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), pair_at)).alias("_p")
+    ).select("_id", "_p.prev", "_p.cur", "_p.is_first")
+
+    uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
+    uni = uni.withColumn("_n_total", F.sum("_cu").over(Window.partitionBy()))
+    bi = (
+        pos.filter(~F.col("is_first"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    prev_c = uni.select(F.col("cur").alias("prev"), F.col("_cu").alias("_cp"))
+
+    p_uni = F.col("_cu").cast("double") / F.col("_n_total")
+    p_bi = F.col("_cb").cast("double") / F.col("_cp")
+    p = F.when(
+        F.col("is_first") | F.col("_cb").isNull(),
+        # first position or unseen bigram: interpolation with c_bg=0
+        F.when(F.col("is_first"), p_uni).otherwise(
+            F.lit(1.0 - lam) * p_uni
+        ),
+    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+
+    micro = (
+        pos.join(F.broadcast(uni), "cur")
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(F.broadcast(prev_c), "prev", "left")
+        .select(
+            "_id",
+            F.round(-F.log(p) * 1e6, 0).cast("bigint").alias("_micro"),
+        )
+    )
+    return (
+        micro.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias("surprisal"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
     )

@@ -218,3 +218,38 @@ def mixture_weights(
         F.round(tgt, 6).alias("target_share"),
         F.round(weight, 6).alias("weight"),
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int,
+    rank_col: str = "shuffle_rank",
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random permutation of a corpus — the
+    training-order shuffle every data pipeline needs before shard
+    packing: identical input + seed give the identical order on ANY
+    cluster size or partitioning, so a re-run (or a resumed job)
+    reproduces the exact epoch order.
+
+    Order key = integer prefix of ``md5(seed || ':' || key)`` (the
+    engine-reproducible hash family used by hash_split; swap-in
+    xxhash64 is the documented fast family for when cross-engine
+    replay is not needed). Rank is the two-phase exact global rank —
+    range shuffle + per-partition window + an offsets collect whose
+    row count is the partition count, never a single sorted task.
+
+    Output: the input frame + ``rank_col`` (1-based dense permutation
+    index). Compose with ``pack_shards(out, rank_col, ...)`` to emit
+    shuffled fixed-budget training shards."""
+    from magicxml_spark.operators.curation import two_phase_rank
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(key).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.withColumn("_h", h)
+    ranked, _ = two_phase_rank(keyed, ["_h", key], rank_col, n_range_partitions)
+    return ranked.drop("_h")

@@ -80,6 +80,8 @@ _DRIVER_SAMPLE_ORDER = [
     "q_gopher_quality",
     "q_c4_clean",
     "q_perplexity_buckets",
+    "q_bigram_surprisal",
+    "q_corpus_shuffle",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

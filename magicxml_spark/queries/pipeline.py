@@ -1562,3 +1562,95 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return perplexity_buckets(docs)
+
+
+# --- Interpolated bigram LM surprisal ---------------------------------------
+# Jelinek-Mercer p = 0.75*c(prev,w)/c(prev) + 0.25*c(w)/N (position 0
+# and unseen bigrams fall back per the operator contract); micro-nat
+# row-wise rounding keeps the double arithmetic engine-exact (the
+# unigram_surprisal determinism contract, one order up).
+@query(
+    "q_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> CASE WHEN i > 1 THEN w[i - 1] END)) AS prev,
+                   unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,
+                   unnest(list_transform(range(1, len(w) + 1), i -> i = 1)) AS is_first
+            FROM nz),
+    uni AS (SELECT cur, count(*) AS cu FROM pos GROUP BY cur),
+    tot AS (SELECT count(*) AS n_total FROM pos),
+    bi AS (SELECT prev, cur, count(*) AS cb FROM pos WHERE NOT is_first
+           GROUP BY prev, cur),
+    prevc AS (SELECT cur AS prev, cu AS cp FROM uni),
+    micro AS (
+      SELECT p.doc_id,
+             CAST(round(-ln(
+               CASE WHEN p.is_first THEN CAST(u.cu AS DOUBLE) / t.n_total
+                    WHEN b.cb IS NULL
+                      THEN CAST(0.25 AS DOUBLE) * (CAST(u.cu AS DOUBLE) / t.n_total)
+                    ELSE CAST(0.75 AS DOUBLE) * (CAST(b.cb AS DOUBLE) / pc.cp)
+                         + CAST(0.25 AS DOUBLE) * (CAST(u.cu AS DOUBLE) / t.n_total)
+               END) * 1e6, 0) AS BIGINT) AS m
+      FROM pos p
+      JOIN uni u USING (cur)
+      LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+      LEFT JOIN prevc pc ON p.prev = pc.prev, tot t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import bigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+# --- Seeded deterministic corpus shuffle -------------------------------------
+# The training-order epoch shuffle: md5-keyed permutation (seed 42),
+# rank via the two-phase exact global rank, packed into 50-doc shards;
+# the per-shard fingerprint pins the EXACT order, so any divergence in
+# hashing, ranking, or shard arithmetic is a value mismatch.
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS hk
+               FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS rk FROM h)
+    SELECT CAST(floor((rk - 1) / 50.0) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk)) AS order_fp
+    FROM r GROUP BY 1
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import seeded_shuffle
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ranked = seeded_shuffle(docs, "doc_id", 42)
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("shuffle_rank") - 1) / F.lit(50.0)).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shuffle_rank", "doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("order_fp"),
+        )
+    )

@@ -153,3 +153,45 @@ def test_paragraph_dedup_custom_separator(spark):
     out = {r["doc_id"]: r for r in paragraph_dedup(df, sep="|").collect()}
     assert out[1]["text_dedup"] == "p|q"
     assert out[2]["text_dedup"] == "r"
+
+
+def test_bigram_surprisal_separates_fluent_from_shuffled(spark):
+    from magicxml_spark.operators.curation import bigram_surprisal
+
+    # doc 1 repeats one bigram pattern (predictable); doc 2 uses the
+    # same unigram distribution in a scrambled order -> higher bigram
+    # surprisal despite identical unigram stats
+    fluent = "a b a b a b a b a b a b"
+    shuffled = "a a b b a b b a a b b a"
+    df = _docs(spark, [(1, fluent), (2, shuffled)])
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert out[1]["n_tokens"] == 12 and out[2]["n_tokens"] == 12
+    assert out[1]["surprisal"] < out[2]["surprisal"]
+
+
+def test_bigram_surprisal_single_token_doc(spark):
+    from magicxml_spark.operators.curation import bigram_surprisal
+
+    df = _docs(spark, [(1, "solo"), (2, "")])
+    rows = bigram_surprisal(df).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # empty doc emits no row
+    assert rows[0]["n_tokens"] == 1
+
+
+def test_seeded_shuffle_deterministic_and_partition_invariant(spark):
+    from magicxml_spark.operators.sampling import seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_rank"] for r in seeded_shuffle(df, "doc_id", 7).collect()}
+    b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in seeded_shuffle(
+            df.repartition(13), "doc_id", 7, n_range_partitions=3
+        ).collect()
+    }
+    assert a == b  # same seed -> same permutation at any partitioning
+    assert sorted(a.values()) == list(range(1, 101))  # dense 1..n
+    c = {r["doc_id"]: r["shuffle_rank"] for r in seeded_shuffle(df, "doc_id", 8).collect()}
+    assert c != a  # different seed -> different order
+    # and it is a real shuffle, not identity
+    assert a != {i: i + 1 for i in range(100)}
