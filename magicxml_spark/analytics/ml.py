@@ -49,3 +49,146 @@ def embedding_to_vector(df: DataFrame, arr_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     return df.withColumn(out_col, array_to_vector(F.col(arr_col)))
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (round 7): the GPT-3-class seed-rule
+# classifier — train a logistic regression against seed labels, apply
+# it corpus-wide (Brown et al. 2020 Appendix A train an LR quality
+# classifier to filter Common Crawl; LLaMA / RedPajama follow suit).
+# ---------------------------------------------------------------------------
+
+
+def _assemble_bow(
+    df: DataFrame, vocab: DataFrame, v: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared dense bag-of-words assembly: term -> idx broadcast join,
+    per-doc (idx -> count) map, dense double array of length v, ML
+    Vector. Docs with zero in-vocab terms get the all-zero vector."""
+    from pyspark.ml.functions import array_to_vector
+
+    from magicxml_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("_vid"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("_vid", "idx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_vid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("_n")))
+            ).alias("_m")
+        )
+        .select(
+            "_vid",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(v - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i).cast("double"), F.lit(0.0)
+                ),
+            ).alias("_arr"),
+        )
+    )
+    out = df.join(counts, df[id_col] == counts["_vid"], "left").drop("_vid")
+    empty = F.transform(F.sequence(F.lit(0), F.lit(v - 1)), lambda i: F.lit(0.0))
+    return out.withColumn(
+        "features", array_to_vector(F.coalesce(F.col("_arr"), empty))
+    ).drop("_arr")
+
+
+def vocab_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 4096,
+):
+    """Deterministic bag-of-words feature vectors WITHOUT hashing
+    collisions: the vocabulary is the corpus's ``max_vocab`` most
+    frequent terms under a TOTAL (count desc, term asc) order, so the
+    term -> index map is reproducible on any partitioning — unlike
+    HashingTF (collisions) or CountVectorizer (tie order is not
+    contractual). Out-of-vocab terms are dropped.
+
+    Returns ``(df + "features" Vector, vocab_df(term, idx), v)``.
+
+    Scale shape: one explode + one (term) aggregate for the vocab
+    (dimension-sized: single-partition window over at most the
+    distinct-term count, then broadcast back), counts assembled per
+    doc via map_from_entries -> a DENSE double array -> ML Vector.
+    The dense assembly bounds memory at 8 * v bytes per row — the cap
+    is the contract (4096 default = 32 KB/row); a wider vocab needs a
+    sparse assembler, which Spark cannot build inside codegen, so
+    cap-and-document is the honest spelling."""
+    from pyspark.sql import Window
+
+    from magicxml_spark.operators.text import tokens
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    w = Window.orderBy(F.desc("_c"), "term")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .filter(F.col("idx") < max_vocab)
+        .select("term", "idx")
+    )
+    v = max(vocab.count(), 1)
+    return _assemble_bow(df, vocab, v, id_col, text_col), vocab, v
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 4096,
+    max_iter: int = 100,
+):
+    """Fit the GPT-3-class quality LR on seed labels: bag-of-words
+    features (:func:`vocab_features`) -> LogisticRegression (JVM
+    L-BFGS, distributed treeAggregate gradients — no driver-side
+    matrix). Brown et al. 2020 Appendix A filter Common Crawl with
+    exactly this shape of model; LLaMA / RedPajama follow suit.
+    Returns ``(model, vocab_df, v)``; apply with :func:`score_quality`
+    using the SAME vocab so train/apply feature spaces agree.
+    regParam stays 0 (the published classifiers are unregularized LR
+    over tf/tf-idf features; callers retune)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats, vocab, v = vocab_features(df, id_col, text_col, max_vocab)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.0
+    )
+    return lr.fit(feats), vocab, v
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    vocab: DataFrame,
+    v: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_pred",
+) -> DataFrame:
+    """Apply a trained quality classifier corpus-wide using the
+    training vocabulary (term -> idx join, same dense assembly).
+    Adds ``out_col`` (0/1 prediction) and ``quality_prob``
+    (P(label=1)). The model is coefficient-sized; scoring is one
+    explode + one broadcast join + the JVM model transform — no
+    Python UDF anywhere."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _assemble_bow(df, vocab, v, id_col, text_col)
+    scored = model.transform(feats)
+    return (
+        scored.withColumn(out_col, F.col("prediction").cast("int"))
+        .withColumn(
+            "quality_prob",
+            F.round(F.element_at(vector_to_array(F.col("probability")), 2), 6),
+        )
+        .drop("features", "rawPrediction", "probability", "prediction")
+    )

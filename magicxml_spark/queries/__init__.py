@@ -82,6 +82,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_perplexity_buckets",
     "q_bigram_surprisal",
     "q_corpus_shuffle",
+    "q_quality_classifier",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

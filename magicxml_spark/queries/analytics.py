@@ -1337,3 +1337,56 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= 0.6)
         .select("doc_id")
     )
+
+
+# --- Model-based quality filter (GPT-3-class seed-rule LR) -------------------
+# Train a logistic regression against a deterministic seed rule
+# (label = document contains the token 'spark') on the even-id half,
+# score the whole corpus. INVARIANT ORACLE (the q_ann_recall /
+# q_embedding_cluster_dedup pattern): the rule is linearly separable
+# in the collision-free bag-of-words space (the label is a threshold
+# on one feature's count), so a correctly trained classifier scores
+# 100% on BOTH splits — the oracle recomputes the per-(split, label)
+# counts from the rule and pins n_correct = n. Any misprediction —
+# feature drift, vocab-order instability, a broken model transform —
+# is a value mismatch. The iterative L-BFGS fit itself is not
+# SQL-expressible; this is the family-independent gate.
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN list_contains({_WORDS_SQL}, 'spark')
+                  THEN 1 ELSE 0 END AS label
+      FROM documents)
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS split,
+           CAST(label AS DOUBLE) AS label,
+           count(*) AS n,
+           count(*) AS n_correct
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.analytics.ml import score_quality, train_quality_classifier
+    from magicxml_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.withColumn(
+        "label", F.array_contains(tokens(F.col("text")), "spark").cast("double")
+    )
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    model, vocab, v = train_quality_classifier(train, "label", max_vocab=64)
+    scored = score_quality(labeled, model, vocab, v)
+    return (
+        scored.withColumn(
+            "split",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("train")).otherwise(F.lit("test")),
+        )
+        .groupBy("split", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("quality_pred") == F.col("label").cast("int")).cast("long")
+            ).alias("n_correct"),
+        )
+    )

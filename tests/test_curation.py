@@ -195,3 +195,37 @@ def test_seeded_shuffle_deterministic_and_partition_invariant(spark):
     assert c != a  # different seed -> different order
     # and it is a real shuffle, not identity
     assert a != {i: i + 1 for i in range(100)}
+
+
+def test_quality_classifier_planted_rule(spark):
+    from magicxml_spark.analytics.ml import score_quality, train_quality_classifier
+
+    # label = contains the marker token; OOV-only docs score as the
+    # zero vector and must still get a prediction (intercept side)
+    rows = []
+    for i in range(40):
+        body = f"filler{i % 7} common words here"
+        rows.append((i, f"marker {body}" if i % 3 == 0 else body, 1.0 if i % 3 == 0 else 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model, vocab, v = train_quality_classifier(df, "label", max_vocab=32)
+    scored = score_quality(df, model, vocab, v)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert all(got[i]["quality_pred"] == int(i % 3 == 0) for i in range(40))
+    assert all(0.0 <= got[i]["quality_prob"] <= 1.0 for i in range(40))
+    # an unseen doc made entirely of OOV terms gets the zero vector,
+    # not a crash; prediction is whatever the intercept says
+    new = spark.createDataFrame([(99, "zzz qqq www")], "doc_id long, text string")
+    out = score_quality(new, model, vocab, v).collect()[0]
+    assert out["quality_pred"] in (0, 1)
+
+
+def test_vocab_features_total_order(spark):
+    from magicxml_spark.analytics.ml import vocab_features
+
+    df = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    _, vocab, v = vocab_features(df, max_vocab=10)
+    idx = {r["term"]: r["idx"] for r in vocab.collect()}
+    # counts: a=2, b=2, c=1 -> (count desc, term asc): a=0, b=1, c=2
+    assert idx == {"a": 0, "b": 1, "c": 2} and v == 3
