@@ -159,10 +159,28 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
 
     feats, vocab, v = vocab_features(df, id_col, text_col, max_vocab)
-    lr = LogisticRegression(
-        featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.0
-    )
-    return lr.fit(feats), vocab, v
+    # the L-BFGS fit iterates ~max_iter treeAggregate passes over the
+    # feature frame, whose partitioning it inherits from the SOURCE
+    # scan — repartition to defaultParallelism so a couple of local
+    # input files (or a sample smeared over thousands of near-empty
+    # splits) don't serialize every iteration (the _fit_centroids
+    # fit_partitions rationale; the planted-rule invariant is
+    # prediction-level, not coefficient-bit-level, so repartitioning
+    # is safe here)
+    feats = feats.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # LogisticRegression does NOT persist its input: without a cache,
+    # every one of the ~max_iter treeAggregate iterations would
+    # re-execute the whole tokenize -> join -> assemble lineage
+    # (measured ~3x the fit cost at sf1). Persist for the fit only.
+    feats = feats.persist()
+    try:
+        lr = LogisticRegression(
+            featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.0
+        )
+        model = lr.fit(feats)
+    finally:
+        feats.unpersist()
+    return model, vocab, v
 
 
 def score_quality(

@@ -189,13 +189,25 @@ def gopher_repetition(
     and report 0 for that metric."""
     words = tokens(F.col(text_col))
     orders = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        words.alias("_w"),
-    ).select(
-        "_id",
-        (F.length(F.array_join("_w", " "))).alias("_chars"),
-        F.explode_outer(_ngrams_tagged(F.col("_w"), orders)).alias("_t"),
+    # Pre-explode repartition: the 9x gram amplification runs in the
+    # SCAN's stage, so its parallelism is the input split count — a
+    # couple of local parquet files starve a 32-core box 16x (measured
+    # 192 s -> ~35 s at sf1), and any cluster whose splits < cores
+    # pays the same. The shuffled payload is the compact pre-explode
+    # (id, tokens) frame, never the 9x gram stream. Same class of fix
+    # as the KMeans fit_partitions knob.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            words.alias("_w"),
+        )
+        .repartition(par)
+        .select(
+            "_id",
+            (F.length(F.array_join("_w", " "))).alias("_chars"),
+            F.explode_outer(_ngrams_tagged(F.col("_w"), orders)).alias("_t"),
+        )
     )
     per_gram = (
         base.groupBy("_id", "_chars", F.col("_t.n").alias("_n"), F.col("_t.gram").alias("_g"))

@@ -83,6 +83,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_bigram_surprisal",
     "q_corpus_shuffle",
     "q_quality_classifier",
+    "q_stream_paragraph_dedup",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

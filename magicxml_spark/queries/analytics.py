@@ -1375,7 +1375,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.array_contains(tokens(F.col("text")), "spark").cast("double")
     )
     train = labeled.filter(F.col("doc_id") % 2 == 0)
-    model, vocab, v = train_quality_classifier(train, "label", max_vocab=64)
+    # 25 L-BFGS iterations: the planted rule is separable (0
+    # misclassified from iteration ~10 on, probed at sf0.01 and sf1);
+    # the default 100 would quadruple a pure per-iteration scheduling
+    # cost — on separable data L-BFGS never hits tol and runs the full
+    # budget, so the budget IS the cost
+    model, vocab, v = train_quality_classifier(
+        train, "label", max_vocab=64, max_iter=25
+    )
     scored = score_quality(labeled, model, vocab, v)
     return (
         scored.withColumn(

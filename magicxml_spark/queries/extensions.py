@@ -623,3 +623,32 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.profiling import key_skew_profile
 
     return key_skew_profile(table(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+# --- Streaming paragraph dedup (the Dolma pass as a stream) ------------------
+# First-seen-wins on the paragraph key; the output is the exact
+# distinct key SET (per-key surviving doc/pos is processing-order
+# noise, so only keys are emitted — the q_events_stream_dedup
+# contract), bucketed by the key's first hex char so the oracle hashes
+# 16 value-bearing rows instead of one scalar.
+@query(
+    "q_stream_paragraph_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    lines AS (
+      SELECT list_transform(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1),
+                            i -> array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')) AS ls
+      FROM w WHERE len(w) > 0),
+    keys AS (SELECT DISTINCT md5(l) AS k
+             FROM (SELECT unnest(ls) AS l FROM lines))
+    SELECT substr(k, 1, 1) AS bucket, count(*) AS n_keys
+    FROM keys GROUP BY 1
+    """,
+)
+def q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.streaming.dedup import run_stream_paragraph_dedup_to_memory
+
+    kept = run_stream_paragraph_dedup_to_memory(spark, sf_dir)
+    return kept.groupBy(F.substring("para_key", 1, 1).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )

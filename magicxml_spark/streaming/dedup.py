@@ -493,3 +493,54 @@ def run_stream_winnow_to_memory(
         q.awaitTermination()
         shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.table(name)
+
+
+def run_stream_paragraph_dedup_to_memory(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 2
+) -> DataFrame:
+    """Streaming twin of curation.paragraph_dedup's dedup core: the
+    document feed explodes into paragraph units (the 3-token line
+    synthesis documents use corpus-wide — q_line_dedup's convention),
+    and ``dropDuplicatesWithinWatermark`` keeps the FIRST-seen
+    occurrence of every distinct paragraph key. Output rows carry only
+    ``para_key`` (md5 of the unit): the surviving (doc, pos) per key
+    is processing-order-dependent under repartitioning, the KEY SET is
+    exact — the same determinism contract as
+    dedup_stream_within_watermark. State = one entry per distinct
+    paragraph inside the watermark horizon, which is what makes
+    corpus-scale streaming paragraph dedup bounded (Dolma's dedup as
+    a stream instead of a batch)."""
+    name = f"para_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_tuning(spark, state_partitions):
+        docs = read_documents_stream(spark, sf_dir)
+        w = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != F.lit(""))
+        units = (
+            docs.select("ingest_ts", w.alias("_w"))
+            .filter(F.size("_w") > 0)
+            .select(
+                "ingest_ts",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.ceil(F.size("_w") / F.lit(3.0)).cast("int")
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("_w", (i - 1) * 3 + 1, 3), " "
+                        ),
+                    )
+                ).alias("para"),
+            )
+            .select("ingest_ts", F.md5("para").alias("para_key"))
+        )
+        kept = dedup_stream_within_watermark(units, ["para_key"], "ingest_ts")
+        q = (
+            kept.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.table(name)
