@@ -85,6 +85,7 @@ def main() -> None:
             "q_perplexity_buckets",
             "q_bigram_surprisal",
             "q_corpus_shuffle",
+            "q_bpe_tokenize",
         ],
     }
     secondary = [n for g in secondary_groups.values() for n in g]

@@ -400,3 +400,104 @@ def chunk_text(
         F.least(F.size("_w") - start, F.lit(chunk_tokens)).alias("n_tokens"),
         F.concat_ws(" ", F.slice("_w", start + 1, chunk_tokens)).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table APPLICATION (round 7). Training a merge table stays
+# scoped out (the iterative refit is not SQL-oracle-able — TODO.md);
+# APPLYING a given ranked merge list is exactly expressible: for each
+# merge (a, b) in rank order, every non-overlapping "a b" symbol pair
+# rewrites to "ab" across the word — which is precisely a chain of
+# literal string replaces over the space-separated symbol sequence
+# (Sennrich et al. 2016 §3.2; leftmost-nonoverlapping replace matches
+# the reference implementation's per-merge full-word pass).
+# ---------------------------------------------------------------------------
+
+#: A small public ranked merge table built from standard English
+#: digraph/trigraph frequency order (th/the/in/er/...). Callers ship
+#: their own trained table; this default exists so the operator is
+#: usable out of the box and the oracle can pin exact segmentations.
+BPE_ENGLISH_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("t", "i"), ("e", "s"), ("s", "t"), ("a", "r"), ("a", "l"),
+    ("l", "e"), ("o", "u"), ("d", "e"), ("s", "e"), ("c", "o"),
+]
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a ranked BPE merge table to every word of every document
+    and report the segmentation: ``(id, n_words, n_chars, n_subwords,
+    seg_fp)`` where ``seg_fp`` fingerprints the full subword sequence
+    (word boundaries preserved), so any divergence in merge order or
+    replace semantics is a value change, not just a count drift.
+
+    Spelling: each word becomes a sequence of SENTINEL-WRAPPED symbols
+    (symbol s renders as \x02s\x03), and the merge chain rewrites it
+    IN RANK ORDER via literal non-overlapping replaces of
+    \x02a\x03\x02b\x03 -> \x02ab\x03 — a constant-folded chain of
+    string ops inside one projection. The per-symbol begin/end
+    sentinels are what make a plain replace correct BPE: they anchor
+    every match to WHOLE symbols (a bare space-separated spelling
+    matches across symbol contents — "e r" inside "the r e" — and
+    adjacent matches would share boundary separators). No explode, no
+    shuffle, no UDF: the whole tokenizer application runs inside
+    whole-stage codegen, which is the property that makes it viable as
+    a per-row pass over 100 TB (a Python tokenizer UDF here is the
+    classic 10-100x trap).
+
+    Merge symbols must not contain spaces or the \x02/\x03
+    sentinels; merges whose parts never co-occur are harmless
+    no-ops."""
+    merges = BPE_ENGLISH_MERGES if merges is None else merges
+    for a, b in merges:
+        for part in (a, b):
+            if " " in part or "\x02" in part or "\x03" in part:
+                raise ValueError(
+                    f"merge symbols must not contain spaces/sentinels: {(a, b)}"
+                )
+    words = tokens(F.col(text_col))
+
+    def segment(word: Column) -> Column:
+        wrapped = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: F.concat(
+                    F.lit("\x02"), F.substring(word, i, 1), F.lit("\x03")
+                ),
+            ),
+            "",
+        )
+        out = wrapped
+        for a, b in merges:
+            out = F.replace(
+                out,
+                F.lit(f"\x02{a}\x03\x02{b}\x03"),
+                F.lit(f"\x02{a}{b}\x03"),
+            )
+        # back to the space-joined subword spelling for counting and
+        # fingerprinting
+        out = F.replace(out, F.lit("\x03\x02"), F.lit(" "))
+        out = F.replace(out, F.lit("\x02"), F.lit(""))
+        return F.replace(out, F.lit("\x03"), F.lit(""))
+
+    seg = F.transform(words, segment)
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.array_join(words, "")).cast("long").alias("n_chars"),
+        F.coalesce(
+            F.aggregate(
+                seg,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.size(F.split(s, " ", -1)),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_subwords"),
+        F.md5(F.array_join(seg, " | ")).alias("seg_fp"),
+    )

@@ -52,14 +52,15 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # get a driver-recorded correctness row each round. Round-7 rotation
 # (VERDICT r6 "Next #2"): the five r4-latest rows lead
 # (q_dedup_delimited ... q_csv_normalize — the only rows older than
-# r5), then the three NEW multimodal invariant queries, then
-# q_embedding_cluster_dedup (its planted-offset derivation changed this
-# round — re-pin it). The 49 r5-latest queries follow (41 fit the ~50
-# window; the 8 placed just past the cut are simple stable scalar ops
-# that stay r5-green and lead r8's window), and the 49 remaining
-# r6-fresh rows close the list. Names missing from the list (future
-# additions) append in registration order; the assertion keeps the
-# list honest.
+# r5), then the three NEW multimodal invariant queries,
+# q_embedding_cluster_dedup (planted-offset derivation changed — re-
+# pin), and the NINE new round-7 queries (curation class + classifier
+# + stream paragraph dedup + BPE apply) — an 18-entry head, all of
+# which need their first/changed driver row. The r5-latest block
+# follows (~32 fit the ~50 window; the ones past the cut are stable
+# r5-green rows that lead r8's rotation), and the r6-fresh rows close
+# the list. Names missing from the list (future additions) append in
+# registration order; the assertion keeps the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
@@ -84,6 +85,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_corpus_shuffle",
     "q_quality_classifier",
     "q_stream_paragraph_dedup",
+    "q_bpe_tokenize",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

@@ -1654,3 +1654,48 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_fp"),
         )
     )
+
+
+# --- BPE merge-table application ---------------------------------------------
+# Tokenizer application as a pure codegen projection (no UDF, no
+# explode); the oracle replays the SAME ranked merge chain, assembled
+# from the operator's own table, and the per-doc segmentation
+# fingerprint pins exact merge order + replace semantics.
+def _bpe_oracle() -> str:
+    from magicxml_spark.operators.text import BPE_ENGLISH_MERGES
+
+    # the per-symbol chr(2)/chr(3) sentinels anchor every replace to
+    # WHOLE symbols (operator docstring: a bare space spelling matches
+    # across symbol contents and shares boundary separators)
+    inner = (
+        "array_to_string(list_transform(range(1, length(wd) + 1),"
+        " i -> chr(2) || substr(wd, i, 1) || chr(3)), '')"
+    )
+    for a, b in BPE_ENGLISH_MERGES:
+        pat = f"chr(2) || '{a}' || chr(3) || chr(2) || '{b}' || chr(3)"
+        rep = f"chr(2) || '{a}{b}' || chr(3)"
+        inner = f"replace({inner}, {pat}, {rep})"
+    inner = f"replace(replace(replace({inner}, chr(3) || chr(2), ' '), chr(2), ''), chr(3), '')"
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    seg AS (SELECT doc_id, len(w) AS n_words,
+                   length(array_to_string(w, '')) AS n_chars,
+                   list_transform(w, wd -> {inner}) AS segs
+            FROM w)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(coalesce(list_sum(list_transform(segs,
+                                                 s -> len(string_split(s, ' ')))),
+                         0) AS BIGINT) AS n_subwords,
+           md5(array_to_string(segs, ' | ')) AS seg_fp
+    FROM seg
+    """
+
+
+@query("q_bpe_tokenize", oracle=_bpe_oracle())
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import bpe_apply
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_apply(docs)

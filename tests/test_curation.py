@@ -229,3 +229,28 @@ def test_vocab_features_total_order(spark):
     idx = {r["term"]: r["idx"] for r in vocab.collect()}
     # counts: a=2, b=2, c=1 -> (count desc, term asc): a=0, b=1, c=2
     assert idx == {"a": 0, "b": 1, "c": 2} and v == 3
+
+
+def test_bpe_apply_known_segmentation(spark):
+    from magicxml_spark.operators.text import bpe_apply
+
+    # "there": t h e r e -> (t,h) 'th e r e' -> (th,e) 'the r e' ->
+    # (r,e) 'the re' = 2 subwords; "in": i n -> (i,n) 'in' = 1
+    df = spark.createDataFrame([(1, "there in")], "doc_id long, text string")
+    row = bpe_apply(df).collect()[0]
+    assert row["n_words"] == 2
+    assert row["n_chars"] == 7
+    assert row["n_subwords"] == 3
+    # empty doc: zero counts, md5('') fingerprint
+    row0 = bpe_apply(
+        spark.createDataFrame([(2, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert row0["n_words"] == 0 and row0["n_subwords"] == 0
+
+
+def test_bpe_apply_rejects_space_in_merge(spark):
+    from magicxml_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_apply(df, merges=[("a b", "c")])
