@@ -468,15 +468,20 @@ def two_phase_rank(
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["_c"]
-    off = F.coalesce(
-        *[
-            F.when(F.col("_pid") == pid, F.lit(o))
-            for pid, o in offsets.items()
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    out = local.withColumn(rank_col, (off + F.col("_lrank")).cast("long")).drop(
-        "_pid", "_lrank"
+    # offsets apply via a broadcast join (the pack_shards pattern), NOT
+    # a literal when-chain: at cluster scale n_range_partitions is
+    # thousands and a per-partition CASE expression bloats codegen
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    out = (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            rank_col,
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lrank")).cast("long"),
+        )
+        .drop("_pid", "_lrank", "_off")
     )
     return out, acc
 
