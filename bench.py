@@ -86,6 +86,7 @@ def main() -> None:
             "q_bigram_surprisal",
             "q_corpus_shuffle",
             "q_bpe_tokenize",
+            "q_curation_v3",
         ],
     }
     secondary = [n for g in secondary_groups.values() for n in g]

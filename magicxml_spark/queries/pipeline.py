@@ -1348,7 +1348,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle mirrors the full battery: scalar gates + nine n-gram
 # repetition metrics; SQL assembled from the same threshold tables the
 # operator ships so the rule set can never silently drift.
-def _gopher_oracle() -> str:
+def _gopher_parts() -> tuple[str, str, str, str]:
+    """(ctes, rep_sel, rep_flag, keep_cond) — the Gopher battery as
+    reusable SQL fragments, assembled from the operator's own
+    threshold tables (q_gopher_quality composes the full frame;
+    q_curation_v3 reuses the gate condition)."""
     from magicxml_spark.operators.curation import (
         GOPHER_DUP_NGRAM_MAX,
         GOPHER_MAX_MEAN_WORD_LEN,
@@ -1385,8 +1389,15 @@ def _gopher_oracle() -> str:
            for n, t in GOPHER_DUP_NGRAM_MAX.items()]
     )
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    return f"""
-    WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    keep_cond = f"""s.n_words >= {GOPHER_MIN_WORDS}
+                      AND s.n_words <= {GOPHER_MAX_WORDS}
+                      AND s.mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                      AND s.mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                      AND s.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                      AND s.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                      AND s.n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                      AND NOT ({rep_flag})"""
+    ctes = f"""w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
     scal AS (
       SELECT doc_id, len(w) AS n_words,
              CASE WHEN len(w) = 0 THEN 0.0
@@ -1415,19 +1426,18 @@ def _gopher_oracle() -> str:
                                   ELSE 0 END) AS dup_mass
                   FROM per_gram GROUP BY doc_id, n, chars),
     rep AS (SELECT doc_id, {top_cols}, {dup_cols}
-            FROM per_order GROUP BY doc_id)
+            FROM per_order GROUP BY doc_id)"""
+    return ctes, rep_sel, rep_flag, keep_cond
+
+
+def _gopher_oracle() -> str:
+    ctes, rep_sel, rep_flag, keep_cond = _gopher_parts()
+    return f"""
+    WITH {ctes}
     SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_ratio,
            s.alpha_word_frac, s.n_stopwords, {rep_sel},
            CAST(CASE WHEN {rep_flag} THEN 1 ELSE 0 END AS INTEGER) AS rep_flag,
-           CAST(CASE WHEN s.n_words >= {GOPHER_MIN_WORDS}
-                      AND s.n_words <= {GOPHER_MAX_WORDS}
-                      AND s.mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
-                      AND s.mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
-                      AND s.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
-                      AND s.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
-                      AND s.n_stopwords >= {GOPHER_MIN_STOPWORDS}
-                      AND NOT ({rep_flag})
-                THEN 1 ELSE 0 END AS INTEGER) AS keep
+           CAST(CASE WHEN {keep_cond} THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM scal s LEFT JOIN rep r USING (doc_id)
     """
 
@@ -1699,3 +1709,82 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bpe_apply(docs)
+
+
+# --- Curation pipeline v3: the round-7 class composed end-to-end ------------
+# Gopher gate -> CCNet head/middle selection (perplexity ntile over
+# the SURVIVING corpus) -> seeded epoch shuffle -> 2000-token shards.
+# Every stage is the already-oracle-gated operator; the composed
+# oracle replays the same algebra, so a drift ANYWHERE in the chain
+# (gate condition, surprisal micro-nats, ntile boundary, shuffle
+# order, prefix-sum shard arithmetic) lands in the per-shard order
+# fingerprint. This is the full published-recipe curation story in
+# one plan: filter -> tier -> shuffle -> pack.
+def _curation_v3_oracle() -> str:
+    parts_ctes, _, _, keep_cond = _gopher_parts()
+    return f"""
+    WITH {parts_ctes},
+    gate AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
+             WHERE {keep_cond}),
+    tok2 AS (SELECT d.doc_id, unnest({_WORDS_SQL}) AS term
+             FROM documents d JOIN gate USING (doc_id)),
+    tot2 AS (SELECT count(*) AS n_total FROM tok2),
+    vocab2 AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+    micro2 AS (SELECT doc_id,
+                      CAST(round(ln(CAST(n_total AS DOUBLE) / c) * 1e6, 0) AS BIGINT)
+                        AS m
+               FROM tok2 JOIN vocab2 USING (term), tot2),
+    scored2 AS (SELECT doc_id, count(*) AS n_tokens,
+                       round(sum(m) / count(*) / 1e6, 6) AS surprisal
+                FROM micro2 GROUP BY doc_id),
+    nn2 AS (SELECT count(*) AS n FROM scored2),
+    sel AS (SELECT doc_id, n_tokens FROM (
+              SELECT doc_id, n_tokens,
+                     CAST(floor((row_number() OVER (ORDER BY surprisal, doc_id) - 1)
+                                * 3.0 / n) AS BIGINT) + 1 AS bucket
+              FROM scored2, nn2)
+            WHERE bucket <= 2),
+    sh AS (SELECT doc_id, n_tokens,
+                  row_number() OVER (
+                    ORDER BY CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                  AS BIGINT),
+                             doc_id) AS rk
+           FROM sel),
+    pre AS (SELECT doc_id, n_tokens, rk,
+                   coalesce(sum(n_tokens) OVER (
+                     ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+            FROM sh)
+    SELECT CAST(floor(p / 2000.0) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk)) AS order_fp
+    FROM pre GROUP BY 1
+    """
+
+
+@query("q_curation_v3", oracle=_curation_v3_oracle())
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import gopher_quality, perplexity_buckets
+    from magicxml_spark.operators.sampling import pack_shards, seeded_shuffle
+
+    docs = table(spark, sf_dir, "documents")
+    gate = gopher_quality(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(gate, "doc_id")
+    buckets = perplexity_buckets(kept)
+    sel = buckets.filter(F.col("bucket") <= 2).select("doc_id", "n_tokens")
+    shuffled = seeded_shuffle(sel, "doc_id", 42)
+    packed = pack_shards(shuffled, "shuffle_rank", "n_tokens", budget=2000.0)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("shuffle_rank", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("order_fp"),
+    )
