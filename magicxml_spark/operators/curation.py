@@ -456,8 +456,23 @@ def two_phase_rank(
 
     n = n_range_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint: the offsets collect below is a separate ACTION,
+    # and without materialization it re-executes the caller's whole
+    # upstream plan once for the collect and again for the real run —
+    # in a composed pipeline (q_curation_v3: gate -> score -> rank ->
+    # shuffle -> pack, three rank-style collects) that multiplied the
+    # expensive gate subtree ~3x. localCheckpoint (not persist!)
+    # because persist registers in the CacheManager, which matches by
+    # logical plan and silently turns a REPEATED identical query into
+    # a cache hit — dishonest benchmarks and surprising reuse;
+    # checkpoints are private to this DataFrame. The rank input is
+    # narrow by contract (order cols + payload ids), so the
+    # materialized frame is small; lineage truncation (executor-loss
+    # recompute is lost) is the documented trade.
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     local = ranged.withColumn("_lrank", F.row_number().over(w))

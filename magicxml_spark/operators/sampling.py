@@ -126,8 +126,15 @@ def pack_shards(
     from pyspark.sql import Window
 
     n = n_range_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(key)).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint for the same reason as curation.two_phase_rank:
+    # the totals collect is a separate action that would otherwise
+    # re-execute the caller's upstream plan (persist would leak into
+    # the CacheManager and make repeated identical queries silent
+    # cache hits); the (key, weight) frame is narrow by contract
+    ranged = (
+        df.repartitionByRange(n, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")

@@ -254,3 +254,24 @@ def test_bpe_apply_rejects_space_in_merge(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_apply(df, merges=[("a b", "c")])
+
+
+def test_empty_corpus_edges(spark):
+    # every round-7 operator must survive an empty frame (the
+    # composed v3 pipeline can produce empty intermediate corpora)
+    from magicxml_spark.analytics.ml import vocab_features
+    from magicxml_spark.operators.curation import (
+        bigram_surprisal,
+        perplexity_buckets,
+    )
+    from magicxml_spark.operators.sampling import seeded_shuffle
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_ntile(empty.selectExpr("doc_id as v"), ["v"], 3).count() == 0
+    assert paragraph_dedup(empty).count() == 0
+    assert gopher_quality(empty).count() == 0
+    assert bigram_surprisal(empty).count() == 0
+    assert perplexity_buckets(empty).count() == 0
+    assert seeded_shuffle(empty.select("doc_id"), "doc_id", 1).count() == 0
+    feats, vocab, v = vocab_features(empty)
+    assert vocab.count() == 0 and v == 1 and feats.count() == 0
