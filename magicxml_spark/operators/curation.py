@@ -643,3 +643,37 @@ def bigram_surprisal(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 document-level blocklist filter (Raffel et al. 2020 §2.2 drop
+# any page containing a word from a public blocklist — a separate
+# step from the line-level rules above)
+# ---------------------------------------------------------------------------
+
+
+def badwords_filter(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document blocklist gate: count WHOLE-WORD occurrences of
+    the blocklisted terms (C4 matches words, not substrings — 'class'
+    must not trip an 'ass' entry) and keep documents with zero hits.
+    Output: (id, n_hits, keep).
+
+    Pure Column expression — one tokenize + one array-filter
+    membership test per row, zero shuffle, fully inside codegen. The
+    blocklist is a literal (dimension-sized by nature: the published
+    lists are a few hundred entries); for multi-thousand-entry lists
+    the same shape holds, the IN list just grows."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    n_hits = F.size(F.filter(toks, lambda w: w.isin([t.lower() for t in terms])))
+    return df.select(
+        F.col(id_col),
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )

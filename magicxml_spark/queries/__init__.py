@@ -54,9 +54,9 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # (q_dedup_delimited ... q_csv_normalize — the only rows older than
 # r5), then the three NEW multimodal invariant queries,
 # q_embedding_cluster_dedup (planted-offset derivation changed — re-
-# pin), and the TEN new round-7 queries (curation class + classifier +
-# stream paragraph dedup + BPE apply + the v3 composition) — a
-# 19-entry head, all of
+# pin), and the ELEVEN new round-7 queries (curation class + classifier +
+# stream paragraph dedup + BPE apply + v3 composition + blocklist
+# gate) — a 20-entry head, all of
 # which need their first/changed driver row. The r5-latest block
 # follows (~32 fit the ~50 window; the ones past the cut are stable
 # r5-green rows that lead r8's rotation), and the r6-fresh rows close
@@ -88,6 +88,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_paragraph_dedup",
     "q_bpe_tokenize",
     "q_curation_v3",
+    "q_badwords_filter",
     # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",

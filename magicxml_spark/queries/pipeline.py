@@ -1788,3 +1788,46 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_fp"),
     )
+
+
+# --- C4 document-level blocklist gate ----------------------------------------
+# Whole-word blocklist hits injected deterministically (doc_id % 37 /
+# % 41 append marker terms) so both engines score the identical
+# corpus; placeholder terms stand in for the published list (the
+# operator takes any list — the semantics are what is under test).
+@query(
+    "q_badwords_filter",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id,
+                        CASE WHEN doc_id % 37 = 0
+                               THEN text || ' badword1 scan badword1'
+                             WHEN doc_id % 41 = 0 THEN text || ' badword2'
+                             ELSE text END AS text
+                 FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter({_WORDS_SQL},
+                                x -> x IN ('badword1', 'badword2'))) AS BIGINT)
+             AS n_hits,
+           CAST(CASE WHEN len(list_filter({_WORDS_SQL},
+                                          x -> x IN ('badword1', 'badword2'))) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM aug
+    """,
+)
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import badwords_filter
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.col("text"), F.lit(" badword1 scan badword1")),
+        )
+        .when(F.col("doc_id") % 41 == 0, F.concat(F.col("text"), F.lit(" badword2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = badwords_filter(docs, ["badword1", "badword2"])
+    return out.select(
+        "doc_id", "n_hits", F.col("keep").cast("int").alias("keep")
+    )

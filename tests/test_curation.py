@@ -275,3 +275,24 @@ def test_empty_corpus_edges(spark):
     assert seeded_shuffle(empty.select("doc_id"), "doc_id", 1).count() == 0
     feats, vocab, v = vocab_features(empty)
     assert vocab.count() == 0 and v == 1 and feats.count() == 0
+
+
+def test_badwords_filter_whole_word_semantics(spark):
+    from magicxml_spark.operators.curation import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a clean document here"),
+            (2, "contains BadWord once"),      # case-insensitive hit
+            (3, "subbadwording is not a hit"), # substring must NOT trip
+            (4, "badword badword twice"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badwords_filter(df, ["badword"]).collect()}
+    assert out[1]["n_hits"] == 0 and out[1]["keep"] is True
+    assert out[2]["n_hits"] == 1 and out[2]["keep"] is False
+    assert out[3]["n_hits"] == 0 and out[3]["keep"] is True
+    assert out[4]["n_hits"] == 2 and out[4]["keep"] is False
+    with pytest.raises(ValueError):
+        badwords_filter(df, [])
