@@ -114,10 +114,15 @@ def vocab_features(
 
     Returns ``(df + "features" Vector, vocab_df(term, idx), v)``.
 
-    Scale shape: one explode + one (term) aggregate for the vocab
-    (dimension-sized: single-partition window over at most the
-    distinct-term count, then broadcast back), counts assembled per
-    doc via map_from_entries -> a DENSE double array -> ML Vector.
+    Scale shape: one explode + one (term) aggregate, then the top
+    ``max_vocab`` terms are taken with a DISTRIBUTED top-k
+    (``orderBy().limit()`` = TakeOrdered: per-partition heaps + one
+    driver merge of max_vocab rows) — the full distinct-term table is
+    NEVER sorted in one task (distinct terms over raw web text scale
+    with the corpus: urls, ids, typos). Only the ≤ max_vocab
+    survivors pass through the idx-assignment window, which is
+    dimension-sized by construction. Counts are assembled per doc via
+    map_from_entries -> a DENSE double array -> ML Vector.
     The dense assembly bounds memory at 8 * v bytes per row — the cap
     is the contract (4096 default = 32 KB/row); a wider vocab needs a
     sparse assembler, which Spark cannot build inside codegen, so
@@ -127,13 +132,19 @@ def vocab_features(
     from magicxml_spark.operators.text import tokens
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    w = Window.orderBy(F.desc("_c"), "term")
-    vocab = (
+    # TakeOrdered (distributed top-k) BEFORE the ranking window: the
+    # window input is then at most max_vocab rows, so the single
+    # in-memory partition it sorts is bounded by the caller's cap,
+    # never by the corpus's distinct-term count
+    top = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("idx", F.row_number().over(w) - 1)
-        .filter(F.col("idx") < max_vocab)
-        .select("term", "idx")
+        .orderBy(F.desc("_c"), "term")
+        .limit(max_vocab)
+    )
+    w = Window.orderBy(F.desc("_c"), "term")
+    vocab = (
+        top.withColumn("idx", F.row_number().over(w) - 1).select("term", "idx")
     )
     v = max(vocab.count(), 1)
     return _assemble_bow(df, vocab, v, id_col, text_col), vocab, v

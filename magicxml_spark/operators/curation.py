@@ -361,7 +361,11 @@ def gopher_quality(
 # C4 line-level cleaning (Raffel et al. 2020 §2.2)
 # ---------------------------------------------------------------------------
 
-C4_BAD_FRAGMENTS = ["javascript", "lorem ipsum", "{"]
+#: line-level tell ("javascript") vs document-level kills ("lorem
+#: ipsum", "{") — Raffel et al. 2020 §2.2 drop the whole PAGE for the
+#: latter two.
+C4_LINE_FRAGMENTS = ["javascript"]
+C4_DOC_FRAGMENTS = ["lorem ipsum", "{"]
 C4_MIN_LINE_WORDS = 3
 C4_MIN_DOC_LINES = 5
 C4_TERMINALS = (".", "!", "?", '"')
@@ -374,14 +378,19 @@ def c4_line_filters(
     pos_col: str = "pos",
     min_line_words: int = C4_MIN_LINE_WORDS,
     min_doc_lines: int = C4_MIN_DOC_LINES,
+    brace_scope: str = "document",
 ) -> DataFrame:
     """The C4 cleaning pass over an exploded (id, pos, line) frame:
 
     * keep only lines ending in terminal punctuation (. ! ? ");
     * drop lines with fewer than ``min_line_words`` words;
-    * drop lines containing a blocklisted fragment ("javascript",
-      curly brace — the paper's code/boilerplate tells); documents
-      containing "lorem ipsum" ANYWHERE are dropped whole;
+    * drop lines containing a blocklisted fragment ("javascript");
+    * documents containing "lorem ipsum" OR a curly bracket ``{``
+      ANYWHERE are dropped whole — Raffel et al. 2020 §2.2 removes
+      the PAGE for both (the brace is the paper's code tell and its
+      scope is the document, same as the lorem-ipsum placeholder
+      tell; ``brace_scope="line"`` opts into the softer line-level
+      drop for callers who only want code LINES removed);
     * finally drop documents with fewer than ``min_doc_lines``
       surviving lines.
 
@@ -390,29 +399,35 @@ def c4_line_filters(
     re-joined by newline in position order.
 
     Scale shape: per-line predicates are a pure projection; the
-    lorem-ipsum doc kill and the reassembly are one id-keyed aggregate
-    each (partial combine; no join carries line text). Takes the lines
-    frame as input so callers own the line-splitting (real newline
-    corpora split on \\n; the test corpus synthesizes lines the same
-    way q_line_dedup does)."""
+    lorem-ipsum / brace doc kills and the reassembly are one id-keyed
+    aggregate each (partial combine; no join carries line text). Takes
+    the lines frame as input so callers own the line-splitting (real
+    newline corpora split on \\n; the test corpus synthesizes lines
+    the same way q_line_dedup does)."""
+    if brace_scope not in ("document", "line"):
+        raise ValueError(f"brace_scope must be 'document' or 'line': {brace_scope!r}")
     lc = F.lower(F.col(line_col))
     line_ok = (
         F.col(line_col).rlike("[.!?\"]$")
         & (F.size(tokens(F.col(line_col))) >= min_line_words)
         & ~lc.contains("javascript")
-        & ~lc.contains("{")
     )
+    if brace_scope == "line":
+        line_ok = line_ok & ~lc.contains("{")
     marked = lines.select(
         F.col(id_col).alias("_id"),
         F.col(pos_col).alias("_pos"),
         F.col(line_col).alias("_line"),
         line_ok.alias("_ok"),
-        lc.contains("lorem ipsum").alias("_lorem"),
+        (
+            lc.contains("lorem ipsum")
+            | (F.lit(brace_scope == "document") & lc.contains("{"))
+        ).alias("_doc_kill"),
     )
     agg = marked.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_ok").cast("int")).alias("n_kept"),
-        F.max("_lorem").alias("_doc_lorem"),
+        F.max("_doc_kill").alias("_doc_killed"),
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -426,7 +441,7 @@ def c4_line_filters(
         ).alias("text_clean"),
     )
     return (
-        agg.filter(~F.col("_doc_lorem") & (F.col("n_kept") >= min_doc_lines))
+        agg.filter(~F.col("_doc_killed") & (F.col("n_kept") >= min_doc_lines))
         .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "text_clean")
     )
 
@@ -539,7 +554,9 @@ def perplexity_buckets(
     Output: one row per document — (id, n_tokens, surprisal, bucket)
     with bucket 1 = head (lowest surprisal).
 
-    Scale: surprisal is two agg shuffles + a broadcast vocab join;
+    Scale: surprisal is two agg shuffles + a hint-free vocab join
+    (AQE broadcasts while the vocab measures small, shuffle-joins
+    past that — corpus-derived tables are never force-broadcast);
     bucketing is the two-phase exact_ntile (range shuffle + tiny
     offset collect). Nothing global-sorts on one task."""
     from magicxml_spark.operators.text import unigram_surprisal
@@ -582,14 +599,18 @@ def bigram_surprisal(
     Scale shape: ONE projection builds (prev, cur) pairs from the
     token array (no window, no lead()), one explode; bigram and
     unigram count tables are aggregates of the same stream; both join
-    back by key — broadcast when dimension-sized, shuffle-join with
-    AQE skew handling otherwise (frequent grams are the skewed keys,
-    the same class the unigram scorer already carries).
+    back by key with NO broadcast hint — the count tables are
+    CORPUS-DERIVED (distinct bigrams grow ~linearly with corpus
+    tokens; billions of rows at 100 TB), so a forced broadcast is a
+    driver/executor OOM. AQE picks broadcast at runtime when a table
+    measures small and falls back to shuffle join (with skew-join
+    splitting for the frequent-gram keys) when it does not. The
+    corpus token total is a one-row aggregate broadcast-crossJoined
+    onto the scoring stream (the bounds-frame pattern), not a global
+    window over the vocab table.
 
     Output: (id, n_tokens, surprisal) — ``n_tokens`` counts scored
     positions (= document tokens; empty docs emit no row)."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
     ).filter(F.size("_w") > 0)
@@ -608,7 +629,11 @@ def bigram_surprisal(
     ).select("_id", "_p.prev", "_p.cur", "_p.is_first")
 
     uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
-    uni = uni.withColumn("_n_total", F.sum("_cu").over(Window.partitionBy()))
+    # corpus token total: one-row aggregate of the vocab counts,
+    # broadcast-crossJoined below (NOT a Window.partitionBy() over the
+    # vocab table — distinct terms scale with the corpus, and an
+    # unpartitioned window is a single sorted task)
+    tot = uni.agg(F.sum("_cu").alias("_n_total"))
     bi = (
         pos.filter(~F.col("is_first"))
         .groupBy("prev", "cur")
@@ -627,9 +652,10 @@ def bigram_surprisal(
     ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
 
     micro = (
-        pos.join(F.broadcast(uni), "cur")
-        .join(F.broadcast(bi), ["prev", "cur"], "left")
-        .join(F.broadcast(prev_c), "prev", "left")
+        pos.join(uni, "cur")
+        .join(bi, ["prev", "cur"], "left")
+        .join(prev_c, "prev", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             "_id",
             F.round(-F.log(p) * 1e6, 0).cast("bigint").alias("_micro"),

@@ -256,25 +256,20 @@ def unigram_surprisal(
     exact BIGINT sum, and one final correctly-rounded division produces
     the score — bit-identical on any partitioning and in DuckDB.
 
-    Plan at scale: explode -> one agg shuffle for vocab counts (vocab
-    is dimension-sized -> broadcast back) -> one agg shuffle on the
-    doc id. No UDF anywhere."""
-    from pyspark.sql import Window
-
+    Plan at scale: explode -> one agg shuffle for vocab counts ->
+    hint-free join back (distinct terms over raw web text scale with
+    the corpus — urls, ids, typos — so the table is NOT forced
+    broadcast; AQE broadcasts it at runtime while it measures small
+    and shuffle-joins past that) -> one agg shuffle on the doc id.
+    The corpus total is a one-row aggregate broadcast-crossJoined on
+    (the bounds-frame pattern), not an unpartitioned window over the
+    vocab table. No UDF anywhere."""
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     )
-    # corpus total rides ON the vocab frame via a global window (vocab
-    # is dimension-sized, so the single-partition window is trivial) —
-    # one tokenize for the vocab, one for the scoring join, instead of
-    # a third full scan+explode for a separate totals aggregate
-    # (review finding)
-    vocab = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("_n_total", F.sum("_c").over(Window.partitionBy()))
-    )
-    micro = tok.join(F.broadcast(vocab), "term").select(
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    tot = vocab.agg(F.sum("_c").alias("_n_total"))
+    micro = tok.join(vocab, "term").crossJoin(F.broadcast(tot)).select(
         "_id",
         F.round(F.log(F.col("_n_total").cast("double") / F.col("_c")) * 1e6, 0)
         .cast("bigint")

@@ -1465,8 +1465,9 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lines are the q_line_dedup 3-word synthesis; punctuation and
 # blocklist hits are injected by pure integer arithmetic so both
 # engines build the identical corpus: (doc_id+pos)%4 -> . . ? bare,
-# (doc_id*31+pos)%97 -> {0: javascript line, 1: lorem-ipsum doc kill,
-# 2: curly-brace line}.
+# (doc_id*31+pos)%97 -> {0: javascript line (line-level drop),
+# 1: lorem-ipsum DOC kill, 2: curly-brace DOC kill — §2.2 removes the
+# whole page for both placeholder text and code tells}.
 @query(
     "q_c4_clean",
     oracle=f"""
@@ -1494,18 +1495,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (regexp_matches(line, '[.!?"]$')
                        AND len(list_filter(string_split_regex(lower(line), '\\s+'),
                                            x -> x <> '')) >= 3
-                       AND NOT contains(lower(line), 'javascript')
-                       AND NOT contains(lower(line), '{{')) AS ok,
-                      contains(lower(line), 'lorem ipsum') AS lorem
+                       AND NOT contains(lower(line), 'javascript')) AS ok,
+                      (contains(lower(line), 'lorem ipsum')
+                       OR contains(lower(line), '{{')) AS kill
                FROM aug),
     agg AS (SELECT doc_id, count(*) AS n_lines,
                    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                   max(lorem) AS doc_lorem,
+                   max(kill) AS doc_killed,
                    md5(string_agg(CASE WHEN ok THEN line END, chr(10)
                                   ORDER BY pos)) AS clean_fp
             FROM marked GROUP BY doc_id)
     SELECT doc_id, n_lines, n_kept, clean_fp
-    FROM agg WHERE NOT doc_lorem AND n_kept >= 5
+    FROM agg WHERE NOT doc_killed AND n_kept >= 5
     """,
 )
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

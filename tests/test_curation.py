@@ -110,20 +110,32 @@ def test_c4_line_filters_branches(spark):
         (1, 6, "no terminal punctuation here"),  # dropped: punct
         (1, 7, "too short."),  # dropped: < 3 words
         (1, 8, "please enable javascript today."),  # dropped: fragment
-        (1, 9, "call function() { now }."),  # dropped: brace
         # doc 2: lorem ipsum anywhere kills the whole doc
         *[(2, p, f"good line number {p} stays.") for p in range(6)],
         (2, 6, "lorem ipsum dolor sit amet."),
         # doc 3: only 4 surviving lines -> below min_doc_lines
         *[(3, p, f"good line number {p} stays.") for p in range(4)],
+        # doc 4: a curly bracket anywhere kills the whole PAGE —
+        # Raffel et al. 2020 §2.2: "any page that contained a curly
+        # bracket was removed" (same scope as the lorem-ipsum rule,
+        # NOT a line-level drop)
+        *[(4, p, f"good line number {p} stays.") for p in range(6)],
+        (4, 6, "call function() { now }."),
     ]
     lines = spark.createDataFrame(rows, "doc_id long, pos int, line string")
     out = {r["doc_id"]: r for r in c4_line_filters(lines).collect()}
     assert set(out) == {1}
-    assert out[1]["n_lines"] == 10
+    assert out[1]["n_lines"] == 9
     assert out[1]["n_kept"] == 6
     assert out[1]["text_clean"].count("\n") == 5
     assert "javascript" not in out[1]["text_clean"]
+    # opt-in line scope: the brace drops only its line, doc 4 survives
+    soft = {
+        r["doc_id"]: r
+        for r in c4_line_filters(lines, brace_scope="line").collect()
+    }
+    assert set(soft) == {1, 4}
+    assert soft[4]["n_kept"] == 6 and "{" not in soft[4]["text_clean"]
 
 
 def test_exact_ntile_matches_closed_form_and_partition_invariant(spark):
