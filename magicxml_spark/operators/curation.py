@@ -7,11 +7,14 @@ re-expressed Spark-first over a (id, text) frame:
   dedup, FIRST occurrence wins (Soldaini et al. 2024 "Dolma" §4.1 run
   dedup at document/paragraph granularity; Lee et al. 2021 establish
   first-occurrence-wins for exact substring dedup).
-* ``gopher_repetition`` / ``gopher_quality`` — the Gopher quality
-  rules (Rae et al. 2021, "Scaling Language Models", Appendix A1.1):
-  word-count / word-length / symbol / alpha / stopword gates plus the
-  full n-gram repetition battery (top 2-4-gram char fraction,
-  duplicated 5-10-gram char fraction).
+* ``gopher_repetition`` / ``gopher_line_cols`` / ``gopher_quality`` —
+  the COMPLETE Gopher rule set (Rae et al. 2021, "Scaling Language
+  Models", Appendix A1.1): word-count / word-length / symbol / alpha
+  / stopword gates, the full n-gram repetition battery (top 2-4-gram
+  char fraction, duplicated 5-10-gram char fraction), the duplicate
+  line/paragraph fractions by count and char mass (0.30/0.30 and
+  0.20/0.20 caps), and the bullet-start (90%) / ellipsis-end (30%)
+  line-shape rules.
 * ``c4_line_filters`` — the C4 line-level cleaning rules (Raffel et
   al. 2020 §2.2): terminal punctuation, minimum words per line,
   blocklisted fragments, minimum surviving lines per document.
@@ -125,6 +128,102 @@ def paragraph_dedup(
 GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
+#: Duplicate line / paragraph rows of the same published table (Rae et
+#: al. 2021 Table A1): fraction of lines (paragraphs) that are repeats
+#: of an earlier one, by element count and by character mass.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+
+#: A1.1 line-shape quality rules: remove when MORE than 90% of lines
+#: start with a bullet, or more than 30% end with an ellipsis.
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_BULLET_CHARS = ["•", "‣", "▶", "-", "*"]
+
+
+def _dup_fracs(arr: Column) -> tuple[Column, Column]:
+    """(dup_frac, dup_char_frac) for an array of elements — the Gopher
+    duplicate-line/paragraph algebra: every occurrence AFTER the first
+    of a distinct element is a duplicate; the char-mass variant weights
+    each duplicate by its length over the elements' total length
+    (equivalently: total chars minus first-occurrence chars — computed
+    here via array_distinct, no explode, no shuffle). Empty arrays and
+    zero-char totals report 0."""
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+
+    def _chars(a: Column) -> Column:
+        return F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+    total = _chars(arr)
+    firsts = _chars(F.array_distinct(arr))
+    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        total > 0, F.round((total - firsts) / total, 6)
+    ).otherwise(F.lit(0.0))
+    return dup_frac, dup_char_frac
+
+
+def gopher_line_cols(text: Column) -> list[Column]:
+    """The per-document LINE/PARAGRAPH rules of Gopher A1.1 as pure
+    Column expressions (zero shuffle — these ride the same codegen
+    projection as the scalar gates):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines
+      (paragraphs, split on a blank line) that repeat an earlier one
+      (published caps 0.30 / 0.30);
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — character mass
+      of those repeats over the elements' total characters (caps
+      0.20 / 0.20; the paper phrases the denominator as the document
+      text — the element char mass spelling drops only the separator
+      bytes and is engine-exact, documented deviation);
+    * ``bullet_line_frac`` — lines whose first non-space char is a
+      bullet mark (cap 0.90);
+    * ``ellipsis_line_frac`` — lines ending (space-trimmed) in ``...``
+      or ``…`` (cap 0.30).
+
+    EMPTY lines/paragraphs are excluded from every metric: the blank
+    line between two paragraphs is document STRUCTURE, not repeated
+    content — counting ``''`` as a duplicate line would push ordinary
+    multi-paragraph text over the 0.30 cap (P 2-line paragraphs →
+    (P-2)/(3P-1) → 1/3 blank "duplicates" as P grows), inverting the
+    rule's intent. Deliberate, documented refinement of the paper's
+    unspecified line-splitting."""
+
+    def _nonempty(arr: Column) -> Column:
+        return F.filter(arr, lambda x: x != F.lit(""))
+
+    lines = _nonempty(F.split(text, "\n", -1))
+    paras = _nonempty(F.split(text, "\n\n", -1))
+    dl, dlc = _dup_fracs(lines)
+    dp, dpc = _dup_fracs(paras)
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(GOPHER_BULLET_CHARS),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        n_lines > 0, F.round(c / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    return [
+        dl.alias("dup_line_frac"),
+        dlc.alias("dup_line_char_frac"),
+        dp.alias("dup_para_frac"),
+        dpc.alias("dup_para_char_frac"),
+        frac(bullet).alias("bullet_line_frac"),
+        frac(ellipsis).alias("ellipsis_line_frac"),
+    ]
+
 
 def _ngrams_tagged(words: Column, orders: list[int]) -> Column:
     """Array of (n, gram) structs for every order in ``orders`` —
@@ -215,9 +314,13 @@ def gopher_repetition(
     )
     glen = F.length("_g")
     per_order = per_gram.groupBy("_id", "_chars", "_n").agg(
-        # top n-gram char mass: the most frequent gram's count x length;
-        # ties broken toward the larger char mass (max of the product).
-        F.max(F.col("_c") * glen).alias("_top_mass"),
+        # top n-gram char mass: the MOST FREQUENT gram's count x length
+        # (the published definition — "fraction of characters in the
+        # most frequent n-gram"); char mass only breaks count ties.
+        # max(struct(count, mass)) is lexicographic: count first.
+        F.max(
+            F.struct(F.col("_c").alias("c"), (F.col("_c") * glen).alias("m"))
+        )["m"].alias("_top_mass"),
         # duplicated-gram char mass: non-first occurrences only
         F.sum(F.when(F.col("_c") > 1, (F.col("_c") - 1) * glen).otherwise(F.lit(0))).alias(
             "_dup_mass"
@@ -264,21 +367,28 @@ def gopher_quality(
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
 ) -> DataFrame:
-    """Per-document Gopher quality gate: the scalar rules computed in
-    one codegen projection, joined with :func:`gopher_repetition`'s
-    n-gram battery, and the published thresholds folded into a single
-    ``keep`` flag. Word-count bounds are parameters (the paper's 50 /
-    100k defaults) because every downstream corpus retunes them.
+    """Per-document Gopher quality gate — the COMPLETE published
+    A1.1 rule set (Rae et al. 2021): the scalar gates and the
+    line/paragraph rules (:func:`gopher_line_cols` — duplicate
+    line/paragraph fractions by count and char mass, bullet-start and
+    ellipsis-end line fractions) computed in one codegen projection,
+    joined with :func:`gopher_repetition`'s n-gram battery, and the
+    published thresholds folded into a single ``keep`` flag.
+    Word-count bounds are parameters (the paper's 50 / 100k defaults)
+    because every downstream corpus retunes them.
 
     Output: (id, n_words, mean_word_len, symbol_ratio,
-    alpha_word_frac, n_stopwords, rep_flag, keep) — ``rep_flag`` true
-    when ANY repetition metric exceeds its published cap, ``keep`` the
-    full conjunction. Metric columns are rounded to 6dp so the frame
-    is engine-exact.
+    alpha_word_frac, n_stopwords, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, dup_para_char_frac, bullet_line_frac,
+    ellipsis_line_frac, top/dup n-gram fracs, rep_flag, keep) —
+    ``rep_flag`` true when ANY repetition metric (n-gram OR duplicate
+    line/paragraph) exceeds its published cap, ``keep`` the full
+    conjunction including the bullet/ellipsis line-shape rules. Metric
+    columns are rounded to 6dp so the frame is engine-exact.
 
-    Scale: the scalar arm is a pure projection (zero shuffle); the
-    join with the repetition arm is id-keyed, both sides one row per
-    doc."""
+    Scale: the scalar + line/paragraph arm is a pure projection (zero
+    shuffle); the join with the n-gram repetition arm is id-keyed,
+    both sides one row per doc."""
     words = tokens(F.col(text_col))
     scalars = df.select(
         F.col(id_col).alias("_id"),
@@ -320,8 +430,11 @@ def gopher_quality(
         F.size(F.filter("_w", lambda w: w.isin(GOPHER_STOPWORDS)))
         .cast("long")
         .alias("n_stopwords"),
+        *gopher_line_cols(F.col("_text")),
     )
     rep = gopher_repetition(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    # repetition caps: the n-gram battery PLUS the duplicate
+    # line/paragraph rows of the same published table
     rep_exceeds = [
         F.col(f"top_ngram_frac_{n}") > F.lit(t) for n, t in GOPHER_TOP_NGRAM_MAX.items()
     ] + [
@@ -330,7 +443,14 @@ def gopher_quality(
     rep_flag = None
     for c in rep_exceeds:
         rep_flag = c if rep_flag is None else (rep_flag | c)
+    dup_flag = (
+        (F.col("dup_line_frac") > GOPHER_MAX_DUP_LINE_FRAC)
+        | (F.col("dup_para_frac") > GOPHER_MAX_DUP_PARA_FRAC)
+        | (F.col("dup_line_char_frac") > GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        | (F.col("dup_para_char_frac") > GOPHER_MAX_DUP_PARA_CHAR_FRAC)
+    )
     joined = scalars.join(rep, "_id", "left")
+    full_rep_flag = F.coalesce(rep_flag, F.lit(False)) | dup_flag
     keep = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
@@ -339,10 +459,20 @@ def gopher_quality(
         & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
         & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
-        & ~F.coalesce(rep_flag, F.lit(False))
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & ~full_rep_flag
     )
     rep_cols = [f"top_ngram_frac_{n}" for n in sorted(GOPHER_TOP_NGRAM_MAX)] + [
         f"dup_ngram_frac_{n}" for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    ]
+    line_cols = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
     ]
     return joined.select(
         F.col("_id").alias(id_col),
@@ -351,8 +481,9 @@ def gopher_quality(
         "symbol_ratio",
         "alpha_word_frac",
         "n_stopwords",
+        *line_cols,
         *[F.coalesce(c, F.lit(0.0)).alias(c) for c in rep_cols],
-        F.coalesce(rep_flag, F.lit(False)).alias("rep_flag"),
+        full_rep_flag.alias("rep_flag"),
         keep.alias("keep"),
     )
 

@@ -1348,13 +1348,22 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle mirrors the full battery: scalar gates + nine n-gram
 # repetition metrics; SQL assembled from the same threshold tables the
 # operator ships so the rule set can never silently drift.
-def _gopher_parts() -> tuple[str, str, str, str]:
-    """(ctes, rep_sel, rep_flag, keep_cond) — the Gopher battery as
-    reusable SQL fragments, assembled from the operator's own
-    threshold tables (q_gopher_quality composes the full frame;
-    q_curation_v3 reuses the gate condition)."""
+def _gopher_parts(source: str = "documents") -> tuple[str, str, str, str]:
+    """(ctes, rep_sel, rep_flag, keep_cond) — the COMPLETE Gopher
+    A1.1 battery as reusable SQL fragments, assembled from the
+    operator's own threshold tables (q_gopher_quality composes the
+    full frame over a synthesized multi-line corpus; q_curation_v3
+    reuses the gate condition over raw documents). ``source`` names
+    the (doc_id, text) relation the battery reads."""
     from magicxml_spark.operators.curation import (
+        GOPHER_BULLET_CHARS,
         GOPHER_DUP_NGRAM_MAX,
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+        GOPHER_MAX_DUP_PARA_FRAC,
+        GOPHER_MAX_BULLET_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_LINE_FRAC,
         GOPHER_MAX_MEAN_WORD_LEN,
         GOPHER_MAX_SYMBOL_RATIO,
         GOPHER_MIN_ALPHA_WORD_FRAC,
@@ -1376,19 +1385,37 @@ def _gopher_parts() -> tuple[str, str, str, str]:
         f" AS dup_ngram_frac_{n}"
         for n in sorted(GOPHER_DUP_NGRAM_MAX)
     )
+    line_metric_names = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+    ]
     rep_sel = ", ".join(
-        [f"coalesce(r.top_ngram_frac_{n}, 0.0) AS top_ngram_frac_{n}"
-         for n in sorted(GOPHER_TOP_NGRAM_MAX)]
+        [f"s.{c}" for c in line_metric_names]
+        + [f"coalesce(r.top_ngram_frac_{n}, 0.0) AS top_ngram_frac_{n}"
+           for n in sorted(GOPHER_TOP_NGRAM_MAX)]
         + [f"coalesce(r.dup_ngram_frac_{n}, 0.0) AS dup_ngram_frac_{n}"
            for n in sorted(GOPHER_DUP_NGRAM_MAX)]
     )
+    # rep_flag = the full repetition table: n-gram caps PLUS the
+    # duplicate line/paragraph rows
     rep_flag = " OR ".join(
         [f"coalesce(r.top_ngram_frac_{n}, 0.0) > {t}"
          for n, t in GOPHER_TOP_NGRAM_MAX.items()]
         + [f"coalesce(r.dup_ngram_frac_{n}, 0.0) > {t}"
            for n, t in GOPHER_DUP_NGRAM_MAX.items()]
+        + [
+            f"s.dup_line_frac > {GOPHER_MAX_DUP_LINE_FRAC}",
+            f"s.dup_para_frac > {GOPHER_MAX_DUP_PARA_FRAC}",
+            f"s.dup_line_char_frac > {GOPHER_MAX_DUP_LINE_CHAR_FRAC}",
+            f"s.dup_para_char_frac > {GOPHER_MAX_DUP_PARA_CHAR_FRAC}",
+        ]
     )
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    bullet_list = ", ".join(f"'{b}'" for b in GOPHER_BULLET_CHARS)
     keep_cond = f"""s.n_words >= {GOPHER_MIN_WORDS}
                       AND s.n_words <= {GOPHER_MAX_WORDS}
                       AND s.mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
@@ -1396,8 +1423,39 @@ def _gopher_parts() -> tuple[str, str, str, str]:
                       AND s.symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
                       AND s.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
                       AND s.n_stopwords >= {GOPHER_MIN_STOPWORDS}
+                      AND s.bullet_line_frac <= {GOPHER_MAX_BULLET_LINE_FRAC}
+                      AND s.ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
                       AND NOT ({rep_flag})"""
-    ctes = f"""w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    # duplicate line/paragraph algebra (pure list ops, mirrors
+    # curation._dup_fracs): dup count = len - distinct len; dup char
+    # mass = total element chars - first-occurrence chars
+    charsum = "coalesce(list_sum(list_transform({0}, x -> length(x))), 0)"
+
+    def _dup_sql(arr: str) -> tuple[str, str]:
+        tot, firsts = charsum.format(arr), charsum.format(f"list_distinct({arr})")
+        return (
+            f"CASE WHEN len({arr}) = 0 THEN 0.0"
+            f" ELSE round((len({arr}) - len(list_distinct({arr}))) * 1.0"
+            f" / len({arr}), 6) END",
+            f"CASE WHEN {tot} = 0 THEN 0.0"
+            f" ELSE round(({tot} - {firsts}) * 1.0 / {tot}, 6) END",
+        )
+
+    dl, dlc = _dup_sql("lns")
+    dp, dpc = _dup_sql("prs")
+    bullet = (
+        f"CASE WHEN len(lns) = 0 THEN 0.0 ELSE round(len(list_filter(lns,"
+        f" x -> left(ltrim(x), 1) IN ({bullet_list}))) * 1.0 / len(lns), 6) END"
+    )
+    ellipsis = (
+        "CASE WHEN len(lns) = 0 THEN 0.0 ELSE round(len(list_filter(lns,"
+        " x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))"
+        " * 1.0 / len(lns), 6) END"
+    )
+    ctes = f"""w AS (SELECT doc_id, text, {_WORDS_SQL} AS w,
+                list_filter(string_split(text, chr(10)), x -> x <> '') AS lns,
+                list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS prs
+           FROM {source}),
     scal AS (
       SELECT doc_id, len(w) AS n_words,
              CASE WHEN len(w) = 0 THEN 0.0
@@ -1410,7 +1468,13 @@ def _gopher_parts() -> tuple[str, str, str, str]:
              CASE WHEN len(w) = 0 THEN 0.0
                   ELSE round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
                              * 1.0 / len(w), 6) END AS alpha_word_frac,
-             len(list_filter(w, x -> x IN ({stop_list}))) AS n_stopwords
+             len(list_filter(w, x -> x IN ({stop_list}))) AS n_stopwords,
+             {dl} AS dup_line_frac,
+             {dlc} AS dup_line_char_frac,
+             {dp} AS dup_para_frac,
+             {dpc} AS dup_para_char_frac,
+             {bullet} AS bullet_line_frac,
+             {ellipsis} AS ellipsis_line_frac
       FROM w),
     gl AS (SELECT doc_id, t.n,
                   length(array_to_string(w, ' ')) AS chars,
@@ -1420,20 +1484,115 @@ def _gopher_parts() -> tuple[str, str, str, str]:
     grams AS (SELECT doc_id, n, chars, unnest(gs) AS g FROM gl),
     per_gram AS (SELECT doc_id, n, chars, g, count(*) AS c
                  FROM grams GROUP BY doc_id, n, chars, g),
+    pg2 AS (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS topc
+            FROM per_gram),
     per_order AS (SELECT doc_id, n, chars,
-                         max(c * length(g)) AS top_mass,
+                         max(CASE WHEN c = topc THEN c * length(g) END)
+                           AS top_mass,
                          sum(CASE WHEN c > 1 THEN (c - 1) * length(g)
                                   ELSE 0 END) AS dup_mass
-                  FROM per_gram GROUP BY doc_id, n, chars),
+                  FROM pg2 GROUP BY doc_id, n, chars),
     rep AS (SELECT doc_id, {top_cols}, {dup_cols}
             FROM per_order GROUP BY doc_id)"""
     return ctes, rep_sel, rep_flag, keep_cond
 
 
+# Structured-corpus synthesis shared by the Spark query and the
+# oracle: documents.text is single-line word salad, so the line/
+# paragraph rules would be vacuously 0 on it. Both engines rebuild
+# the SAME multi-line multi-paragraph corpus from pure integer
+# arithmetic (the q_c4_clean pattern): 3-word lines with injected
+# duplicate lines (doc%13 -> every other line is a fixed literal;
+# (doc*31+li)%11 -> scattered copies of the same literal), bullet
+# lines (doc%17 -> all lines bulleted; (doc*29+li)%23 -> scattered),
+# ellipsis lines (doc%19 / (doc*23+li)%29), and 2-line paragraphs
+# with doc%7 docs getting a repeated literal paragraph at every odd
+# para index — every new A1.1 metric takes non-trivial values and
+# some docs cross each published threshold (verified non-vacuous at
+# sf0.01: every rule has both zero, mid-range, and over-cap docs).
+_GOPHER_DUP_LINE = "the quick brown fox jumps."
+_GOPHER_DUP_PARA = "dup para line one\ndup para line two"
+
+
+def _gopher_synth_sql() -> str:
+    base = "array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' ')"
+    return f"""w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM w0 WHERE len(w) > 0),
+    lined AS (SELECT doc_id,
+      list_transform(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1),
+        i -> CASE
+          WHEN doc_id % 13 = 0 AND (i - 1) % 2 = 0 THEN '{_GOPHER_DUP_LINE}'
+          WHEN doc_id % 17 = 0 THEN '• ' || {base}
+          WHEN doc_id % 19 = 0 AND (i - 1) % 2 = 0 THEN {base} || '...'
+          WHEN (doc_id * 31 + (i - 1)) % 11 = 0 THEN '{_GOPHER_DUP_LINE}'
+          WHEN (doc_id * 29 + (i - 1)) % 23 = 0 THEN '- ' || {base}
+          WHEN (doc_id * 23 + (i - 1)) % 29 = 0 THEN {base} || '...'
+          ELSE {base} END) AS ls
+      FROM nz),
+    synth AS (SELECT doc_id,
+      array_to_string(
+        list_transform(range(1, CAST(ceil(len(ls) / 2.0) AS BIGINT) + 1),
+          j -> CASE WHEN doc_id % 7 = 0 AND (j - 1) % 2 = 1
+                 THEN 'dup para line one' || chr(10) || 'dup para line two'
+                 ELSE array_to_string(ls[(j-1)*2+1 : (j-1)*2+2], chr(10)) END),
+        chr(10) || chr(10)) AS text
+      FROM lined)"""
+
+
+def _gopher_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+    )
+    d = F.col("doc_id")
+
+    def mk_line(i):
+        li = i - 1
+        base = F.array_join(F.slice("w", (i - 1) * 3 + 1, 3), " ")
+        return (
+            F.when((d % 13 == 0) & (li % 2 == 0), F.lit(_GOPHER_DUP_LINE))
+            .when(d % 17 == 0, F.concat(F.lit("• "), base))
+            .when((d % 19 == 0) & (li % 2 == 0), F.concat(base, F.lit("...")))
+            .when((d * 31 + li) % 11 == 0, F.lit(_GOPHER_DUP_LINE))
+            .when((d * 29 + li) % 23 == 0, F.concat(F.lit("- "), base))
+            .when((d * 23 + li) % 29 == 0, F.concat(base, F.lit("...")))
+            .otherwise(base)
+        )
+
+    lined = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(3.0)).cast("int")),
+            mk_line,
+        ).alias("ls"),
+    )
+
+    def mk_para(j):
+        pj = j - 1
+        return F.when(
+            (d % 7 == 0) & (pj % 2 == 1), F.lit(_GOPHER_DUP_PARA)
+        ).otherwise(F.array_join(F.slice("ls", (j - 1) * 2 + 1, 2), "\n"))
+
+    return lined.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size("ls") / F.lit(2.0)).cast("int")),
+                mk_para,
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+
+
 def _gopher_oracle() -> str:
-    ctes, rep_sel, rep_flag, keep_cond = _gopher_parts()
+    ctes, rep_sel, rep_flag, keep_cond = _gopher_parts(source="synth")
     return f"""
-    WITH {ctes}
+    WITH {_gopher_synth_sql()},
+    {ctes}
     SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_ratio,
            s.alpha_word_frac, s.n_stopwords, {rep_sel},
            CAST(CASE WHEN {rep_flag} THEN 1 ELSE 0 END AS INTEGER) AS rep_flag,
@@ -1446,8 +1605,7 @@ def _gopher_oracle() -> str:
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.curation import gopher_quality
 
-    docs = table(spark, sf_dir, "documents")
-    out = gopher_quality(docs)
+    out = gopher_quality(_gopher_synth_spark(spark, sf_dir))
     return out.select(
         "doc_id",
         "n_words",
@@ -1455,7 +1613,12 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol_ratio",
         "alpha_word_frac",
         "n_stopwords",
-        *[c for c in out.columns if c.startswith(("top_ngram_", "dup_ngram_"))],
+        *[
+            c
+            for c in out.columns
+            if c.startswith(("top_ngram_", "dup_ngram_", "dup_line_", "dup_para_"))
+            or c in ("bullet_line_frac", "ellipsis_line_frac")
+        ],
         F.col("rep_flag").cast("int").alias("rep_flag"),
         F.col("keep").cast("int").alias("keep"),
     )

@@ -84,6 +84,132 @@ def test_gopher_repetition_short_doc_all_zero(spark):
         assert row[f"dup_ngram_frac_{n}"] == 0.0
 
 
+def test_gopher_top_ngram_is_most_frequent_not_largest_mass(spark):
+    # Published definition (Rae et al. 2021 A1.1): "fraction of
+    # characters in the MOST FREQUENT n-gram". 2-grams here:
+    # "longword longword" x1 (mass 17), "xx yy" x3 (mass 15),
+    # "longword xx" x1, "yy xx" x2. Most frequent = "xx yy" -> mass 15
+    # over 35 normalized chars (NOT 17/35 — a rarer, longer gram must
+    # not win).
+    df = _docs(spark, [(1, "longword longword xx yy xx yy xx yy")])
+    row = gopher_repetition(df).collect()[0]
+    assert row["top_ngram_frac_2"] == round(15 / 35, 6)
+
+
+def test_gopher_top_ngram_count_ties_break_by_char_mass(spark):
+    # all 2-grams occur once: "aa bb" (5), "bb cc" (5), "cc ddd" (6)
+    # -> tie on count, the larger char mass wins -> 6/12
+    df = _docs(spark, [(1, "aa bb cc ddd")])
+    row = gopher_repetition(df).collect()[0]
+    assert row["top_ngram_frac_2"] == round(6 / 12, 6)
+
+
+def test_gopher_dup_line_fractions_hand_computed(spark):
+    # Rae et al. 2021 Table A1 duplicate-line rows. Lines:
+    # [aaa, bbb, aaa, ccc, aaa] -> 5 lines, 3 distinct -> dup count
+    # fraction 2/5 = 0.4 (> 0.30 cap); chars: total 15, first
+    # occurrences 9 -> dup char fraction 6/15 = 0.4 (> 0.20 cap).
+    # Single paragraph (no blank line) -> paragraph fractions 0.
+    df = _docs(spark, [(1, "aaa\nbbb\naaa\nccc\naaa")])
+    row = gopher_quality(df).collect()[0]
+    assert row["dup_line_frac"] == round(2 / 5, 6)
+    assert row["dup_line_char_frac"] == round(6 / 15, 6)
+    assert row["dup_para_frac"] == 0.0
+    assert row["dup_para_char_frac"] == 0.0
+    assert row["rep_flag"] is True and row["keep"] is False
+
+
+def test_gopher_dup_para_fractions_hand_computed(spark):
+    # Paragraphs (split on blank line): [para one here, para two here,
+    # para one here, unique three!] -> 4 paras, 3 distinct -> dup
+    # count fraction 1/4 = 0.25 (UNDER the 0.30 count cap); chars:
+    # 13+13+13+13 = 52 total, firsts 13+13+13 = 39 -> char-mass
+    # fraction 13/52 = 0.25 (> 0.20 char cap -> the char-mass rule is
+    # what trips, exactly why the paper carries both variants).
+    text = "para one here\n\npara two here\n\npara one here\n\nunique three!"
+    df = _docs(spark, [(7, text)])
+    row = gopher_quality(df).collect()[0]
+    assert row["dup_para_frac"] == 0.25
+    assert row["dup_para_char_frac"] == 0.25
+    assert row["rep_flag"] is True and row["keep"] is False
+    # line-level view of the same text: the 3 blank separator lines
+    # are STRUCTURE and excluded, leaving [p1, p2, p1, u3] -> 1/4 by
+    # count, 13/52 by chars
+    assert row["dup_line_frac"] == 0.25
+    assert row["dup_line_char_frac"] == 0.25
+
+
+def test_gopher_blank_lines_are_structure_not_duplicates(spark):
+    # A well-formed 6-paragraph page (all distinct single-line
+    # paragraphs) has 5 blank separator lines; counting '' as a
+    # duplicate line would report 4/11 = 0.36 > 0.30 and kill every
+    # ordinary multi-paragraph document — blanks must not count.
+    text = "\n\n".join(f"clean paragraph number {i} right here." for i in range(6))
+    row = gopher_quality(_docs(spark, [(1, text)])).collect()[0]
+    assert row["dup_line_frac"] == 0.0
+    assert row["dup_para_frac"] == 0.0
+    assert row["dup_line_char_frac"] == 0.0
+
+
+def test_gopher_bullet_line_rule_hand_computed(spark):
+    # A1.1: remove when MORE than 90% of lines start with a bullet.
+    # 10 lines, 9 bullets -> 0.9 exactly = NOT removed (strict >);
+    # 10 of 10 -> 1.0 -> removed. Indentation is ltrimmed first.
+    filler = [f"point number {i} here" for i in range(10)]
+    nine = "\n".join(
+        [f"• {t}" for t in filler[:8]] + ["  - indented bullet too"] + ["plain closing line"]
+    )
+    ten = "\n".join(f"* {t}" for t in filler)
+    df = _docs(spark, [(1, nine), (2, ten)])
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["bullet_line_frac"] == 0.9
+    assert out[2]["bullet_line_frac"] == 1.0
+    # doc 2 fails ONLY the bullet rule among line rules
+    assert out[2]["keep"] is False
+
+
+def test_gopher_ellipsis_line_rule_hand_computed(spark):
+    # A1.1: remove when more than 30% of lines end with an ellipsis;
+    # both the three-dot and the unicode forms count, trailing spaces
+    # are rtrimmed. 2 of 5 lines = 0.4 > 0.3.
+    text = "\n".join(
+        [
+            "a normal first line",
+            "this one trails off...  ",
+            "another normal line",
+            "unicode ellipsis here…",
+            "final normal line",
+        ]
+    )
+    df = _docs(spark, [(1, text)])
+    row = gopher_quality(df).collect()[0]
+    assert row["ellipsis_line_frac"] == round(2 / 5, 6)
+    assert row["keep"] is False
+
+
+def test_gopher_boilerplate_list_page_now_killed(spark):
+    # The r7 verdict's motivating miss: a boilerplate list-page that
+    # passes EVERY pre-r8 rule — scalar gates fine (120 words, mean
+    # word length 5.0, stopwords present) and, because each line is
+    # only 3 words and every adjacent-line context is unique, NO
+    # n-gram cap trips — but 20 distinct lines each appearing twice
+    # is exactly what the duplicate-line rows of Table A1 exist for:
+    # dup_line_frac = 20/40 = 0.5 > 0.30 (and char mass 0.5 > 0.20).
+    lines = []
+    for i in range(20):
+        lines += [f"the offer{i} deal{i}"] * 2
+    df = _docs(spark, [(1, "\n".join(lines))])
+    row = gopher_quality(df).collect()[0]
+    assert row["n_words"] == 120 and row["n_stopwords"] == 40
+    for n in (2, 3, 4):
+        assert row[f"top_ngram_frac_{n}"] <= {2: 0.20, 3: 0.18, 4: 0.16}[n]
+    for n in range(5, 11):
+        assert row[f"dup_ngram_frac_{n}"] == 0.0
+    assert row["dup_line_frac"] == 0.5
+    assert row["dup_line_char_frac"] == 0.5
+    assert row["rep_flag"] is True and row["keep"] is False
+
+
 def test_gopher_quality_gates(spark):
     good = " ".join(["the", "quick", "brown", "fox", "jumps"] * 12)  # 60 words
     short = "the of tiny"
