@@ -802,6 +802,121 @@ def bigram_surprisal(
     )
 
 
+def trigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    count_floor: int = 1,
+) -> DataFrame:
+    """Per-document interpolated TRIGRAM language-model surprisal —
+    the next order of the recursive Jelinek-Mercer ladder toward
+    CCNet's published 5-gram filter (Wenzek et al. 2020 use a 5-gram
+    KenLM; Jelinek & Mercer 1980 define the interpolation):
+
+    * ``p1(w)        = c(w) / N``
+    * ``p2(w|u)      = lam * c(u,w)/c(u)      + (1-lam) * p1(w)``
+    * ``p3(w|v,u)    = lam * c(v,u,w)/c(v,u)  + (1-lam) * p2(w|u)``
+
+    Position 1 scores with ``p1``, position 2 with ``p2``, the rest
+    with ``p3``. ``count_floor`` PRUNES the trigram count table
+    (keep counts >= floor) — the knob that keeps the highest-order
+    table joinable at corpus scale (singleton n-grams dominate raw
+    web text and carry almost no smoothing mass; a pruned-away
+    trigram backs off to ``(1-lam) * p2`` exactly like an unseen
+    one). Higher orders stack the same way: one more count table,
+    one more floor.
+
+    Engine-exactness: the micro-nat contract (row-wise round of
+    ``-ln p`` to integer micro-nats, exact BIGINT per-doc sum, one
+    final division); every probability is ONE double expression of
+    identical shape in Spark and DuckDB over integer counts.
+
+    Scale shape: one projection builds (prev2, prev1, cur) triples
+    from the token array, one explode; unigram/bigram/trigram count
+    tables aggregate the same stream; all joins are hint-free (the
+    tables are corpus-derived — AQE broadcasts while small,
+    shuffle-joins with skew splitting past that; NEVER a forced
+    broadcast). The corpus total is a one-row broadcast crossJoin.
+
+    Output: (id, n_tokens, surprisal)."""
+    if count_floor < 1:
+        raise ValueError(f"count_floor must be >= 1: {count_floor}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
+    ).filter(F.size("_w") > 0)
+
+    def triple_at(i: Column) -> Column:
+        return F.struct(
+            # element_at(_, 0) RAISES — lazy CASE guards for i<=2
+            F.when(i > 2, F.element_at("_w", i - 2)).alias("prev2"),
+            F.when(i > 1, F.element_at("_w", i - 1)).alias("prev1"),
+            F.element_at("_w", i).alias("cur"),
+            F.least(i, F.lit(3)).alias("pos"),
+        )
+
+    pos = toks.select(
+        "_id",
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), triple_at)).alias(
+            "_p"
+        ),
+    ).select("_id", "_p.prev2", "_p.prev1", "_p.cur", "_p.pos")
+
+    uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
+    tot = uni.agg(F.sum("_cu").alias("_n_total"))
+    bi = (
+        pos.filter(F.col("pos") >= 2)
+        .groupBy("prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    tri = (
+        pos.filter(F.col("pos") >= 3)
+        .groupBy("prev2", "prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .filter(F.col("_ct") >= count_floor)
+    )
+    prev_c = uni.select(F.col("cur").alias("prev1"), F.col("_cu").alias("_cp"))
+    ctx2 = bi.select(
+        F.col("prev1").alias("prev2"),
+        F.col("cur").alias("prev1"),
+        F.col("_cb").alias("_cvu"),
+    )
+
+    p1 = F.col("_cu").cast("double") / F.col("_n_total")
+    p2 = F.lit(lam) * (F.col("_cb").cast("double") / F.col("_cp")) + F.lit(
+        1.0 - lam
+    ) * p1
+    p3 = F.lit(lam) * F.coalesce(
+        F.col("_ct").cast("double") / F.col("_cvu"), F.lit(0.0)
+    ) + F.lit(1.0 - lam) * p2
+    p = (
+        F.when(F.col("pos") == 1, p1)
+        .when(F.col("pos") == 2, p2)
+        .otherwise(p3)
+    )
+
+    micro = (
+        pos.join(uni, "cur")
+        .join(prev_c, "prev1", "left")
+        .join(bi, ["prev1", "cur"], "left")
+        .join(ctx2, ["prev2", "prev1"], "left")
+        .join(tri, ["prev2", "prev1", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.round(-F.log(p) * 1e6, 0).cast("bigint").alias("_micro"),
+        )
+    )
+    return (
+        micro.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias("surprisal"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 document-level blocklist filter (Raffel et al. 2020 §2.2 drop
 # any page containing a word from a public blocklist — a separate

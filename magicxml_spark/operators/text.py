@@ -420,6 +420,16 @@ BPE_ENGLISH_MERGES: list[tuple[str, str]] = [
 ]
 
 
+#: Compiled-chain size cap for :func:`bpe_apply`. MEASURED round 8:
+#: the analyzer stack-overflows between 256 and 384 nested replaces
+#: (Catalyst expression trees recurse per node; 256 compiles and runs
+#: in under a second at sf0.01, 384+ dies in analysis before any task
+#: starts). Real tokenizer tables (GPT-2 50k / LLaMA 32k merges) must
+#: use :func:`bpe_apply_pandas` — the Arrow-batched arm with no table
+#: size limit.
+BPE_MAX_COMPILED_MERGES = 256
+
+
 def bpe_apply(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -448,8 +458,26 @@ def bpe_apply(
 
     Merge symbols must not contain spaces or the \x02/\x03
     sentinels; merges whose parts never co-occur are harmless
-    no-ops."""
+    no-ops.
+
+    Table-size contract: the chain compiles ONE nested replace per
+    merge into a single Catalyst projection, and the analyzer's
+    per-node recursion stack-overflows past a few hundred nestings
+    (measured: 256 fine, 384 dies in analysis) — so this spelling is
+    capped at ``BPE_MAX_COMPILED_MERGES``. A production 32k-merge
+    tokenizer table goes through :func:`bpe_apply_pandas`. (A chunked
+    multi-projection spelling was considered and rejected: Catalyst's
+    CollapseProject re-inlines adjacent projections, so each chunk
+    boundary would need a materialization or exchange — ~125 extra
+    full-corpus barriers at 32k merges vs ONE Arrow pass.)"""
     merges = BPE_ENGLISH_MERGES if merges is None else merges
+    if len(merges) > BPE_MAX_COMPILED_MERGES:
+        raise ValueError(
+            f"bpe_apply compiles one replace per merge into a single "
+            f"projection and Catalyst analysis breaks past "
+            f"{BPE_MAX_COMPILED_MERGES} merges (got {len(merges)}); "
+            f"use bpe_apply_pandas for real tokenizer tables"
+        )
     for a, b in merges:
         for part in (a, b):
             if " " in part or "\x02" in part or "\x03" in part:
@@ -496,3 +524,109 @@ def bpe_apply(
         ).alias("n_subwords"),
         F.md5(F.array_join(seg, " | ")).alias("seg_fp"),
     )
+
+
+def bpe_apply_pandas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The real-tokenizer-table arm of :func:`bpe_apply` — same
+    output contract ``(id, n_words, n_chars, n_subwords, seg_fp)``,
+    no table size limit (GPT-2's 50k / LLaMA's 32k merges are fine).
+
+    Spelling: an Arrow-batched ``mapInPandas`` pass running the
+    classic iterative BPE loop per word — repeatedly merge every
+    left-to-right non-overlapping occurrence of the LOWEST-RANKED
+    pair present (Sennrich et al. 2016 §3.2's apply-time algorithm).
+    For a valid (training-order) merge table this produces exactly
+    the same segmentation as the compiled replace chain: a merge can
+    only create adjacencies involving its own product symbol, and any
+    later merge consuming that product necessarily has a higher rank,
+    so rank-order one-pass application and lowest-rank iteration
+    coincide (pinned against ``bpe_apply`` in tests). Unlike the
+    chain, per-word cost is independent of table size (only pairs
+    PRESENT in the word are looked up), which is what makes a 32k
+    table tractable at all.
+
+    Scale shape: zero shuffle, zero joins — one Arrow exchange in,
+    one out, parallelism = input splits (repartition upstream when
+    splits < cores, same knob as the chain arm). Distinct words are
+    memoized per batch, so the per-row cost on natural text is one
+    dict hit. This is the engine's documented Pandas-UDF slow path:
+    per-token Python beats a 384+-deep Catalyst expression that
+    cannot even be analyzed, and there is no JVM-side spelling for a
+    ranked-merge loop."""
+    import hashlib
+
+    import pandas as pd
+
+    merges = BPE_ENGLISH_MERGES if merges is None else merges
+    for a, b in merges:
+        for part in (a, b):
+            if " " in part or "\x02" in part or "\x03" in part:
+                raise ValueError(
+                    f"merge symbols must not contain spaces/sentinels: {(a, b)}"
+                )
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_words long, n_chars long, "
+        f"n_subwords long, seg_fp string"
+    )
+
+    def _segment(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+
+        def seg(word: str) -> list[str]:
+            s = cache.get(word)
+            if s is None:
+                s = _segment(word)
+                cache[word] = s
+            return s
+
+        for pdf in batches:
+            ids, nw, nc, ns, fp = [], [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").lower().split() if w]
+                segs = [seg(w) for w in words]
+                ids.append(rid)
+                nw.append(len(words))
+                nc.append(sum(len(w) for w in words))
+                ns.append(sum(len(s) for s in segs))
+                joined = " | ".join(" ".join(s) for s in segs)
+                fp.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": nw,
+                    "n_chars": nc,
+                    "n_subwords": ns,
+                    "seg_fp": fp,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

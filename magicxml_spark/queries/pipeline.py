@@ -1784,6 +1784,64 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs)
 
 
+# --- Interpolated trigram LM surprisal (CCNet ladder, order 3) ---------------
+# Recursive Jelinek-Mercer one order up from the bigram scorer, with
+# the count-floor pruning knob EXERCISED (floor=2: singleton trigrams
+# — most of a word-salad corpus — are pruned, so the backed-off
+# (1-lam)*p2 branch runs corpus-wide alongside the full p3 branch);
+# micro-nat row-wise rounding keeps the doubles engine-exact.
+@query(
+    "q_trigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> CASE WHEN i > 2 THEN w[i - 2] END)) AS prev2,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> CASE WHEN i > 1 THEN w[i - 1] END)) AS prev1,
+                   unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,
+                   unnest(list_transform(range(1, len(w) + 1), i -> least(i, 3))) AS pos
+            FROM nz),
+    uni AS (SELECT cur, count(*) AS cu FROM pos GROUP BY cur),
+    tot AS (SELECT count(*) AS n_total FROM pos),
+    bi AS (SELECT prev1, cur, count(*) AS cb FROM pos WHERE pos >= 2
+           GROUP BY prev1, cur),
+    tri AS (SELECT prev2, prev1, cur, count(*) AS ct FROM pos WHERE pos >= 3
+            GROUP BY prev2, prev1, cur HAVING count(*) >= 2),
+    prevc AS (SELECT cur AS prev1, cu AS cp FROM uni),
+    ctx2 AS (SELECT prev1 AS prev2, cur AS prev1, cb AS cvu FROM bi),
+    micro AS (
+      SELECT p.doc_id,
+             CAST(round(-ln(
+               CASE WHEN p.pos = 1 THEN CAST(u.cu AS DOUBLE) / t.n_total
+                    WHEN p.pos = 2
+                      THEN 0.75 * (CAST(b.cb AS DOUBLE) / pc.cp)
+                           + 0.25 * (CAST(u.cu AS DOUBLE) / t.n_total)
+                    ELSE 0.75 * coalesce(CAST(tr.ct AS DOUBLE) / c2.cvu,
+                                         CAST(0.0 AS DOUBLE))
+                         + 0.25 * (0.75 * (CAST(b.cb AS DOUBLE) / pc.cp)
+                                   + 0.25 * (CAST(u.cu AS DOUBLE) / t.n_total))
+               END) * 1e6, 0) AS BIGINT) AS m
+      FROM pos p
+      JOIN uni u USING (cur)
+      LEFT JOIN prevc pc ON p.prev1 = pc.prev1
+      LEFT JOIN bi b ON p.prev1 = b.prev1 AND p.cur = b.cur
+      LEFT JOIN ctx2 c2 ON p.prev2 = c2.prev2 AND p.prev1 = c2.prev1
+      LEFT JOIN tri tr ON p.prev2 = tr.prev2 AND p.prev1 = tr.prev1
+                      AND p.cur = tr.cur, tot t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """,
+)
+def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import trigram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return trigram_surprisal(docs, count_floor=2)
+
+
 # --- Seeded deterministic corpus shuffle -------------------------------------
 # The training-order epoch shuffle: md5-keyed permutation (seed 42),
 # rank via the two-phase exact global rank, packed into 50-doc shards;

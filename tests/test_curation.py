@@ -316,6 +316,83 @@ def test_bigram_surprisal_single_token_doc(spark):
     assert rows[0]["n_tokens"] == 1
 
 
+def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict:
+    """Independent plain-Python reimplementation of the recursive
+    Jelinek-Mercer ladder — the hand-check the oracle cannot provide
+    (engine-vs-engine parity misses SHARED misconceptions)."""
+    import math
+    from collections import Counter
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    n = 0
+    for w in docs.values():
+        for i, t in enumerate(w):
+            n += 1
+            uni[t] += 1
+            if i >= 1:
+                bi[(w[i - 1], t)] += 1
+            if i >= 2:
+                tri[(w[i - 2], w[i - 1], t)] += 1
+    out = {}
+    for d, w in docs.items():
+        micros = []
+        for i, t in enumerate(w):
+            p1 = uni[t] / n
+            if i == 0:
+                p = p1
+            else:
+                p2 = lam * (bi[(w[i - 1], t)] / uni[w[i - 1]]) + (1 - lam) * p1
+                if i == 1:
+                    p = p2
+                else:
+                    ct = tri[(w[i - 2], w[i - 1], t)]
+                    ml3 = (
+                        ct / bi[(w[i - 2], w[i - 1])] if ct >= floor else 0.0
+                    )
+                    p = lam * ml3 + (1 - lam) * p2
+            micros.append(round(-math.log(p) * 1e6))
+        out[d] = round(sum(micros) / len(micros) / 1e6, 6)
+    return out
+
+
+def test_trigram_surprisal_hand_computed(spark):
+    from magicxml_spark.operators.curation import trigram_surprisal
+
+    texts = {1: "a b c a b c a b c", 2: "a b x c b a", 3: "c"}
+    docs = {d: t.split() for d, t in texts.items()}
+    df = _docs(spark, list(texts.items()))
+    got = {r["doc_id"]: r["surprisal"] for r in trigram_surprisal(df).collect()}
+    assert got == _py_trigram_surprisal(docs)
+    # count_floor=2 prunes singleton trigrams (doc 2's are all unique)
+    got2 = {
+        r["doc_id"]: r["surprisal"]
+        for r in trigram_surprisal(df, count_floor=2).collect()
+    }
+    exp2 = _py_trigram_surprisal(docs, floor=2)
+    assert got2 == exp2
+    assert got2[2] > got[2]  # pruning only ever raises surprisal
+    assert got2[1] == got[1]  # doc 1's trigrams all repeat -> survive
+
+
+def test_trigram_beats_bigram_on_order3_structure(spark):
+    from magicxml_spark.operators.curation import (
+        bigram_surprisal,
+        trigram_surprisal,
+    )
+
+    # both docs share the SAME bigram multiset {ab, ba, ab, ba, ...}
+    # pattern; doc 1 is the pure repetition, doc 2 breaks only the
+    # order-3 structure — the trigram scorer must separate what the
+    # bigram scorer sees as closer
+    d1 = "a b a b a b a b a b a b"
+    d2 = "a b a a b a b b a b a b"
+    df = _docs(spark, [(1, d1), (2, d2)])
+    tri = {r["doc_id"]: r["surprisal"] for r in trigram_surprisal(df).collect()}
+    assert tri[1] < tri[2]
+    # and the exact values still match the independent ladder
+    assert tri == _py_trigram_surprisal({1: d1.split(), 2: d2.split()})
+
+
 def test_seeded_shuffle_deterministic_and_partition_invariant(spark):
     from magicxml_spark.operators.sampling import seeded_shuffle
 
@@ -392,6 +469,57 @@ def test_bpe_apply_rejects_space_in_merge(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_apply(df, merges=[("a b", "c")])
+
+
+def test_bpe_apply_rejects_oversized_table_with_actionable_error(spark):
+    # measured r8: Catalyst analysis stack-overflows between 256 and
+    # 384 nested replaces — the compiled arm must refuse, pointing at
+    # the pandas arm, BEFORE the analyzer dies
+    from magicxml_spark.operators.text import BPE_MAX_COMPILED_MERGES, bpe_apply
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    merges = [(f"s{i}", f"t{i}") for i in range(BPE_MAX_COMPILED_MERGES + 1)]
+    with pytest.raises(ValueError, match="bpe_apply_pandas"):
+        bpe_apply(df, merges=merges)
+
+
+def test_bpe_apply_pandas_matches_compiled_chain(spark):
+    # the two arms must produce IDENTICAL segmentations (same seg_fp,
+    # same counts) on a valid training-order table — pinned over real
+    # testdata plus the hand-computed 'there' case
+    from magicxml_spark.operators.text import bpe_apply, bpe_apply_pandas
+
+    df = spark.createDataFrame(
+        [(1, "there in"), (2, ""), (3, "The THERE there")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r.asDict() for r in bpe_apply(df).collect()}
+    b = {r["doc_id"]: r.asDict() for r in bpe_apply_pandas(df).collect()}
+    assert a == b
+    assert a[1]["n_subwords"] == 3  # the|re + in
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ca = bpe_apply(docs).orderBy("doc_id").collect()
+    cb = bpe_apply_pandas(docs).orderBy("doc_id").collect()
+    assert [r.asDict() for r in ca] == [r.asDict() for r in cb]
+
+
+def test_bpe_apply_pandas_handles_real_scale_table(spark):
+    # a 32k-entry table (the LLaMA size class) must run — the compiled
+    # chain cannot even analyze past ~256. Valid training-order chain:
+    # each merge's product feeds later merges ('a'+'a', 'aa'+'aa', ...)
+    # plus filler pairs that never match.
+    from magicxml_spark.operators.text import bpe_apply_pandas
+
+    merges = [("a", "a"), ("aa", "aa"), ("aaaa", "aaaa")]
+    merges += [(f"s{i}", f"t{i}") for i in range(32_000)]
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa aaa b")], "doc_id long, text string"
+    )
+    row = bpe_apply_pandas(df, merges=merges).collect()[0]
+    # 'aaaaaaaa' -> a*8 -> aa*4 -> aaaa*2 -> aaaaaaaa = 1 subword;
+    # 'aaa' -> aa + a = 2; 'b' = 1
+    assert row["n_subwords"] == 4
+    assert row["n_words"] == 3 and row["n_chars"] == 12
 
 
 def test_empty_corpus_edges(spark):
