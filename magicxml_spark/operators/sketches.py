@@ -284,6 +284,68 @@ def bloom_probe(
     )
 
 
+def bloom_bitmap_hex(bits: DataFrame, m: int = BLOOM_M) -> str:
+    """Collect the set-bit table into an m-bit hex nibble map (one hex
+    char per 4 bits, char ``p // 4`` carries bit ``p % 4`` as its
+    ``1 << (p % 4)`` value). The collect is bounded by ``m`` — 16 Ki
+    chars / 8 KiB of bitmap at the default m=65536 — NEVER by the
+    build side's row count, which is the same guarantee that made the
+    bit table broadcastable; materializing it on the driver just
+    moves the filter from a join operand into the task binary."""
+    nibbles = [0] * ((m + 3) // 4)
+    for r in bits.collect():
+        p = int(r["bit"])
+        nibbles[p // 4] |= 1 << (p % 4)
+    return "".join(f"{v:x}" for v in nibbles)
+
+
+def bloom_probe_compiled(
+    df: DataFrame,
+    value_col: str,
+    hexmap: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """The PRODUCTION probe shape: append ``bloom_maybe`` as a pure
+    Column expression against a compiled bitmap literal — zero joins,
+    zero shuffles, zero extra rows; the filter rides into every task
+    as an 8 KiB string constant and the k bit tests run inside
+    whole-stage codegen. This is how a Bloom prefilter actually pays
+    off at 100 TB: the fact side is touched ONCE, the maybe-members
+    continue to the exact join, and nothing explodes k-fold
+    (:func:`bloom_probe`, the join spelling, explodes each probe to k
+    rows and shuffles a (ids, value) aggregate — fine for a
+    streaming-state twin, 3 extra exchanges on a batch corpus).
+
+    Same bits, same semantics as ``bloom_probe``: never a false
+    negative, bounded false positives."""
+    if len(hexmap) != (m + 3) // 4:
+        raise ValueError(
+            f"hexmap length {len(hexmap)} does not match m={m}"
+        )
+    v = F.col(value_col)
+    lit = F.lit(hexmap)
+
+    def bit_set(j: int) -> Column:
+        p = _bloom_bit(j, v, m)
+        digit = F.conv(
+            F.substring(lit, (p / F.lit(4)).cast("int") + 1, 1), 16, 10
+        ).cast("int")
+        # bit (p % 4) of the nibble via exact small-power division
+        # (shiftright takes only a literal shift amount)
+        return (
+            F.floor(digit / F.pow(F.lit(2.0), (p % 4).cast("double"))).cast("int")
+            % 2
+            == 1
+        )
+
+    cond = bit_set(0)
+    for j in range(1, k):
+        cond = cond & bit_set(j)
+    return df.withColumn(out_col, cond)
+
+
 def bloom_bit_sql(j: int, value_expr: str, m: int = BLOOM_M) -> str:
     """DuckDB twin of _bloom_bit."""
     return f"('0x' || substr(md5('b{j}|' || {value_expr}), 1, 8))::BIGINT % {m}"

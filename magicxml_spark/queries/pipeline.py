@@ -395,8 +395,18 @@ def _bloom_oracle() -> str:
 
 @query("q_bloom_prefilter", oracle=_bloom_oracle())
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8: the probe is the COMPILED production shape (bitmap literal,
+    # pure projection over the fact side — zero probe-side joins or
+    # explodes); the one remaining join is the exact ground-truth
+    # check, which exists only because this gate SCORES the filter's
+    # false positives. The oracle is unchanged: same bits, same
+    # algebra, different physical strategy.
     from magicxml_spark.operators.dedup import word_shingles
-    from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
+    from magicxml_spark.operators.sketches import (
+        bloom_bitmap_hex,
+        bloom_bits_table,
+        bloom_probe_compiled,
+    )
 
     docs = table(spark, sf_dir, "documents")
     g = docs.select(
@@ -404,18 +414,15 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     corp = g.filter(F.col("doc_id") % 97 != 0)
-    bits = bloom_bits_table(ev, "gram")
-    probed = bloom_probe(corp, ["doc_id"], "gram", bits)
-    exact = corp.join(ev.withColumn("_hit", F.lit(1)), "gram", "left").select(
-        "doc_id", "gram", F.coalesce("_hit", F.lit(0)).alias("_hit")
-    )
+    hexmap = bloom_bitmap_hex(bloom_bits_table(ev, "gram"))
     return (
-        probed.join(exact, ["doc_id", "gram"])
+        bloom_probe_compiled(corp, "gram", hexmap)
+        .join(ev.withColumn("_hit", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.col("bloom_maybe").cast("int")).alias("n_bloom_maybe"),
-            F.sum("_hit").alias("n_exact_shared"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_exact_shared"),
         )
         .select(
             "doc_id",
@@ -487,7 +494,11 @@ def _curation_v2_oracle() -> str:
 def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.dedup import winnow_pairs, word_shingles
     from magicxml_spark.operators.sampling import mixture_weights
-    from magicxml_spark.operators.sketches import bloom_bits_table, bloom_probe
+    from magicxml_spark.operators.sketches import (
+        bloom_bitmap_hex,
+        bloom_bits_table,
+        bloom_probe_compiled,
+    )
 
     docs = table(spark, sf_dir, "documents")
     pairs = winnow_pairs(
@@ -502,9 +513,10 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram"))
     ev = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     corp_g = g.join(surv.select("doc_id"), "doc_id")
-    # Bloom prefilter, then the exact verify join on the survivors only
-    bits = bloom_bits_table(ev, "gram")
-    maybe = bloom_probe(corp_g, ["doc_id"], "gram", bits).filter("bloom_maybe")
+    # Bloom prefilter (compiled bitmap projection — the production
+    # shape), then the exact verify join on the maybe-members only
+    hexmap = bloom_bitmap_hex(bloom_bits_table(ev, "gram"))
+    maybe = bloom_probe_compiled(corp_g, "gram", hexmap).filter("bloom_maybe")
     dirty = (
         maybe.join(ev, "gram")
         .groupBy("doc_id")

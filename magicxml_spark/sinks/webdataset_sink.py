@@ -37,6 +37,12 @@ WDS_MANIFEST_SCHEMA = (
     "shard string, n_samples long, n_members long, n_bytes long"
 )
 
+#: tarfile's close() appends two 512 B zero blocks and pads the
+#: archive to a RECORDSIZE (10240 B) multiple — worst case one full
+#: record of trailer. The rollover estimate reserves this so an
+#: emitted shard never exceeds target_shard_bytes by the trailer.
+_TAR_TRAILER_BYTES = 10240
+
 
 def _pack_member(tf: tarfile.TarFile, name: str, body: bytes) -> None:
     info = tarfile.TarInfo(name=name)
@@ -73,7 +79,12 @@ def pack_webdataset(
     member order within the sample (round-trip fidelity); otherwise
     extensions are sorted. ``compress='gz'`` writes ``.tar.gz`` shards
     (the reader's ``r:*`` handles both transparently); note gz shard
-    sizes are counted pre-compression against ``target_shard_bytes``.
+    sizes are counted pre-compression against ``target_shard_bytes``
+    (compressed shards only ever come out SMALLER than the target).
+    The rollover estimate reserves tar's end-of-archive trailer
+    (``_TAR_TRAILER_BYTES``) so uncompressed shards respect the
+    target exactly; tmp files are task-attempt-unique so speculative
+    or retried attempts never interleave writes into one file.
     """
     if compress not in (None, "gz"):
         raise ValueError(f"unsupported compress={compress!r} (None or 'gz')")
@@ -95,7 +106,14 @@ def pack_webdataset(
             os.makedirs(path, exist_ok=True)  # executor-side on a cluster
             name = f"{prefix}-{pid:05d}-{state['seq']:05d}{suffix}"
             full = os.path.join(path, name)
-            tmp = full + ".inprogress"
+            # tmp name carries the task ATTEMPT id: with speculative
+            # execution or a retried attempt, two attempts of the same
+            # partition would otherwise open the same '.inprogress'
+            # path 'wb' and interleave writes; attempt-unique tmps keep
+            # every write private and the os.replace publish atomic
+            # (last finisher wins with identical deterministic bytes)
+            attempt = TaskContext.get().taskAttemptId()
+            tmp = f"{full}.{attempt}.inprogress"
             fh = open(tmp, "wb")
             if compress == "gz":
                 # tarfile's own "w:gz" stamps wall-clock time into the
@@ -146,7 +164,10 @@ def pack_webdataset(
                 )
                 if state["tf"] is None:
                     open_shard()
-                elif state["est"] + sample_bytes > target_shard_bytes:
+                elif (
+                    state["est"] + sample_bytes + _TAR_TRAILER_BYTES
+                    > target_shard_bytes
+                ):
                     close_shard()
                     open_shard()
                 for ext, body in members:

@@ -1053,6 +1053,38 @@ def test_bloom_filter_guarantees(spark):
     assert not any(wide[f"x{i}"] for i in range(500))
 
 
+def test_bloom_compiled_probe_matches_join_probe(spark):
+    """The compiled-bitmap projection (production shape) must agree
+    bit-for-bit with the join spelling on the same filter — every
+    member true, identical verdicts on non-members (including any
+    false positives), at both a saturated and a generous m — and its
+    plan must contain no Exchange (pure projection)."""
+    from magicxml_spark.operators.sketches import (
+        bloom_bitmap_hex,
+        bloom_bits_table,
+        bloom_probe,
+        bloom_probe_compiled,
+    )
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "v string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(500)], "v string")
+    both = members.unionByName(others)
+    for k, m in ((2, 64), (4, 1 << 16)):
+        bits = bloom_bits_table(members, "v", k=k, m=m)
+        hexmap = bloom_bitmap_hex(bits, m=m)
+        via_join = {
+            r["v"]: r["bloom_maybe"]
+            for r in bloom_probe(both, [], "v", bits, k=k, m=m).collect()
+        }
+        compiled = bloom_probe_compiled(both, "v", hexmap, k=k, m=m)
+        via_lit = {r["v"]: r["bloom_maybe"] for r in compiled.collect()}
+        assert via_lit == via_join
+    plan = compiled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        bloom_probe_compiled(both, "v", "00ff", k=2, m=64)
+
+
 def test_histogram_quantiles_accuracy(spark):
     """Bin-midpoint estimates land within one bin width of the true
     quantile on a uniform column; degenerate constant columns report

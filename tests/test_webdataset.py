@@ -243,6 +243,27 @@ def test_write_webdataset_rolls_shards_and_never_splits_samples(spark, tmp_path)
     assert names[1] == "shard-00000-00001.tar"
 
 
+def test_write_webdataset_shard_files_respect_target(spark, tmp_path):
+    # the rollover estimate must reserve tar's end-of-archive trailer
+    # (two 512B zero blocks + RECORDSIZE padding): without it a shard
+    # packed to just under the target lands ~10KiB OVER once closed
+    import os
+
+    from magicxml_spark.sinks.webdataset_sink import write_webdataset
+
+    out = tmp_path / "cap"
+    target = 64 * 1024
+    manifest = write_webdataset(
+        _samples_df(spark, 120, parts=1, part_bytes=700),
+        str(out),
+        target_shard_bytes=target,
+    )
+    assert len(manifest) >= 2  # the target actually forced rollovers
+    for m in manifest:
+        assert os.path.getsize(m["shard"]) <= target, m["shard"]
+    assert sum(m["n_samples"] for m in manifest) == 120
+
+
 def test_write_webdataset_gz_and_determinism(spark, tmp_path):
     from magicxml_spark.sinks.webdataset_sink import write_webdataset
 
