@@ -487,11 +487,14 @@ def embedding_cluster_dedup(
     ``n_cells=None`` (default) derives ~sqrt(n) cells from one count
     (``auto_n_cells`` — the same rule as the IVF dispatch), so the
     Σ|cell|² bound keeps pace with corpus growth instead of a fixed
-    16x reduction; below 10k vectors the auto rule clamps to 16 cells
-    (at tiny corpora the √n fit costs more than the quadratic work it
-    saves — the r7 sf0.1 regression; the quadratic bound at 10k/16
-    cells is ~6M multiply-adds, noise). ``centroids`` (a list of
-    centroid vectors, e.g.
+    16x reduction. (A small-n clamp to 16 cells was measured and
+    REJECTED in round 8: a direct A/B at the sf0.1 corpus — 2000
+    vectors, auto=44 — ran 2.51 s with auto vs 3.76 s clamped,
+    min-of-3 warm; the r7 sf0.1 count-mode move that suggested the
+    clamp was box noise, and more cells are mildly FASTER even at 2k
+    rows because the per-cell grid work shrinks faster than the tiny
+    fit grows. BASELINE.md round-8 records the runs.) ``centroids``
+    (a list of centroid vectors, e.g.
     read back from ``write_ivf_snapshot``'s ``{path}/centroids``
     parquet) skips the KMeans fit entirely and assigns by
     nearest-stored-centroid (``with_probe_cells``, n_probe=1) — the
@@ -514,13 +517,7 @@ def embedding_cluster_dedup(
         assigned = _assign_cells_gemm(base, centroids)
     else:
         n_rows = base.count()
-        # small-n clamp: under 10k vectors the √n rule overpays the
-        # KMeans fit relative to the quadratic work it bounds
-        cells = (
-            n_cells
-            if n_cells is not None
-            else (16 if n_rows < 10_000 else auto_n_cells(n_rows))
-        )
+        cells = n_cells if n_cells is not None else auto_n_cells(n_rows)
         model, ml = _fit_centroids(
             base,
             cells,

@@ -49,47 +49,115 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-7 rotation
-# (VERDICT r6 "Next #2"): the five r4-latest rows lead
-# (q_dedup_delimited ... q_csv_normalize — the only rows older than
-# r5), then the three NEW multimodal invariant queries,
-# q_embedding_cluster_dedup (planted-offset derivation changed — re-
-# pin), and the ELEVEN new round-7 queries (curation class + classifier +
-# stream paragraph dedup + BPE apply + v3 composition + blocklist
-# gate) — a 20-entry head, all of
-# which need their first/changed driver row. The r5-latest block
-# follows (~32 fit the ~50 window; the ones past the cut are stable
-# r5-green rows that lead r8's rotation), and the r6-fresh rows close
-# the list. Names missing from the list (future additions) append in
-# registration order; the assertion keeps the list honest.
+# get a driver-recorded correctness row each round. Round-8 rotation
+# (VERDICT r7 "Next #3"): the NINETEEN queries whose latest rows are
+# r5 lead, then the eleven queries changed or added this round
+# (trigram surprisal NEW; gopher/c4/v3 re-pinned with the completed
+# A1.1 battery and the page-level brace kill; the LM scorers' and
+# bloom/v2's plans changed — broadcast gating, compiled bitmap probe;
+# quality_classifier's vocab top-k; embedding_cluster_dedup's small-n
+# clamp) — a 30-entry head, all needing a fresh/changed driver row.
+# The r6-fresh block follows (~20 of it fits the ~50 window, rotating
+# the next-oldest rows), and the r7-fresh rows close the list. After
+# this round no latest row should be older than r6. Names missing
+# from the list (future additions) append in registration order; the
+# assertion keeps the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    # --- r4-stale head (rotation target) ---
+    # --- r5-stale head (rotation target: all 19 r5-latest rows) ---
+    "q_md5_user_hash",
+    "q_html_clean",
+    "q_jaccard_pairs",
+    "q_range_join",
+    "q_salted_agg",
+    "q_session_window",
+    "q_key_skew",
+    "q_quota_sample",
+    "q_stratified_sample",
+    "q_hash_split",
+    "q_json_props",
+    "q_line_dedup",
+    "q_chunk_text",
+    "q_chunks_to_shards",
+    "q_stream_interval_join",
+    "q_stream_interval_semi",
+    "q_stream_simhash_wide_pairs",
+    "q_hll_union",
+    "q_cm_union",
+    # --- new/changed this round: fresh rows required ---
+    "q_trigram_surprisal",
+    "q_gopher_quality",
+    "q_c4_clean",
+    "q_curation_v3",
+    "q_bigram_surprisal",
+    "q_unigram_surprisal",
+    "q_perplexity_buckets",
+    "q_quality_classifier",
+    "q_embedding_cluster_dedup",
+    "q_bloom_prefilter",
+    "q_curation_v2",
+    # --- r6-fresh block (next-oldest; ~20 fit the ~50 window) ---
+    "q_tfidf_top_terms",
+    "q_corpus_filter",
+    "q_events_stream_windowed",
+    "q_substring_dedup",
+    "q_flagship_revenue",
+    "q_pii_scrub",
+    "q_moving_sum",
+    "q_token_shards",
+    "q_ivf_refit_plan",
+    "q_pii_luhn",
+    "q_url_dedup",
+    "q_stream_interval_outer",
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
+    "q_mixture_weights",
+    "q_hll_distinct",
+    "q_cm_heavy_hitters",
+    "q_stream_hll_users",
+    "q_dependency_parse",
+    "q_histogram_quantiles",
+    "q_stream_cm_events",
+    "q_zorder_key",
+    "q_stream_winnow_pairs",
+    "q_events_stream_sessionize",
+    "q_events_stream_dedup",
+    "q_stream_minhash_pairs",
+    "q_dedup_clusters",
+    "q_sessionize",
+    "q_tfidf_pca",
+    "q_events_windowed",
+    "q_price_pivot",
+    "q_collect_distinct",
+    "q_dense_ids",
+    "q_topk_per_group",
+    "q_counts",
+    "q_anti_join",
+    "q_union_lineage",
+    "q_null_handling",
+    "q_prune_profile",
+    "q_rollup",
+    "q_pricing_summary",
+    "q_percentiles",
+    "q_cube",
+    "q_set_ops",
+    "q_pivot",
+    "q_sanitize_name",
+    # --- r7-fresh tail (newest rows; sampled last) ---
     "q_dedup_delimited",
     "q_decimal_comma",
     "q_size_strip",
     "q_defaults",
     "q_csv_normalize",
-    # --- new this round: multimodal invariant gates ---
     "q_image_near_dup",
     "q_video_near_dup",
     "q_audio_near_dup",
-    # --- changed this round: re-pin ---
-    "q_embedding_cluster_dedup",
-    # --- new this round: published-recipe curation class ---
     "q_paragraph_dedup",
-    "q_gopher_quality",
-    "q_c4_clean",
-    "q_perplexity_buckets",
-    "q_bigram_surprisal",
     "q_corpus_shuffle",
-    "q_quality_classifier",
     "q_stream_paragraph_dedup",
     "q_bpe_tokenize",
-    "q_curation_v3",
     "q_badwords_filter",
-    # --- r5-latest block (41 inside the ~50 window) ---
     "q_minhash_lsh_pairs",
     "q_lsh_pairs_capped",
     "q_lsh_xxhash64_recall",
@@ -120,76 +188,6 @@ _DRIVER_SAMPLE_ORDER = [
     "q_curation_pipeline",
     "q_asof_join",
     "q_asof_prev_purchase",
-    "q_range_join",
-    "q_salted_agg",
-    "q_session_window",
-    "q_key_skew",
-    "q_stream_interval_join",
-    "q_stream_interval_semi",
-    "q_stream_simhash_wide_pairs",
-    "q_hll_union",
-    "q_cm_union",
-    "q_md5_user_hash",
-    "q_html_clean",
-    # --- r5-latest tail (just past the window; stable scalar ops) ---
-    "q_jaccard_pairs",
-    "q_json_props",
-    "q_quota_sample",
-    "q_stratified_sample",
-    "q_hash_split",
-    "q_line_dedup",
-    "q_chunk_text",
-    "q_chunks_to_shards",
-    # --- r6-fresh block ---
-    "q_tfidf_top_terms",
-    "q_corpus_filter",
-    "q_events_stream_windowed",
-    "q_substring_dedup",
-    "q_flagship_revenue",
-    "q_pii_scrub",
-    "q_moving_sum",
-    "q_token_shards",
-    "q_ivf_refit_plan",
-    "q_pii_luhn",
-    "q_url_dedup",
-    "q_stream_interval_outer",
-    "q_unigram_surprisal",
-    "q_winnow_fingerprint",
-    "q_winnow_pairs",
-    "q_mixture_weights",
-    "q_hll_distinct",
-    "q_cm_heavy_hitters",
-    "q_stream_hll_users",
-    "q_bloom_prefilter",
-    "q_dependency_parse",
-    "q_histogram_quantiles",
-    "q_stream_cm_events",
-    "q_zorder_key",
-    "q_curation_v2",
-    "q_stream_winnow_pairs",
-    "q_events_stream_sessionize",
-    "q_events_stream_dedup",
-    "q_stream_minhash_pairs",
-    "q_dedup_clusters",
-    "q_sessionize",
-    "q_tfidf_pca",
-    "q_events_windowed",
-    "q_price_pivot",
-    "q_collect_distinct",
-    "q_dense_ids",
-    "q_topk_per_group",
-    "q_counts",
-    "q_anti_join",
-    "q_union_lineage",
-    "q_null_handling",
-    "q_prune_profile",
-    "q_rollup",
-    "q_pricing_summary",
-    "q_percentiles",
-    "q_cube",
-    "q_set_ops",
-    "q_pivot",
-    "q_sanitize_name",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]
