@@ -802,110 +802,120 @@ def bigram_surprisal(
     )
 
 
-def trigram_surprisal(
+def ngram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order: int = 5,
     lam: float = 0.75,
     count_floor: int = 1,
+    floor_from: int = 3,
 ) -> DataFrame:
-    """Per-document interpolated TRIGRAM language-model surprisal —
-    the next order of the recursive Jelinek-Mercer ladder toward
-    CCNet's published 5-gram filter (Wenzek et al. 2020 use a 5-gram
+    """Per-document interpolated ORDER-n language-model surprisal —
+    the full recursive Jelinek-Mercer ladder; ``order=5`` is CCNet's
+    published filter order (Wenzek et al. 2020 score with a 5-gram
     KenLM; Jelinek & Mercer 1980 define the interpolation):
 
-    * ``p1(w)        = c(w) / N``
-    * ``p2(w|u)      = lam * c(u,w)/c(u)      + (1-lam) * p1(w)``
-    * ``p3(w|v,u)    = lam * c(v,u,w)/c(v,u)  + (1-lam) * p2(w|u)``
+    * ``p_1(w)            = c(w) / N``
+    * ``p_k(w|ctx_{k-1})  = lam * c_k/c(ctx_{k-1}) + (1-lam) * p_{k-1}``
 
-    Position 1 scores with ``p1``, position 2 with ``p2``, the rest
-    with ``p3``. ``count_floor`` PRUNES the trigram count table
-    (keep counts >= floor) — the knob that keeps the highest-order
-    table joinable at corpus scale (singleton n-grams dominate raw
-    web text and carry almost no smoothing mass; a pruned-away
-    trigram backs off to ``(1-lam) * p2`` exactly like an unseen
-    one). Higher orders stack the same way: one more count table,
-    one more floor.
+    Position i scores with ``p_min(i, order)`` (the ladder up to the
+    available context). ``count_floor`` PRUNES every count table of
+    order >= ``floor_from`` (keep counts >= floor) — the knob that
+    keeps the high-order tables joinable at corpus scale: singleton
+    n-grams dominate raw web text and carry almost no smoothing mass,
+    and a pruned-away n-gram backs off to ``(1-lam) * p_{k-1}``
+    exactly like an unseen one. Pruning is prefix-consistent — a
+    k-gram's count never exceeds its (k-1)-gram context's count, so a
+    surviving numerator always finds its denominator.
 
     Engine-exactness: the micro-nat contract (row-wise round of
     ``-ln p`` to integer micro-nats, exact BIGINT per-doc sum, one
     final division); every probability is ONE double expression of
     identical shape in Spark and DuckDB over integer counts.
 
-    Scale shape: one projection builds (prev2, prev1, cur) triples
-    from the token array, one explode; unigram/bigram/trigram count
-    tables aggregate the same stream; all joins are hint-free (the
-    tables are corpus-derived — AQE broadcasts while small,
-    shuffle-joins with skew splitting past that; NEVER a forced
-    broadcast). The corpus total is a one-row broadcast crossJoin.
+    Scale shape: one projection builds (prev_{order-1}..prev_1, cur)
+    tuples from the token array, one explode; the order count tables
+    aggregate the same stream; all joins are hint-free (the tables
+    are corpus-derived — AQE broadcasts while small, shuffle-joins
+    with skew splitting past that; NEVER a forced broadcast). The
+    corpus total is a one-row broadcast crossJoin. Cost is linear in
+    ``order`` (one count aggregate + two joins per level) — the same
+    ladder KenLM walks, distributed.
 
     Output: (id, n_tokens, surprisal)."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2: {order}")
     if count_floor < 1:
         raise ValueError(f"count_floor must be >= 1: {count_floor}")
+    prevs = [f"prev{j}" for j in range(1, order)]  # prev1 = w[i-1], ...
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
     ).filter(F.size("_w") > 0)
 
-    def triple_at(i: Column) -> Column:
+    def tuple_at(i: Column) -> Column:
+        fields = [
+            # element_at(_, 0) RAISES — lazy CASE guards for i <= j
+            F.when(i > j, F.element_at("_w", i - j)).alias(f"prev{j}")
+            for j in range(1, order)
+        ]
         return F.struct(
-            # element_at(_, 0) RAISES — lazy CASE guards for i<=2
-            F.when(i > 2, F.element_at("_w", i - 2)).alias("prev2"),
-            F.when(i > 1, F.element_at("_w", i - 1)).alias("prev1"),
+            *fields,
             F.element_at("_w", i).alias("cur"),
-            F.least(i, F.lit(3)).alias("pos"),
+            F.least(i, F.lit(order)).alias("pos"),
         )
 
     pos = toks.select(
         "_id",
-        F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), triple_at)).alias(
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), tuple_at)).alias(
             "_p"
         ),
-    ).select("_id", "_p.prev2", "_p.prev1", "_p.cur", "_p.pos")
+    ).select("_id", *[f"_p.{c}" for c in prevs], "_p.cur", "_p.pos")
 
-    uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
-    tot = uni.agg(F.sum("_cu").alias("_n_total"))
-    bi = (
-        pos.filter(F.col("pos") >= 2)
-        .groupBy("prev1", "cur")
-        .agg(F.count(F.lit(1)).alias("_cb"))
-    )
-    tri = (
-        pos.filter(F.col("pos") >= 3)
-        .groupBy("prev2", "prev1", "cur")
-        .agg(F.count(F.lit(1)).alias("_ct"))
-        .filter(F.col("_ct") >= count_floor)
-    )
-    prev_c = uni.select(F.col("cur").alias("prev1"), F.col("_cu").alias("_cp"))
-    ctx2 = bi.select(
-        F.col("prev1").alias("prev2"),
-        F.col("cur").alias("prev1"),
-        F.col("_cb").alias("_cvu"),
-    )
-
-    p1 = F.col("_cu").cast("double") / F.col("_n_total")
-    p2 = F.lit(lam) * (F.col("_cb").cast("double") / F.col("_cp")) + F.lit(
-        1.0 - lam
-    ) * p1
-    p3 = F.lit(lam) * F.coalesce(
-        F.col("_ct").cast("double") / F.col("_cvu"), F.lit(0.0)
-    ) + F.lit(1.0 - lam) * p2
-    p = (
-        F.when(F.col("pos") == 1, p1)
-        .when(F.col("pos") == 2, p2)
-        .otherwise(p3)
-    )
-
-    micro = (
-        pos.join(uni, "cur")
-        .join(prev_c, "prev1", "left")
-        .join(bi, ["prev1", "cur"], "left")
-        .join(ctx2, ["prev2", "prev1"], "left")
-        .join(tri, ["prev2", "prev1", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "_id",
-            F.round(-F.log(p) * 1e6, 0).cast("bigint").alias("_micro"),
+    # count table per order: keys_k = (prev_{k-1}..prev_1, cur)
+    tables = {1: pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_c1"))}
+    for k in range(2, order + 1):
+        keys = [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+        t = (
+            pos.filter(F.col("pos") >= k)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(f"_c{k}"))
         )
+        if k >= floor_from and count_floor > 1:
+            t = t.filter(F.col(f"_c{k}") >= count_floor)
+        tables[k] = t
+    tot = tables[1].agg(F.sum("_c1").alias("_n_total"))
+
+    # context table for level k = tables[k-1] re-keyed one slot up
+    # (prev_j -> prev_{j+1}, cur -> prev_1), count aliased _x{k}
+    joined = pos.join(tables[1], "cur").crossJoin(F.broadcast(tot))
+    for k in range(2, order + 1):
+        keys = [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+        ctx = tables[k - 1].select(
+            *[
+                F.col(f"prev{j}").alias(f"prev{j + 1}")
+                for j in range(1, k - 1)
+            ],
+            F.col("cur").alias("prev1"),
+            F.col(f"_c{k - 1}").alias(f"_x{k}"),
+        )
+        joined = joined.join(tables[k], keys, "left").join(
+            ctx, keys[:-1], "left"
+        )
+
+    p = F.col("_c1").cast("double") / F.col("_n_total")
+    ladder = [p]
+    for k in range(2, order + 1):
+        p = F.lit(lam) * F.coalesce(
+            F.col(f"_c{k}").cast("double") / F.col(f"_x{k}"), F.lit(0.0)
+        ) + F.lit(1.0 - lam) * p
+        ladder.append(p)
+    expr = ladder[order - 1]
+    for k in range(order - 1, 0, -1):
+        expr = F.when(F.col("pos") == k, ladder[k - 1]).otherwise(expr)
+
+    micro = joined.select(
+        "_id", F.round(-F.log(expr) * 1e6, 0).cast("bigint").alias("_micro")
     )
     return (
         micro.groupBy("_id")
@@ -914,6 +924,22 @@ def trigram_surprisal(
             F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias("surprisal"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
+    )
+
+
+def trigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    count_floor: int = 1,
+) -> DataFrame:
+    """Order-3 rung of :func:`ngram_surprisal` (kept as a named
+    operator: the trigram scorer is the cheapest order that sees past
+    bigram structure, and its oracle/pins gate the shared ladder).
+    ``count_floor`` prunes the trigram table only (floor_from=3)."""
+    return ngram_surprisal(
+        df, id_col, text_col, order=3, lam=lam, count_floor=count_floor
     )
 
 

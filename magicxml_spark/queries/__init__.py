@@ -87,6 +87,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_cm_union",
     # --- new/changed this round: fresh rows required ---
     "q_trigram_surprisal",
+    "q_5gram_surprisal",
     "q_gopher_quality",
     "q_c4_clean",
     "q_curation_v3",

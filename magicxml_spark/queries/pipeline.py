@@ -1854,6 +1854,96 @@ def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_surprisal(docs, count_floor=2)
 
 
+# --- Interpolated 5-gram LM surprisal (the full CCNet order) ------------------
+# The generalized recursive Jelinek-Mercer ladder at order 5 — what
+# Wenzek et al. 2020 actually score with — with the count floor
+# pruning every table of order >= 3. The oracle is GENERATED from the
+# same (order, floor, lam) parameters so the two spellings cannot
+# drift; the ladder's float shape matches the Spark expression tree
+# term for term (micro-nat row-wise rounding as everywhere).
+def _ngram_oracle(
+    order: int, floor: int, floor_from: int = 3, lam: float = 0.75
+) -> str:
+    pos_cols = ",\n".join(
+        f"unnest(list_transform(range(1, len(w) + 1),"
+        f" i -> CASE WHEN i > {j} THEN w[i - {j}] END)) AS prev{j}"
+        for j in range(1, order)
+    )
+    tables, ctxs, joins = [], [], []
+    for k in range(2, order + 1):
+        keys = [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+        having = (
+            f" HAVING count(*) >= {floor}"
+            if k >= floor_from and floor > 1
+            else ""
+        )
+        tables.append(
+            f"t{k} AS (SELECT {', '.join(keys)}, count(*) AS c{k}"
+            f" FROM pos WHERE pos >= {k} GROUP BY {', '.join(keys)}{having})"
+        )
+        if k == 2:
+            ctxs.append("x2 AS (SELECT cur AS prev1, c1 AS x2 FROM t1)")
+        else:
+            renames = ", ".join(
+                [f"prev{j} AS prev{j + 1}" for j in range(1, k - 1)]
+                + ["cur AS prev1", f"c{k - 1} AS x{k}"]
+            )
+            ctxs.append(f"x{k} AS (SELECT {renames} FROM t{k - 1})")
+        on = " AND ".join(f"p.{c} = b{k}.{c}" for c in keys)
+        joins.append(f"LEFT JOIN t{k} b{k} ON {on}")
+        on2 = " AND ".join(f"p.{c} = g{k}.{c}" for c in keys[:-1])
+        joins.append(f"LEFT JOIN x{k} g{k} ON {on2}")
+    p = "CAST(u.c1 AS DOUBLE) / t.n_total"
+    ladder = [p]
+    for k in range(2, order + 1):
+        p = (
+            f"{lam} * coalesce(CAST(b{k}.c{k} AS DOUBLE) / g{k}.x{k},"
+            f" CAST(0.0 AS DOUBLE)) + {1.0 - lam} * ({p})"
+        )
+        ladder.append(p)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN p.pos = {k} THEN {ladder[k - 1]}" for k in range(1, order)
+        )
+        + f" ELSE {ladder[order - 1]} END"
+    )
+    tables_sql = ",\n    ".join(tables)
+    ctxs_sql = ",\n    ".join(ctxs)
+    joins_sql = "\n      ".join(joins)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    pos AS (SELECT doc_id,
+                   {pos_cols},
+                   unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> least(i, {order}))) AS pos
+            FROM nz),
+    t1 AS (SELECT cur, count(*) AS c1 FROM pos GROUP BY cur),
+    tot AS (SELECT count(*) AS n_total FROM pos),
+    {tables_sql},
+    {ctxs_sql},
+    micro AS (
+      SELECT p.doc_id,
+             CAST(round(-ln({case}) * 1e6, 0) AS BIGINT) AS m
+      FROM pos p
+      JOIN t1 u USING (cur)
+      {joins_sql}, tot t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """
+
+
+@query("q_5gram_surprisal", oracle=_ngram_oracle(order=5, floor=2))
+def q_5gram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_surprisal(docs, order=5, count_floor=2)
+
+
 # --- Seeded deterministic corpus shuffle -------------------------------------
 # The training-order epoch shuffle: md5-keyed permutation (seed 42),
 # rank via the two-phase exact global rank, packed into 50-doc shards;

@@ -316,43 +316,63 @@ def test_bigram_surprisal_single_token_doc(spark):
     assert rows[0]["n_tokens"] == 1
 
 
-def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict:
+def _py_ngram_surprisal(
+    docs: dict,
+    order: int = 3,
+    lam: float = 0.75,
+    floor: int = 1,
+    floor_from: int = 3,
+) -> dict:
     """Independent plain-Python reimplementation of the recursive
-    Jelinek-Mercer ladder — the hand-check the oracle cannot provide
-    (engine-vs-engine parity misses SHARED misconceptions)."""
+    Jelinek-Mercer ladder at any order — the hand-check the oracle
+    cannot provide (engine-vs-engine parity misses SHARED
+    misconceptions).
+
+    Rounding convention: Spark's F.round and DuckDB's round are
+    HALF-UP on the value's shortest decimal representation; Python's
+    built-in round() is banker's, which differs exactly at .5 ties
+    (a 2-token doc with an odd micro sum always lands on one). The
+    reference reproduces the engines' convention via Decimal."""
     import math
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
-    uni, bi, tri = Counter(), Counter(), Counter()
+    def _half_up(x: float, digits: int) -> float:
+        q = Decimal(1).scaleb(-digits) if digits else Decimal(1)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    counts = {k: Counter() for k in range(1, order + 1)}
     n = 0
     for w in docs.values():
-        for i, t in enumerate(w):
+        for i in range(len(w)):
             n += 1
-            uni[t] += 1
-            if i >= 1:
-                bi[(w[i - 1], t)] += 1
-            if i >= 2:
-                tri[(w[i - 2], w[i - 1], t)] += 1
+            for k in range(1, order + 1):
+                if i >= k - 1:
+                    counts[k][tuple(w[i - k + 1 : i + 1])] += 1
+
+    def c(k, gram):
+        v = counts[k][gram]
+        if k >= floor_from and v < floor:
+            return 0
+        return v
+
     out = {}
     for d, w in docs.items():
         micros = []
-        for i, t in enumerate(w):
-            p1 = uni[t] / n
-            if i == 0:
-                p = p1
-            else:
-                p2 = lam * (bi[(w[i - 1], t)] / uni[w[i - 1]]) + (1 - lam) * p1
-                if i == 1:
-                    p = p2
-                else:
-                    ct = tri[(w[i - 2], w[i - 1], t)]
-                    ml3 = (
-                        ct / bi[(w[i - 2], w[i - 1])] if ct >= floor else 0.0
-                    )
-                    p = lam * ml3 + (1 - lam) * p2
-            micros.append(round(-math.log(p) * 1e6))
-        out[d] = round(sum(micros) / len(micros) / 1e6, 6)
+        for i in range(len(w)):
+            p = counts[1][(w[i],)] / n
+            for k in range(2, min(i + 1, order) + 1):
+                gram = tuple(w[i - k + 1 : i + 1])
+                ck = c(k, gram)
+                ml = ck / counts[k - 1][gram[:-1]] if ck else 0.0
+                p = lam * ml + (1 - lam) * p
+            micros.append(int(_half_up(-math.log(p) * 1e6, 0)))
+        out[d] = _half_up(sum(micros) / len(micros) / 1e6, 6)
     return out
+
+
+def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict:
+    return _py_ngram_surprisal(docs, order=3, lam=lam, floor=floor)
 
 
 def test_trigram_surprisal_hand_computed(spark):
@@ -372,6 +392,29 @@ def test_trigram_surprisal_hand_computed(spark):
     assert got2 == exp2
     assert got2[2] > got[2]  # pruning only ever raises surprisal
     assert got2[1] == got[1]  # doc 1's trigrams all repeat -> survive
+
+
+def test_ngram_surprisal_order5_hand_computed(spark):
+    # the CCNet order: every position's ladder value must match the
+    # independent plain-Python order-5 ladder, with and without the
+    # count floor (floor=2 prunes singleton 3/4/5-grams)
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    texts = {
+        1: "a b c d e a b c d e a b c d e",
+        2: "a b c d e b a d c e",
+        3: "a b",
+    }
+    docs = {d: t.split() for d, t in texts.items()}
+    df = _docs(spark, list(texts.items()))
+    for floor in (1, 2):
+        got = {
+            r["doc_id"]: r["surprisal"]
+            for r in ngram_surprisal(df, order=5, count_floor=floor).collect()
+        }
+        assert got == _py_ngram_surprisal(docs, order=5, floor=floor), floor
+    with pytest.raises(ValueError):
+        ngram_surprisal(df, order=1)
 
 
 def test_trigram_beats_bigram_on_order3_structure(spark):
