@@ -703,7 +703,6 @@ def perplexity_buckets(
 # scorer one order up from text.unigram_surprisal
 # ---------------------------------------------------------------------------
 
-
 def bigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -711,95 +710,16 @@ def bigram_surprisal(
     lam: float = 0.75,
 ) -> DataFrame:
     """Per-document interpolated bigram language-model surprisal —
-    avg over positions of ``-ln p(w_i | w_{i-1})`` with Jelinek-Mercer
-    smoothing ``p = lam * c(prev,w)/c(prev) + (1-lam) * c(w)/N``
-    (Jelinek & Mercer 1980; the standard backoff-free interpolation).
-    Position 0 of each document scores with the unigram term alone.
-    CCNet proper uses a 5-gram KenLM; this is the distributed
-    closed-form scorer one order up from the unigram proxy, good
-    enough to separate fluent from shuffled text.
+    the order-2 rung of :func:`ngram_surprisal` (kept as a named
+    operator: its oracle and pins gate the shared ladder, and the
+    delegation is bit-exact — ``lam * 0.0 + (1-lam) * p1`` is
+    identically ``(1-lam) * p1`` in IEEE doubles, so the generalized
+    coalesce spelling reproduces the original unseen-bigram branch).
+    Position 1 scores with the unigram term; the join strategy and
+    micro-nat contract are the ladder's (see
+    :func:`ngram_surprisal`)."""
+    return ngram_surprisal(df, id_col, text_col, order=2, lam=lam)
 
-    Engine-exactness: the same micro-nat contract as
-    ``text.unigram_surprisal`` — each position's ``-ln p`` is rounded
-    ROW-WISE to integer micro-nats (ln+round on identical inputs is
-    deterministic), per-doc aggregation is an exact BIGINT sum, one
-    final correctly-rounded division. The probability itself is
-    computed in one double expression from integer counts, so it is
-    bit-identical on any partitioning and in DuckDB.
-
-    Scale shape: ONE projection builds (prev, cur) pairs from the
-    token array (no window, no lead()), one explode; bigram and
-    unigram count tables are aggregates of the same stream; both join
-    back by key with NO broadcast hint — the count tables are
-    CORPUS-DERIVED (distinct bigrams grow ~linearly with corpus
-    tokens; billions of rows at 100 TB), so a forced broadcast is a
-    driver/executor OOM. AQE picks broadcast at runtime when a table
-    measures small and falls back to shuffle join (with skew-join
-    splitting for the frequent-gram keys) when it does not. The
-    corpus token total is a one-row aggregate broadcast-crossJoined
-    onto the scoring stream (the bounds-frame pattern), not a global
-    window over the vocab table.
-
-    Output: (id, n_tokens, surprisal) — ``n_tokens`` counts scored
-    positions (= document tokens; empty docs emit no row)."""
-    toks = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
-    ).filter(F.size("_w") > 0)
-
-    def pair_at(i: Column) -> Column:
-        return F.struct(
-            # element_at(_, 0) RAISES, it does not return null — the
-            # i=1 case must be guarded with a lazy CASE branch
-            F.when(i > 1, F.element_at("_w", i - 1)).alias("prev"),
-            F.element_at("_w", i).alias("cur"),
-            (i == 1).alias("is_first"),
-        )
-
-    pos = toks.select(
-        "_id", F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), pair_at)).alias("_p")
-    ).select("_id", "_p.prev", "_p.cur", "_p.is_first")
-
-    uni = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_cu"))
-    # corpus token total: one-row aggregate of the vocab counts,
-    # broadcast-crossJoined below (NOT a Window.partitionBy() over the
-    # vocab table — distinct terms scale with the corpus, and an
-    # unpartitioned window is a single sorted task)
-    tot = uni.agg(F.sum("_cu").alias("_n_total"))
-    bi = (
-        pos.filter(~F.col("is_first"))
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("_cb"))
-    )
-    prev_c = uni.select(F.col("cur").alias("prev"), F.col("_cu").alias("_cp"))
-
-    p_uni = F.col("_cu").cast("double") / F.col("_n_total")
-    p_bi = F.col("_cb").cast("double") / F.col("_cp")
-    p = F.when(
-        F.col("is_first") | F.col("_cb").isNull(),
-        # first position or unseen bigram: interpolation with c_bg=0
-        F.when(F.col("is_first"), p_uni).otherwise(
-            F.lit(1.0 - lam) * p_uni
-        ),
-    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
-
-    micro = (
-        pos.join(uni, "cur")
-        .join(bi, ["prev", "cur"], "left")
-        .join(prev_c, "prev", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "_id",
-            F.round(-F.log(p) * 1e6, 0).cast("bigint").alias("_micro"),
-        )
-    )
-    return (
-        micro.groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias("surprisal"),
-        )
-        .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
-    )
 
 
 def ngram_surprisal(
@@ -835,13 +755,22 @@ def ngram_surprisal(
     identical shape in Spark and DuckDB over integer counts.
 
     Scale shape: one projection builds (prev_{order-1}..prev_1, cur)
-    tuples from the token array, one explode; the order count tables
-    aggregate the same stream; all joins are hint-free (the tables
-    are corpus-derived — AQE broadcasts while small, shuffle-joins
-    with skew splitting past that; NEVER a forced broadcast). The
-    corpus total is a one-row broadcast crossJoin. Cost is linear in
-    ``order`` (one count aggregate + two joins per level) — the same
-    ladder KenLM walks, distributed.
+    tuples from the token array, one explode; the position stream
+    MATERIALIZES once (localCheckpoint — it feeds order+1 consumers
+    and Catalyst would otherwise re-run the tokenize/explode subtree
+    per count table); the count tables aggregate the materialized
+    stream and join back HINT-FREE — they are corpus-derived
+    (distinct n-grams grow with corpus tokens; billions of rows at
+    100 TB), so AQE picks broadcast at runtime while a table measures
+    small and shuffle-joins with skew splitting past that; a
+    corpus-derived table is NEVER broadcast on faith. (A measured
+    broadcast gate — materialize the vocab table, count it, hint when
+    min(v^k, N) is provably small — was built and REJECTED in round
+    8: the extra gate pass cost more than the hints saved at every
+    order, because AQE already converts these joins; BASELINE.md
+    records the runs.) The corpus total is a one-row broadcast
+    crossJoin. Cost is linear in ``order`` (one count aggregate + two
+    joins per level) — the same ladder KenLM walks, distributed.
 
     Output: (id, n_tokens, surprisal)."""
     if order < 2:
@@ -865,12 +794,24 @@ def ngram_surprisal(
             F.least(i, F.lit(order)).alias("pos"),
         )
 
-    pos = toks.select(
-        "_id",
-        F.explode(F.transform(F.sequence(F.lit(1), F.size("_w")), tuple_at)).alias(
-            "_p"
-        ),
-    ).select("_id", *[f"_p.{c}" for c in prevs], "_p.cur", "_p.pos")
+    # the position stream feeds order+1 consumers (each count table +
+    # the scoring join) and Catalyst recomputes the tokenize/explode
+    # subtree per consumer — materialize it ONCE (localCheckpoint,
+    # NOT persist: CacheManager matches by plan and would silently
+    # turn repeated identical queries into cache hits). The
+    # materialized stream is one row per corpus token — the same
+    # order of bytes any shuffle of it would spill; executor-loss
+    # recompute is the documented localCheckpoint trade.
+    pos = (
+        toks.select(
+            "_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("_w")), tuple_at)
+            ).alias("_p"),
+        )
+        .select("_id", *[f"_p.{c}" for c in prevs], "_p.cur", "_p.pos")
+        .localCheckpoint(eager=True)
+    )
 
     # count table per order: keys_k = (prev_{k-1}..prev_1, cur)
     tables = {1: pos.groupBy("cur").agg(F.count(F.lit(1)).alias("_c1"))}
