@@ -264,9 +264,14 @@ def unigram_surprisal(
     The corpus total is a one-row aggregate broadcast-crossJoined on
     (the bounds-frame pattern), not an unpartitioned window over the
     vocab table. No UDF anywhere."""
+    # the token stream feeds two consumers (vocab aggregate + scoring
+    # join) — materialize it once (localCheckpoint, NOT persist: the
+    # CacheManager would silently cache-hit repeated identical
+    # queries), same rationale as curation.ngram_surprisal's
+    # position-stream checkpoint
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
-    )
+    ).localCheckpoint(eager=True)
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
     tot = vocab.agg(F.sum("_c").alias("_n_total"))
     micro = tok.join(vocab, "term").crossJoin(F.broadcast(tot)).select(
