@@ -88,8 +88,13 @@ def main() -> None:
             "q_bpe_tokenize",
             "q_curation_v3",
         ],
-        # round-8 additions (JM LM ladder with count-floor pruning)
-        "curation_r8": ["q_trigram_surprisal", "q_5gram_surprisal"],
+        # round-8 additions (JM LM ladder with count-floor pruning +
+        # frozen-LM snapshot scoring)
+        "curation_r8": [
+            "q_trigram_surprisal",
+            "q_5gram_surprisal",
+            "q_lm_snapshot_score",
+        ],
     }
     secondary = [n for g in secondary_groups.values() for n in g]
     spark = get_spark("magicxml-bench")

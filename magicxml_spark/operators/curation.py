@@ -868,6 +868,242 @@ def ngram_surprisal(
     )
 
 
+# ---------------------------------------------------------------------------
+# Frozen-LM snapshots — CCNet's ACTUAL usage: the filter scores crawl
+# text against a 5-gram LM trained on a TARGET domain (Wikipedia in
+# Wenzek et al. 2020 §4.2), not against the corpus's own statistics.
+# The snapshot is the count tables as parquet (the dedup-snapshot /
+# IVF-snapshot lifecycle pattern): write once, score any number of
+# batches O(batch), append deltas O(delta).
+# ---------------------------------------------------------------------------
+
+
+def _lm_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order: int,
+    materialize: bool,
+) -> DataFrame:
+    """The (id, prev_{order-1}..prev_1, cur, pos) position stream the
+    whole LM family scores over (pos = min(i, order), 1-based).
+    ``materialize`` localCheckpoints it for multi-consumer plans
+    (training builds ``order`` count tables from it); scoring a batch
+    against a FROZEN snapshot has a single consumer and stays lazy."""
+    prevs = [f"prev{j}" for j in range(1, order)]
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
+    ).filter(F.size("_w") > 0)
+
+    def tuple_at(i: Column) -> Column:
+        fields = [
+            # element_at(_, 0) RAISES — lazy CASE guards for i <= j
+            F.when(i > j, F.element_at("_w", i - j)).alias(f"prev{j}")
+            for j in range(1, order)
+        ]
+        return F.struct(
+            *fields,
+            F.element_at("_w", i).alias("cur"),
+            F.least(i, F.lit(order)).alias("pos"),
+        )
+
+    pos = toks.select(
+        "_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("_w")), tuple_at)
+        ).alias("_p"),
+    ).select("_id", *[f"_p.{c}" for c in prevs], "_p.cur", "_p.pos")
+    return pos.localCheckpoint(eager=True) if materialize else pos
+
+
+def _lm_table_keys(k: int) -> list[str]:
+    return [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+
+
+def write_lm_snapshot(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    count_floor: int = 1,
+    floor_from: int = 3,
+) -> dict:
+    """Train and persist an order-n Jelinek-Mercer LM: one parquet
+    count table per order (``{path}/t{k}`` with key columns + ``cnt``)
+    plus ``{path}/meta`` (order, count_floor, floor_from, n_total).
+    ``count_floor`` prunes tables of order >= ``floor_from`` at WRITE
+    time (KenLM prunes at build); the snapshot is then the ONLY thing
+    scoring needs — counts, never text. Returns ``{"order", "n_total"}``.
+
+    Scale: the position stream materializes once and each table is
+    one partial-combine aggregate of it; snapshot size is the distinct
+    n-gram count after pruning, which the floor is the knob for."""
+    import os
+
+    if order < 2:
+        raise ValueError(f"order must be >= 2: {order}")
+    if count_floor < 1:
+        raise ValueError(f"count_floor must be >= 1: {count_floor}")
+    pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
+    t1 = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt"))
+    t1.write.mode("overwrite").parquet(os.path.join(path, "t1"))
+    for k in range(2, order + 1):
+        t = (
+            pos.filter(F.col("pos") >= k)
+            .groupBy(*_lm_table_keys(k))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if k >= floor_from and count_floor > 1:
+            t = t.filter(F.col("cnt") >= count_floor)
+        t.write.mode("overwrite").parquet(os.path.join(path, f"t{k}"))
+    spark = corpus.sparkSession
+    written_t1 = spark.read.parquet(os.path.join(path, "t1"))
+    row = written_t1.agg(F.sum("cnt")).first()[0]
+    n_total = int(row) if row is not None else 0
+    spark.createDataFrame(
+        [(order, count_floor, floor_from, n_total)],
+        "order int, count_floor int, floor_from int, n_total long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return {"order": order, "n_total": n_total}
+
+
+def score_with_lm_snapshot(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Score a batch against a FROZEN :func:`write_lm_snapshot` LM —
+    the CCNet shape (domain-LM surprisal over crawl text). Identical
+    ladder and micro-nat contract as :func:`ngram_surprisal`, with one
+    frozen-LM addition: an out-of-vocabulary unigram scores as count 1
+    (the minimal Laplace floor — KenLM's <unk> with a deterministic,
+    engine-exact probability of 1/N; unseen higher-order grams back
+    off exactly as in self-scoring). Output: (id, n_tokens,
+    surprisal).
+
+    Scale: the batch's position stream has a SINGLE consumer (the
+    scoring join chain), so it stays lazy — scoring is one pass over
+    the batch joined against snapshot parquet, hint-free (AQE
+    broadcasts the tables while they measure small; a web-scale
+    snapshot shuffle-joins like any equi-join)."""
+    import os
+
+    spark = df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    order, n_total = int(meta["order"]), int(meta["n_total"])
+    pos = _lm_positions(df, id_col, text_col, order, materialize=False)
+    t1 = spark.read.parquet(os.path.join(path, "t1")).select(
+        "cur", F.col("cnt").alias("_c1")
+    )
+    joined = pos.join(t1, "cur", "left")
+    for k in range(2, order + 1):
+        keys = _lm_table_keys(k)
+        tk = spark.read.parquet(os.path.join(path, f"t{k}"))
+        joined = joined.join(
+            tk.select(*keys, F.col("cnt").alias(f"_c{k}")), keys, "left"
+        )
+        prev_t = spark.read.parquet(
+            os.path.join(path, f"t{k - 1}")
+        )
+        prev_keys = _lm_table_keys(k - 1)
+        ctx = prev_t.select(
+            *[
+                F.col(prev_keys[i]).alias(keys[i])
+                for i in range(len(prev_keys))
+            ],
+            F.col("cnt").alias(f"_x{k}"),
+        )
+        joined = joined.join(ctx, keys[:-1], "left")
+
+    p = F.coalesce(F.col("_c1"), F.lit(1)).cast("double") / F.lit(n_total)
+    ladder = [p]
+    for k in range(2, order + 1):
+        p = F.lit(lam) * F.coalesce(
+            F.col(f"_c{k}").cast("double") / F.col(f"_x{k}"), F.lit(0.0)
+        ) + F.lit(1.0 - lam) * p
+        ladder.append(p)
+    expr = ladder[order - 1]
+    for k in range(order - 1, 0, -1):
+        expr = F.when(F.col("pos") == k, ladder[k - 1]).otherwise(expr)
+
+    micro = joined.select(
+        "_id", F.round(-F.log(expr) * 1e6, 0).cast("bigint").alias("_micro")
+    )
+    return (
+        micro.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "surprisal"
+            ),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
+    )
+
+
+def append_lm_snapshot(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold a delta corpus into an existing LM snapshot O(delta): the
+    delta's UNFLOORED count tables merge (key-summed) with the stored
+    ones, the write-time floor re-applies to the merged counts, and
+    the tables swap in atomically (write to ``t{k}__new``, then
+    directory replace — the refit_ivf_snapshot crash-safe pattern).
+    With ``count_floor=1`` the result is EXACTLY the snapshot a full
+    rebuild on the union would produce (pinned in tests); with a
+    floor > 1, counts pruned by an EARLIER write cannot resurface —
+    the standard pruned-LM approximation, documented rather than
+    hidden (exact appendability requires storing unpruned tables)."""
+    import os
+    import shutil
+
+    spark = delta.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    order = int(meta["order"])
+    count_floor = int(meta["count_floor"])
+    floor_from = int(meta["floor_from"])
+    pos = _lm_positions(delta, id_col, text_col, order, materialize=True)
+
+    def _swap(df_new: DataFrame, name: str) -> None:
+        new_dir = os.path.join(path, name + "__new")
+        old_dir = os.path.join(path, name)
+        df_new.write.mode("overwrite").parquet(new_dir)
+        shutil.rmtree(old_dir)
+        os.replace(new_dir, old_dir)
+
+    for k in range(1, order + 1):
+        keys = _lm_table_keys(k)
+        d = (
+            pos.filter(F.col("pos") >= k) if k > 1 else pos
+        ).groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+        merged = (
+            spark.read.parquet(os.path.join(path, f"t{k}"))
+            .unionByName(d)
+            .groupBy(*keys)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        if k >= floor_from and count_floor > 1:
+            merged = merged.filter(F.col("cnt") >= count_floor)
+        # the merged plan READS t{k} — materialize before the swap so
+        # the write never scans files it is about to replace
+        _swap(merged.localCheckpoint(eager=True), f"t{k}")
+    row = (
+        spark.read.parquet(os.path.join(path, "t1")).agg(F.sum("cnt")).first()[0]
+    )
+    n_total = int(row) if row is not None else 0
+    spark.createDataFrame(
+        [(order, count_floor, floor_from, n_total)],
+        "order int, count_floor int, floor_from int, n_total long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return {"order": order, "n_total": n_total}
+
+
 def trigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -88,6 +88,7 @@ _DRIVER_SAMPLE_ORDER = [
     # --- new/changed this round: fresh rows required ---
     "q_trigram_surprisal",
     "q_5gram_surprisal",
+    "q_lm_snapshot_score",
     "q_gopher_quality",
     "q_c4_clean",
     "q_curation_v3",

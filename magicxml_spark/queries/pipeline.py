@@ -1944,6 +1944,105 @@ def q_5gram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_surprisal(docs, order=5, count_floor=2)
 
 
+# --- Frozen-LM snapshot scoring (CCNet's actual shape) ------------------------
+# Wenzek et al. 2020 §4.2 score crawl text against a TARGET-domain LM
+# (Wikipedia), not the corpus's own statistics. Here the "domain" half
+# (even doc_ids) trains a pruned trigram snapshot to parquet and the
+# "crawl" half (odd doc_ids) scores against it — write -> read ->
+# score lifecycle, OOV unigrams at the deterministic 1/N Laplace
+# floor. The oracle replays the split and the frozen ladder in SQL.
+def _lm_snapshot_oracle(
+    order: int, floor: int, floor_from: int = 3, lam: float = 0.75
+) -> str:
+    pos_cols = ",\n".join(
+        f"unnest(list_transform(range(1, len(w) + 1),"
+        f" i -> CASE WHEN i > {j} THEN w[i - {j}] END)) AS prev{j}"
+        for j in range(1, order)
+    )
+    tables, ctxs, joins = [], [], []
+    for k in range(2, order + 1):
+        keys = [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+        having = (
+            f" HAVING count(*) >= {floor}"
+            if k >= floor_from and floor > 1
+            else ""
+        )
+        tables.append(
+            f"t{k} AS (SELECT {', '.join(keys)}, count(*) AS c{k}"
+            f" FROM tr WHERE pos >= {k} GROUP BY {', '.join(keys)}{having})"
+        )
+        if k == 2:
+            ctxs.append("x2 AS (SELECT cur AS prev1, c1 AS x2 FROM t1)")
+        else:
+            renames = ", ".join(
+                [f"prev{j} AS prev{j + 1}" for j in range(1, k - 1)]
+                + ["cur AS prev1", f"c{k - 1} AS x{k}"]
+            )
+            ctxs.append(f"x{k} AS (SELECT {renames} FROM t{k - 1})")
+        on = " AND ".join(f"p.{c} = b{k}.{c}" for c in keys)
+        joins.append(f"LEFT JOIN t{k} b{k} ON {on}")
+        on2 = " AND ".join(f"p.{c} = g{k}.{c}" for c in keys[:-1])
+        joins.append(f"LEFT JOIN x{k} g{k} ON {on2}")
+    p = "CAST(coalesce(u.c1, 1) AS DOUBLE) / t.n_total"
+    ladder = [p]
+    for k in range(2, order + 1):
+        p = (
+            f"{lam} * coalesce(CAST(b{k}.c{k} AS DOUBLE) / g{k}.x{k},"
+            f" CAST(0.0 AS DOUBLE)) + {1.0 - lam} * ({p})"
+        )
+        ladder.append(p)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN p.pos = {k} THEN {ladder[k - 1]}" for k in range(1, order)
+        )
+        + f" ELSE {ladder[order - 1]} END"
+    )
+    tables_sql = ",\n    ".join(tables)
+    ctxs_sql = ",\n    ".join(ctxs)
+    joins_sql = "\n      ".join(joins)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    pos AS (SELECT doc_id,
+                   {pos_cols},
+                   unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> least(i, {order}))) AS pos
+            FROM nz),
+    tr AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM pos WHERE doc_id % 2 = 1),
+    t1 AS (SELECT cur, count(*) AS c1 FROM tr GROUP BY cur),
+    tot AS (SELECT count(*) AS n_total FROM tr),
+    {tables_sql},
+    {ctxs_sql},
+    micro AS (
+      SELECT p.doc_id,
+             CAST(round(-ln({case}) * 1e6, 0) AS BIGINT) AS m
+      FROM sc p
+      LEFT JOIN t1 u ON p.cur = u.cur
+      {joins_sql}, tot t)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """
+
+
+@query("q_lm_snapshot_score", oracle=_lm_snapshot_oracle(order=3, floor=2))
+def q_lm_snapshot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    snap = _snapshot_scratch("lm3")
+    write_lm_snapshot(train, snap, order=3, count_floor=2)
+    return score_with_lm_snapshot(batch, snap)
+
+
 # --- Seeded deterministic corpus shuffle -------------------------------------
 # The training-order epoch shuffle: md5-keyed permutation (seed 42),
 # rank via the two-phase exact global rank, packed into 50-doc shards;

@@ -375,6 +375,111 @@ def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict
     return _py_ngram_surprisal(docs, order=3, lam=lam, floor=floor)
 
 
+def _py_lm_snapshot_score(
+    train: dict,
+    score: dict,
+    order: int = 3,
+    lam: float = 0.75,
+    floor: int = 1,
+    floor_from: int = 3,
+) -> dict:
+    """Frozen-LM variant of the reference ladder: counts from TRAIN
+    only, OOV unigrams at the 1/N Laplace floor, write-time pruning
+    on the train tables."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(x: float, digits: int) -> float:
+        q = Decimal(1).scaleb(-digits) if digits else Decimal(1)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    counts = {k: Counter() for k in range(1, order + 1)}
+    n = 0
+    for w in train.values():
+        for i in range(len(w)):
+            n += 1
+            for k in range(1, order + 1):
+                if i >= k - 1:
+                    counts[k][tuple(w[i - k + 1 : i + 1])] += 1
+
+    def c(k, gram):
+        v = counts[k][gram]
+        if k >= floor_from and v < floor:
+            return 0
+        return v
+
+    out = {}
+    for d, w in score.items():
+        micros = []
+        for i in range(len(w)):
+            p = max(counts[1][(w[i],)], 1) / n  # OOV floor: count 1
+            for k in range(2, min(i + 1, order) + 1):
+                gram = tuple(w[i - k + 1 : i + 1])
+                ck = c(k, gram)
+                ctx = c(k - 1, gram[:-1]) if k - 1 >= floor_from else counts[k - 1][gram[:-1]]
+                ml = ck / ctx if ck and ctx else 0.0
+                p = lam * ml + (1 - lam) * p
+            micros.append(int(_half_up(-math.log(p) * 1e6, 0)))
+        out[d] = _half_up(sum(micros) / len(micros) / 1e6, 6)
+    return out
+
+
+def test_lm_snapshot_write_score_matches_reference(spark, tmp_path):
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    train = {1: "a b c a b c a b d", 2: "a b c b a"}
+    score = {10: "a b c", 11: "a zzz b", 12: "zzz"}  # zzz is OOV
+    tdf = _docs(spark, [(d, " ".join(w.split())) for d, w in train.items()])
+    sdf = _docs(spark, list(score.items()))
+    snap = str(tmp_path / "lm")
+    stats = write_lm_snapshot(tdf, snap, order=3, count_floor=1)
+    assert stats["n_total"] == 14
+    got = {
+        r["doc_id"]: r["surprisal"]
+        for r in score_with_lm_snapshot(sdf, snap).collect()
+    }
+    exp = _py_lm_snapshot_score(
+        {d: t.split() for d, t in train.items()},
+        {d: t.split() for d, t in score.items()},
+        order=3,
+    )
+    assert got == exp
+    # the OOV-only doc scores exactly -ln(1/N) = ln(14)
+    import math
+
+    assert got[12] == round(
+        round(math.log(14) * 1e6) / 1e6, 6
+    )
+
+
+def test_lm_snapshot_append_equals_rebuild(spark, tmp_path):
+    # with count_floor=1 (nothing pruned) folding a delta must yield
+    # EXACTLY the snapshot a full rebuild on the union produces —
+    # pinned via identical scores on a probe batch
+    from magicxml_spark.operators.curation import (
+        append_lm_snapshot,
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    a = _docs(spark, [(1, "a b c a b"), (2, "c c a b a")])
+    b = _docs(spark, [(3, "b a d d c"), (4, "d a b")])
+    probe = _docs(spark, [(9, "a b c d e"), (8, "d d d")])
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_lm_snapshot(a, inc, order=3, count_floor=1)
+    stats = append_lm_snapshot(b, inc)
+    write_lm_snapshot(a.unionByName(b), full, order=3, count_floor=1)
+    assert stats["n_total"] == 18
+    s_inc = {r["doc_id"]: r.asDict() for r in score_with_lm_snapshot(probe, inc).collect()}
+    s_full = {r["doc_id"]: r.asDict() for r in score_with_lm_snapshot(probe, full).collect()}
+    assert s_inc == s_full
+
+
 def test_trigram_surprisal_hand_computed(spark):
     from magicxml_spark.operators.curation import trigram_surprisal
 
