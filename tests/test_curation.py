@@ -522,6 +522,66 @@ def test_ngram_surprisal_order5_hand_computed(spark):
         ngram_surprisal(df, order=1)
 
 
+def test_ngram_ladder_randomized_corpus_matches_reference(spark):
+    # seeded random corpus (tiny vocab -> heavy collisions, repeated
+    # tokens, 1-token docs) vs the independent Python ladder at three
+    # (order, floor) points — the randomized sweep catches tie and
+    # boundary cases the hand pins cannot enumerate
+    import random
+
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    rnd = random.Random(8)
+    vocab = ["a", "b", "c", "dd", "e"]
+    docs = {
+        i: [rnd.choice(vocab) for _ in range(rnd.randint(1, 12))]
+        for i in range(1, 41)
+    }
+    df = _docs(spark, [(d, " ".join(w)) for d, w in docs.items()])
+    for order, floor in ((2, 1), (3, 2), (5, 2)):
+        got = {
+            r["doc_id"]: r["surprisal"]
+            for r in ngram_surprisal(df, order=order, count_floor=floor).collect()
+        }
+        assert got == _py_ngram_surprisal(docs, order=order, floor=floor), (
+            order,
+            floor,
+        )
+
+
+def test_lm_snapshot_randomized_oov_matches_reference(spark, tmp_path):
+    # random train/score split where the score half uses a WIDER vocab
+    # (guaranteed OOV mass) — frozen scoring must match the Python
+    # frozen ladder exactly
+    import random
+
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    rnd = random.Random(88)
+    train_vocab = ["a", "b", "c"]
+    score_vocab = ["a", "b", "c", "oovx", "oovy"]
+    train = {
+        i: [rnd.choice(train_vocab) for _ in range(rnd.randint(2, 10))]
+        for i in range(1, 16)
+    }
+    score = {
+        i: [rnd.choice(score_vocab) for _ in range(rnd.randint(1, 10))]
+        for i in range(100, 121)
+    }
+    tdf = _docs(spark, [(d, " ".join(w)) for d, w in train.items()])
+    sdf = _docs(spark, [(d, " ".join(w)) for d, w in score.items()])
+    snap = str(tmp_path / "lmr")
+    write_lm_snapshot(tdf, snap, order=3, count_floor=2)
+    got = {
+        r["doc_id"]: r["surprisal"]
+        for r in score_with_lm_snapshot(sdf, snap).collect()
+    }
+    assert got == _py_lm_snapshot_score(train, score, order=3, floor=2)
+
+
 def test_trigram_beats_bigram_on_order3_structure(spark):
     from magicxml_spark.operators.curation import (
         bigram_surprisal,
