@@ -993,7 +993,13 @@ def score_with_lm_snapshot(
 
     spark = df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
-    order, n_total = int(meta["order"]), int(meta["n_total"])
+    order = int(meta["order"])
+    # an LM trained on an EMPTY corpus has n_total 0; every scored
+    # position is then OOV-floored to count 1, and the denominator
+    # clamps to 1 so the score is a well-defined 0 nats instead of an
+    # ANSI divide-by-zero job failure (degenerate-input rule, same as
+    # mixture_weights' guards)
+    n_total = max(int(meta["n_total"]), 1)
     pos = _lm_positions(df, id_col, text_col, order, materialize=False)
     t1 = spark.read.parquet(os.path.join(path, "t1")).select(
         "cur", F.col("cnt").alias("_c1")

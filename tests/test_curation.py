@@ -456,6 +456,36 @@ def test_lm_snapshot_write_score_matches_reference(spark, tmp_path):
     )
 
 
+def test_lm_snapshot_empty_train_corpus_degenerates_safely(spark, tmp_path):
+    # an LM frozen on an empty corpus must not ANSI-divide-by-zero
+    # when scoring (n_total clamps to 1). Hand-derived expectation:
+    # every unigram is OOV at the clamped floor 1/1 = 1 (0 nats at
+    # position 1); higher positions interpolate with zero ML mass, so
+    # p2 = 0.25*1, p3+ = 0.25*0.25 -> micro-nats per position are
+    # [0, 1386294, 2772589, 2772589], avg 1.732868
+    import math
+
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    snap = str(tmp_path / "lm0")
+    stats = write_lm_snapshot(empty, snap, order=3)
+    assert stats["n_total"] == 0
+    out = {
+        r["doc_id"]: r
+        for r in score_with_lm_snapshot(
+            _docs(spark, [(1, "totally unseen words here")]), snap
+        ).collect()
+    }
+    m2 = round(-math.log(0.25) * 1e6)
+    m3 = round(-math.log(0.0625) * 1e6)
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["surprisal"] == round((0 + m2 + m3 + m3) / 4 / 1e6, 6)
+
+
 def test_lm_snapshot_append_equals_rebuild(spark, tmp_path):
     # with count_floor=1 (nothing pruned) folding a delta must yield
     # EXACTLY the snapshot a full rebuild on the union produces —
