@@ -777,6 +777,10 @@ def ngram_surprisal(
         raise ValueError(f"order must be >= 2: {order}")
     if count_floor < 1:
         raise ValueError(f"count_floor must be >= 1: {count_floor}")
+    if floor_from < 2:
+        # the unigram table feeds the total-count denominator; floors
+        # apply to higher-order tables only (matches write_lm_snapshot)
+        raise ValueError(f"floor_from must be >= 2: {floor_from}")
     prevs = [f"prev{j}" for j in range(1, order)]  # prev1 = w[i-1], ...
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w")
@@ -945,6 +949,11 @@ def write_lm_snapshot(
         raise ValueError(f"order must be >= 2: {order}")
     if count_floor < 1:
         raise ValueError(f"count_floor must be >= 1: {count_floor}")
+    if floor_from < 2:
+        # the unigram table is the OOV/total denominator — pruning it
+        # would shift n_total and the 1/N floor away from a rebuild
+        # (ADVICE r8); floors apply to higher-order tables only
+        raise ValueError(f"floor_from must be >= 2: {floor_from}")
     pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
     t1 = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt"))
     t1.write.mode("overwrite").parquet(os.path.join(path, "t1"))
@@ -1058,10 +1067,18 @@ def append_lm_snapshot(
 ) -> dict:
     """Fold a delta corpus into an existing LM snapshot O(delta): the
     delta's UNFLOORED count tables merge (key-summed) with the stored
-    ones, the write-time floor re-applies to the merged counts, and
-    the tables swap in atomically (write to ``t{k}__new``, then
-    directory replace — the refit_ivf_snapshot crash-safe pattern).
-    With ``count_floor=1`` the result is EXACTLY the snapshot a full
+    ones, the write-time floor re-applies to the merged counts (orders
+    >= ``floor_from``, never the unigram table), and the new tables
+    publish in two stages: ALL Spark work first (every merged table —
+    including the new meta — lands in ``t{k}__new`` staging dirs while
+    the live snapshot stays untouched and readable), then one tight
+    rename loop swaps everything in. The swap loop is milliseconds of
+    pure renames with no job inside it, but it is NOT atomic across
+    tables — a crash inside that loop leaves a torn snapshot with the
+    remaining ``__new`` dirs alongside for recovery (true atomicity
+    needs a versioned directory + single pointer publish; the staging
+    dirs make manual repair a rename, never a recompute). With
+    ``count_floor=1`` the result is EXACTLY the snapshot a full
     rebuild on the union would produce (pinned in tests); with a
     floor > 1, counts pruned by an EARLIER write cannot resurface —
     the standard pruned-LM approximation, documented rather than
@@ -1076,13 +1093,9 @@ def append_lm_snapshot(
     floor_from = int(meta["floor_from"])
     pos = _lm_positions(delta, id_col, text_col, order, materialize=True)
 
-    def _swap(df_new: DataFrame, name: str) -> None:
-        new_dir = os.path.join(path, name + "__new")
-        old_dir = os.path.join(path, name)
-        df_new.write.mode("overwrite").parquet(new_dir)
-        shutil.rmtree(old_dir)
-        os.replace(new_dir, old_dir)
-
+    # ---- stage: ALL expensive work writes to __new dirs; the live
+    # snapshot is still complete and consistent if anything here fails
+    staged: list[tuple[str, str]] = []
     for k in range(1, order + 1):
         keys = _lm_table_keys(k)
         d = (
@@ -1094,19 +1107,29 @@ def append_lm_snapshot(
             .groupBy(*keys)
             .agg(F.sum("cnt").alias("cnt"))
         )
-        if k >= floor_from and count_floor > 1:
+        # floor never applies to t1 (k starts at floor_from >= 2 by
+        # write-time validation; max() keeps a legacy floor_from=1
+        # meta from pruning the unigram/OOV denominator — ADVICE r8)
+        if k >= max(floor_from, 2) and count_floor > 1:
             merged = merged.filter(F.col("cnt") >= count_floor)
-        # the merged plan READS t{k} — materialize before the swap so
-        # the write never scans files it is about to replace
-        _swap(merged.localCheckpoint(eager=True), f"t{k}")
+        new_dir = os.path.join(path, f"t{k}__new")
+        merged.write.mode("overwrite").parquet(new_dir)
+        staged.append((new_dir, os.path.join(path, f"t{k}")))
     row = (
-        spark.read.parquet(os.path.join(path, "t1")).agg(F.sum("cnt")).first()[0]
+        spark.read.parquet(staged[0][0]).agg(F.sum("cnt")).first()[0]
     )
     n_total = int(row) if row is not None else 0
+    meta_new = os.path.join(path, "meta__new")
     spark.createDataFrame(
         [(order, count_floor, floor_from, n_total)],
         "order int, count_floor int, floor_from int, n_total long",
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    ).write.mode("overwrite").parquet(meta_new)
+    staged.append((meta_new, os.path.join(path, "meta")))
+
+    # ---- publish: tight rename loop, no Spark work inside
+    for new_dir, live_dir in staged:
+        shutil.rmtree(live_dir)
+        os.replace(new_dir, live_dir)
     return {"order": order, "n_total": n_total}
 
 

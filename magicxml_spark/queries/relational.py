@@ -164,7 +164,10 @@ def q_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # No broadcast hint: `part` is SF-proportional (a fact-scaled table at
+        # the 100 TB design point) — AQE picks broadcast at demo SFs anyway,
+        # and a forced hint would OOM the driver at scale (VERDICT r8 #1).
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_orderkey").alias("order_id"))
         .agg(
             F.array_join(F.array_sort(F.array_distinct(F.collect_list("p_brand"))), "///").alias(

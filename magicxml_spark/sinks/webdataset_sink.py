@@ -37,11 +37,21 @@ WDS_MANIFEST_SCHEMA = (
     "shard string, n_samples long, n_members long, n_bytes long"
 )
 
-#: tarfile's close() appends two 512 B zero blocks and pads the
-#: archive to a RECORDSIZE (10240 B) multiple — worst case one full
-#: record of trailer. The rollover estimate reserves this so an
-#: emitted shard never exceeds target_shard_bytes by the trailer.
-_TAR_TRAILER_BYTES = 10240
+#: tarfile's close() appends two 512 B zero blocks, THEN pads the
+#: archive up to a RECORDSIZE (10240 B) multiple. The final file size
+#: is therefore exactly ceil((member_bytes + 1024) / 10240) * 10240 —
+#: a flat "+10240" reserve under-counts by up to 512 B when
+#: (est + 1024) % 10240 == 512 (ADVICE r8), so rollover uses the
+#: exact closed-size formula instead of a reserve constant.
+_TAR_END_BLOCKS = 1024  # two 512 B zero blocks
+_TAR_RECORDSIZE = 10240
+
+
+def _tar_closed_size(member_bytes: int) -> int:
+    """Exact on-disk size of an uncompressed tar holding
+    ``member_bytes`` of headers+padded payloads once closed."""
+    raw = member_bytes + _TAR_END_BLOCKS
+    return ((raw + _TAR_RECORDSIZE - 1) // _TAR_RECORDSIZE) * _TAR_RECORDSIZE
 
 
 def _pack_member(tf: tarfile.TarFile, name: str, body: bytes) -> None:
@@ -81,9 +91,11 @@ def pack_webdataset(
     (the reader's ``r:*`` handles both transparently); note gz shard
     sizes are counted pre-compression against ``target_shard_bytes``
     (compressed shards only ever come out SMALLER than the target).
-    The rollover estimate reserves tar's end-of-archive trailer
-    (``_TAR_TRAILER_BYTES``) so uncompressed shards respect the
-    target exactly; tmp files are task-attempt-unique so speculative
+    Rollover checks the EXACT closed-archive size (member blocks +
+    1024 B end-of-archive blocks, padded to a 10240 B record multiple
+    — ``_tar_closed_size``) so uncompressed shards respect the target
+    exactly, including the half-record corner a flat trailer reserve
+    misses; tmp files are task-attempt-unique so speculative
     or retried attempts never interleave writes into one file.
     """
     if compress not in (None, "gz"):
@@ -165,7 +177,7 @@ def pack_webdataset(
                 if state["tf"] is None:
                     open_shard()
                 elif (
-                    state["est"] + sample_bytes + _TAR_TRAILER_BYTES
+                    _tar_closed_size(state["est"] + sample_bytes)
                     > target_shard_bytes
                 ):
                     close_shard()

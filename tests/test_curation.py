@@ -508,6 +508,28 @@ def test_lm_snapshot_append_equals_rebuild(spark, tmp_path):
     s_inc = {r["doc_id"]: r.asDict() for r in score_with_lm_snapshot(probe, inc).collect()}
     s_full = {r["doc_id"]: r.asDict() for r in score_with_lm_snapshot(probe, full).collect()}
     assert s_inc == s_full
+    # staged publish leaves no __new dirs behind on success
+    import os
+
+    assert not [d for d in os.listdir(inc) if d.endswith("__new")]
+
+
+def test_lm_floor_from_must_spare_unigrams(spark, tmp_path):
+    # ADVICE r8: floor_from <= 1 would prune the unigram table and
+    # shift n_total / the OOV 1/N floor away from a rebuild — both the
+    # write path and the self-scoring ladder must reject it up front
+    import pytest
+
+    from magicxml_spark.operators.curation import (
+        ngram_surprisal,
+        write_lm_snapshot,
+    )
+
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="floor_from"):
+        write_lm_snapshot(docs, str(tmp_path / "s"), floor_from=1)
+    with pytest.raises(ValueError, match="floor_from"):
+        ngram_surprisal(docs, order=3, floor_from=0)
 
 
 def test_trigram_surprisal_hand_computed(spark):

@@ -264,6 +264,36 @@ def test_write_webdataset_shard_files_respect_target(spark, tmp_path):
     assert sum(m["n_samples"] for m in manifest) == 120
 
 
+def test_write_webdataset_half_record_trailer_corner(spark, tmp_path):
+    # ADVICE r8: tar's trailer is 1024B of zero blocks THEN padding to a
+    # 10240B record multiple — a flat 10240B reserve under-counts by 512B
+    # exactly when (member_bytes + 1024) % 10240 == 512. Construct that
+    # corner: two samples of 5120 + 4608 member bytes (est = 9728) against
+    # target 19968. The old check (est + sample + 10240 > target: 19968 is
+    # not > 19968) packed both into one shard that closed at 20480 bytes.
+    # The exact-size rollover must split them.
+    import os
+
+    from magicxml_spark.sinks.webdataset_sink import (
+        _tar_closed_size,
+        write_webdataset,
+    )
+
+    assert _tar_closed_size(9728) == 20480  # the under-count corner itself
+    df = spark.createDataFrame(
+        [
+            ("a", ["bin"], {"bin": bytes(4608)}),  # 512 hdr + 4608 = 5120
+            ("b", ["bin"], {"bin": bytes(4096)}),  # 512 hdr + 4096 = 4608
+        ],
+        "sample_key string, exts array<string>, parts map<string, binary>",
+    ).coalesce(1)
+    target = 19968
+    manifest = write_webdataset(df, str(tmp_path / "corner"), target_shard_bytes=target)
+    assert len(manifest) == 2  # exact-size check forced the split
+    for m in manifest:
+        assert os.path.getsize(m["shard"]) <= target, m["shard"]
+
+
 def test_write_webdataset_gz_and_determinism(spark, tmp_path):
     from magicxml_spark.sinks.webdataset_sink import write_webdataset
 
