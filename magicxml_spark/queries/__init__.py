@@ -49,147 +49,147 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-8 rotation
-# (VERDICT r7 "Next #3"): the NINETEEN queries whose latest rows are
-# r5 lead, then the eleven queries changed or added this round
-# (trigram surprisal NEW; gopher/c4/v3 re-pinned with the completed
-# A1.1 battery and the page-level brace kill; the LM scorers' and
-# bloom/v2's plans changed — broadcast gating, compiled bitmap probe;
-# quality_classifier's vocab top-k; embedding_cluster_dedup's small-n
-# clamp) — a 30-entry head, all needing a fresh/changed driver row.
-# The r6-fresh block follows (~20 of it fits the ~50 window, rotating
-# the next-oldest rows), and the r7-fresh rows close the list. After
-# this round no latest row should be older than r6. Names missing
-# from the list (future additions) append in registration order; the
-# assertion keeps the list honest.
+# get a driver-recorded correctness row each round. Round-9 rotation
+# (VERDICT r8 "Next #4"): the TWENTY-EIGHT queries whose latest rows
+# are r6 lead (computed from CORRECTNESS_r01..r08: no latest row may
+# age past two rounds), then the queries new this round (q_5gram_kn —
+# modified Kneser-Ney; plus the round's other additions as they land),
+# then the r7-fresh block (the ~50 window tail reaches into it,
+# rotating the next-oldest rows), and the r8-fresh rows close the
+# list. After this round no latest row should be older than r7. Names
+# missing from the list (future additions) append in registration
+# order; the assertion keeps the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    # --- r5-stale head (rotation target: all 19 r5-latest rows) ---
-    "q_md5_user_hash",
-    "q_html_clean",
-    "q_jaccard_pairs",
-    "q_range_join",
-    "q_salted_agg",
-    "q_session_window",
-    "q_key_skew",
-    "q_quota_sample",
-    "q_stratified_sample",
-    "q_hash_split",
-    "q_json_props",
-    "q_line_dedup",
-    "q_chunk_text",
-    "q_chunks_to_shards",
-    "q_stream_interval_join",
-    "q_stream_interval_semi",
-    "q_stream_simhash_wide_pairs",
-    "q_hll_union",
-    "q_cm_union",
-    # --- new/changed this round: fresh rows required ---
-    "q_trigram_surprisal",
-    "q_5gram_surprisal",
-    "q_lm_snapshot_score",
-    "q_gopher_quality",
-    "q_c4_clean",
-    "q_curation_v3",
-    "q_bigram_surprisal",
-    "q_unigram_surprisal",
-    "q_perplexity_buckets",
-    "q_quality_classifier",
-    "q_embedding_cluster_dedup",
-    "q_bloom_prefilter",
-    "q_curation_v2",
-    # --- r6-fresh block (next-oldest; ~20 fit the ~50 window) ---
-    "q_tfidf_top_terms",
-    "q_corpus_filter",
-    "q_events_stream_windowed",
-    "q_substring_dedup",
-    "q_flagship_revenue",
-    "q_pii_scrub",
-    "q_moving_sum",
-    "q_token_shards",
-    "q_ivf_refit_plan",
-    "q_pii_luhn",
-    "q_url_dedup",
-    "q_stream_interval_outer",
-    "q_winnow_fingerprint",
-    "q_winnow_pairs",
-    "q_mixture_weights",
-    "q_hll_distinct",
-    "q_cm_heavy_hitters",
-    "q_stream_hll_users",
-    "q_dependency_parse",
-    "q_histogram_quantiles",
-    "q_stream_cm_events",
-    "q_zorder_key",
-    "q_stream_winnow_pairs",
-    "q_events_stream_sessionize",
-    "q_events_stream_dedup",
-    "q_stream_minhash_pairs",
-    "q_dedup_clusters",
-    "q_sessionize",
-    "q_tfidf_pca",
-    "q_events_windowed",
-    "q_price_pivot",
-    "q_collect_distinct",
-    "q_dense_ids",
-    "q_topk_per_group",
-    "q_counts",
+    # --- r6-stale head (rotation target: all 28 r6-latest rows;
+    #     q_collect_distinct's plan also changed — hint dropped) ---
     "q_anti_join",
-    "q_union_lineage",
+    "q_collect_distinct",
+    "q_counts",
+    "q_cube",
+    "q_dedup_clusters",
+    "q_dense_ids",
+    "q_dependency_parse",
+    "q_events_stream_dedup",
+    "q_events_stream_sessionize",
+    "q_events_windowed",
+    "q_histogram_quantiles",
     "q_null_handling",
+    "q_percentiles",
+    "q_pivot",
+    "q_price_pivot",
+    "q_pricing_summary",
     "q_prune_profile",
     "q_rollup",
-    "q_pricing_summary",
-    "q_percentiles",
-    "q_cube",
-    "q_set_ops",
-    "q_pivot",
     "q_sanitize_name",
-    # --- r7-fresh tail (newest rows; sampled last) ---
-    "q_dedup_delimited",
-    "q_decimal_comma",
-    "q_size_strip",
-    "q_defaults",
-    "q_csv_normalize",
-    "q_image_near_dup",
-    "q_video_near_dup",
+    "q_sessionize",
+    "q_set_ops",
+    "q_stream_cm_events",
+    "q_stream_minhash_pairs",
+    "q_stream_winnow_pairs",
+    "q_tfidf_pca",
+    "q_topk_per_group",
+    "q_union_lineage",
+    "q_zorder_key",
+    # --- new this round: fresh rows required ---
+    "q_5gram_kn",
+    "q_c4_span_dedup",
+    # --- r7-fresh block (next-oldest; the window tail reaches here) ---
+    "q_ann_recall",
+    "q_asof_join",
+    "q_asof_prev_purchase",
     "q_audio_near_dup",
-    "q_paragraph_dedup",
-    "q_corpus_shuffle",
-    "q_stream_paragraph_dedup",
-    "q_bpe_tokenize",
     "q_badwords_filter",
-    "q_minhash_lsh_pairs",
+    "q_bpe_tokenize",
+    "q_category_path",
+    "q_category_path_recursive",
+    "q_contamination",
+    "q_corpus_shuffle",
+    "q_cosine_topk",
+    "q_cosine_topk_auto",
+    "q_cosine_topk_int8",
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_lsh",
+    "q_csv_normalize",
+    "q_curation_pipeline",
+    "q_decimal_comma",
+    "q_decontaminate",
+    "q_dedup_delimited",
+    "q_defaults",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_exact_dedup",
+    "q_image_near_dup",
+    "q_incremental_dedup",
+    "q_ivf_snapshot_search",
     "q_lsh_pairs_capped",
     "q_lsh_xxhash64_recall",
-    "q_winnow_pairs_capped",
-    "q_exact_dedup",
-    "q_snapshot_dedup",
-    "q_incremental_dedup",
+    "q_minhash_lsh_pairs",
+    "q_paragraph_dedup",
+    "q_repetition_profile",
     "q_simhash",
     "q_simhash_near_dup",
     "q_simhash_wide",
     "q_simhash_wide_near_dup",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_cosine_topk_ivf",
-    "q_cosine_topk_auto",
-    "q_cosine_topk_int8",
-    "q_ann_recall",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_ivf_snapshot_search",
-    "q_category_path",
-    "q_category_path_recursive",
+    "q_size_strip",
+    "q_snapshot_dedup",
     "q_stock_aggregate",
+    "q_stream_paragraph_dedup",
     "q_text_profile",
-    "q_repetition_profile",
-    "q_contamination",
-    "q_decontaminate",
-    "q_curation_pipeline",
-    "q_asof_join",
-    "q_asof_prev_purchase",
+    "q_video_near_dup",
+    "q_winnow_pairs_capped",
+    # --- r8-fresh tail (newest rows; sampled last) ---
+    "q_5gram_surprisal",
+    "q_bigram_surprisal",
+    "q_bloom_prefilter",
+    "q_c4_clean",
+    "q_chunk_text",
+    "q_chunks_to_shards",
+    "q_cm_heavy_hitters",
+    "q_cm_union",
+    "q_corpus_filter",
+    "q_curation_v2",
+    "q_curation_v3",
+    "q_embedding_cluster_dedup",
+    "q_events_stream_windowed",
+    "q_flagship_revenue",
+    "q_gopher_quality",
+    "q_hash_split",
+    "q_hll_distinct",
+    "q_hll_union",
+    "q_html_clean",
+    "q_ivf_refit_plan",
+    "q_jaccard_pairs",
+    "q_json_props",
+    "q_key_skew",
+    "q_line_dedup",
+    "q_lm_snapshot_score",
+    "q_md5_user_hash",
+    "q_mixture_weights",
+    "q_moving_sum",
+    "q_perplexity_buckets",
+    "q_pii_luhn",
+    "q_pii_scrub",
+    "q_quality_classifier",
+    "q_quota_sample",
+    "q_range_join",
+    "q_salted_agg",
+    "q_session_window",
+    "q_stratified_sample",
+    "q_stream_hll_users",
+    "q_stream_interval_join",
+    "q_stream_interval_outer",
+    "q_stream_interval_semi",
+    "q_stream_simhash_wide_pairs",
+    "q_substring_dedup",
+    "q_tfidf_top_terms",
+    "q_token_shards",
+    "q_trigram_surprisal",
+    "q_unigram_surprisal",
+    "q_url_dedup",
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

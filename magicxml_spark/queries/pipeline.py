@@ -1558,6 +1558,11 @@ def _gopher_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .filter(F.size("w") > 0)
+        # the line/paragraph synthesis below otherwise runs in the
+        # SCAN's stage at input-split parallelism (2 splits at sf1,
+        # ~16s of the 32s forced row on one core each — TODO r8 #6);
+        # the shuffled payload is the compact (id, tokens) frame
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     d = F.col("doc_id")
 
@@ -1716,6 +1721,87 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = c4_line_filters(aug, "doc_id", "line", "pos")
     return out.select(
         "doc_id", "n_lines", "n_kept", F.md5("text_clean").alias("clean_fp")
+    )
+
+
+# --- C4 three-sentence-span dedup (Raffel et al. 2020 §2.2's other half) -----
+# "discard all but one of any three-sentence span occurring more than
+# once in the data set". The harness synthesizes sentence-pool docs
+# with pure integer arithmetic identically in both engines (the
+# q_c4_clean pattern): docs in the same residue class share shifted
+# sentence runs (partial-overlap kills), every 4th doc gets a unique
+# namespace (untouched), and lengths 1-5 exercise the <3-sentence
+# passthrough.
+@query(
+    "q_c4_span_dedup",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, CAST(doc_id % 5 + 1 AS INT)),
+               j -> 'S' || CAST((CASE WHEN doc_id % 4 = 0 THEN doc_id * 900
+                                      ELSE (doc_id * 3) % 50 END) + j AS VARCHAR)
+                 || ' alpha beta.'), ' ') AS text
+      FROM documents),
+    sents AS (
+      SELECT doc_id, list_filter(list_transform(string_split(
+        regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'), chr(30)),
+        s -> trim(s)), s -> s <> '') AS s
+      FROM synth),
+    spans0 AS (
+      SELECT doc_id, s, unnest(range(0, len(s) - 2)) AS start
+      FROM sents WHERE len(s) >= 3),
+    spans AS (
+      SELECT doc_id, start,
+             md5(s[start + 1] || chr(31) || s[start + 2] || chr(31)
+                 || s[start + 3]) AS h
+      FROM spans0),
+    ranked AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+      FROM spans),
+    kill_lists AS (
+      SELECT doc_id, list(start) AS ks FROM ranked
+      WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+    rebuilt AS (
+      SELECT se.doc_id,
+             CAST(len(se.s) AS BIGINT) AS n_sentences,
+             CASE WHEN k.ks IS NULL THEN se.s
+                  ELSE list_filter(se.s, (x, i) -> NOT len(list_filter(
+                    k.ks, kk -> i - 1 >= kk AND i - 1 <= kk + 2)) > 0)
+             END AS kept
+      FROM sents se LEFT JOIN kill_lists k USING (doc_id))
+    SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_fp
+    FROM rebuilt
+    """,
+)
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import c4_span_dedup
+
+    d = F.col("doc_id")
+    base = F.when(d % 4 == 0, d * 900).otherwise((d * 3) % 50)
+    synth = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (d % 5).cast("int")),
+                lambda j: F.concat(
+                    F.lit("S"),
+                    (base + j).cast("string"),
+                    F.lit(" alpha beta."),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = c4_span_dedup(synth)
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_fp"),
     )
 
 
@@ -1942,6 +2028,128 @@ def q_5gram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return ngram_surprisal(docs, order=5, count_floor=2)
+
+
+def _kn_oracle(order: int) -> str:
+    """GENERATED modified-Kneser-Ney oracle at any order. The ladder,
+    gamma, and discount expressions come from the SAME text generators
+    the Spark operator applies via F.expr
+    (magicxml_spark.operators.curation.kn_ladder_sql /
+    kn_discount_sql) — the CTE chain here only reproduces the count
+    tables: raw r_k, continuation a_k = distinct-left-extension types
+    of r_{k+1}, per-context totals, counts-of-counts, and the one-row
+    scalar cross join."""
+    from magicxml_spark.operators.curation import (
+        kn_discount_sql,
+        kn_ladder_sql,
+    )
+
+    pos_cols = ",\n".join(
+        f"unnest(list_transform(range(1, len(w) + 1),"
+        f" i -> CASE WHEN i > {j} THEN w[i - {j}] END)) AS prev{j}"
+        for j in range(1, order)
+    )
+    keys_of = {
+        k: [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
+        for k in range(1, order + 1)
+    }
+    ccs_select = ", ".join(
+        f"coalesce(sum(CASE WHEN cnt = {r} THEN 1 ELSE 0 END), 0)"
+        f" AS _cn{r}_{{k}}"
+        for r in (1, 2, 3, 4)
+    )
+    tables, joins, jcols = [], [], []
+    for k in range(2, order + 1):
+        keys = ", ".join(keys_of[k])
+        tables.append(
+            f"r{k} AS (SELECT {keys}, count(*) AS cnt"
+            f" FROM pos WHERE pos >= {k} GROUP BY {keys})"
+        )
+    tables.append(f"a{order} AS (SELECT * FROM r{order})")
+    for k in range(1, order):
+        keys = ", ".join(keys_of[k])
+        tables.append(
+            f"a{k} AS (SELECT {keys}, count(*) AS cnt"
+            f" FROM r{k + 1} GROUP BY {keys})"
+        )
+    for k in range(2, order + 1):
+        ckeys = ", ".join(keys_of[k][:-1])
+        tables.append(
+            f"ctx{k} AS (SELECT {ckeys}, sum(cnt) AS A,"
+            f" sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n1,"
+            f" sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n2,"
+            f" sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS n3p"
+            f" FROM a{k} GROUP BY {ckeys})"
+        )
+    for k in range(1, order + 1):
+        tables.append(
+            f"cc{k} AS (SELECT {ccs_select.format(k=k)} FROM a{k})"
+        )
+    disc_cols = ", ".join(
+        f"{text} AS {name}"
+        for k in range(1, order + 1)
+        for name, text in kn_discount_sql(k).items()
+    )
+    ccs = ", ".join(f"cc{k}" for k in range(1, order + 1))
+    joins.append("LEFT JOIN a1 u1 ON p.cur = u1.cur")
+    jcols.append("u1.cnt AS _a1")
+    for k in range(2, order + 1):
+        on = " AND ".join(f"p.{c} = b{k}.{c}" for c in keys_of[k])
+        joins.append(f"LEFT JOIN a{k} b{k} ON {on}")
+        on2 = " AND ".join(f"p.{c} = g{k}.{c}" for c in keys_of[k][:-1])
+        joins.append(f"LEFT JOIN ctx{k} g{k} ON {on2}")
+        jcols.append(
+            f"b{k}.cnt AS _a{k}, g{k}.A AS _tot{k}, g{k}.n1 AS _n1_{k},"
+            f" g{k}.n2 AS _n2_{k}, g{k}.n3p AS _n3p_{k}"
+        )
+    tables_sql = ",\n    ".join(tables)
+    joins_sql = "\n      ".join(joins)
+    jcols_sql = ",\n           ".join(jcols)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+    pos AS (SELECT doc_id,
+                   {pos_cols},
+                   unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,
+                   unnest(list_transform(range(1, len(w) + 1),
+                                         i -> least(i, {order}))) AS pos
+            FROM nz),
+    {tables_sql},
+    vv AS (SELECT count(DISTINCT cur) AS _V FROM pos),
+    g1 AS (SELECT coalesce(sum(cnt), 0) AS _tot1,
+                  coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS _n1_1,
+                  coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS _n2_1,
+                  coalesce(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END), 0) AS _n3p_1
+           FROM a1),
+    scal AS (SELECT *, {disc_cols} FROM vv, g1, {ccs}),
+    j AS (SELECT p.doc_id AS doc_id, p.pos AS pos,
+           {jcols_sql},
+           s.*
+      FROM pos p
+      {joins_sql}, scal s),
+    micro AS (
+      SELECT doc_id,
+             CAST(round(-ln({kn_ladder_sql(order)}) * 1e6, 0) AS BIGINT) AS m
+      FROM j)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(m) / count(*) / 1e6, 6) AS surprisal
+    FROM micro GROUP BY doc_id
+    """
+
+
+@query("q_5gram_kn", oracle=_kn_oracle(order=5))
+def q_5gram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-Kneser-Ney 5-gram surprisal over documents — the
+    smoothing family of CCNet's actual KenLM filter (Wenzek et al.
+    2020 §4.2; Chen & Goodman 1998 §3). The oracle is GENERATED from
+    the same expression text the operator evaluates, so the parity
+    check covers the count plumbing while the independent Python
+    reference + hand pins in tests/test_curation.py gate the discount
+    math itself (the shared-misconception class)."""
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_surprisal(docs, order=5, smoothing="kn")
 
 
 # --- Frozen-LM snapshot scoring (CCNet's actual shape) ------------------------

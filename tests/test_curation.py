@@ -144,10 +144,46 @@ def test_gopher_blank_lines_are_structure_not_duplicates(spark):
     # paragraphs) has 5 blank separator lines; counting '' as a
     # duplicate line would report 4/11 = 0.36 > 0.30 and kill every
     # ordinary multi-paragraph document — blanks must not count.
-    text = "\n\n".join(f"clean paragraph number {i} right here." for i in range(6))
+    # every word distinct so the n-gram repetition rules stay silent
+    # and the line/para rules alone decide rep_flag
+    words = iter(f"w{i}x{i * 7 % 101}" for i in range(60))
+    text = "\n\n".join(
+        " ".join(next(words) for _ in range(6)) + "." for _ in range(6)
+    )
     row = gopher_quality(_docs(spark, [(1, text)])).collect()[0]
     assert row["dup_line_frac"] == 0.0
     assert row["dup_para_frac"] == 0.0
+    # ...and the exclusion changes the VERDICT, not just the number:
+    # naive counting would set rep_flag on this perfectly clean page
+    assert row["rep_flag"] is False
+
+
+def test_gopher_blank_dominated_page_hand_computed(spark):
+    # VERDICT r8 #8: a blank-DOMINATED page where blank handling
+    # decides the repetition verdict. Two distinct content lines
+    # separated by a wall of blank lines: raw line split gives
+    # [c1, '', '', '', '', '', '', c2] -> naive dup_line_frac = 5/8 =
+    # 0.625 (blanks 2..6 "duplicate" blank 1, way over the 0.30 cap);
+    # with blanks as structure the content is [c1, c2], zero dups.
+    # Paragraph split on \n\n yields ['c1', '', '', 'c2'] (the 6
+    # consecutive newlines contain empty paragraphs) — also excluded.
+    # long all-distinct-word content lines so no n-gram/top-ngram rule
+    # fires for size reasons (the mass caps dominate tiny docs)
+    line1 = " ".join(f"aw{i}b{i * 3 % 97}" for i in range(30)) + "."
+    line2 = " ".join(f"zq{i}c{i * 5 % 89}" for i in range(30)) + "."
+    text = line1 + "\n" * 7 + line2
+    row = gopher_quality(_docs(spark, [(1, text)])).collect()[0]
+    assert row["dup_line_frac"] == 0.0
+    assert row["dup_line_char_frac"] == 0.0
+    assert row["dup_para_frac"] == 0.0
+    assert row["rep_flag"] is False
+    # the SAME wall of blanks with genuinely duplicated content still
+    # trips the rule — exclusion removes blanks, not real repeats:
+    # content lines [dup, dup, dup] -> 2/3 dup count fraction
+    text2 = "dup line." + "\n" * 5 + "dup line." + "\n" * 5 + "dup line."
+    row2 = gopher_quality(_docs(spark, [(2, text2)])).collect()[0]
+    assert row2["dup_line_frac"] == round(2 / 3, 6)
+    assert row2["rep_flag"] is True
     assert row["dup_line_char_frac"] == 0.0
 
 
@@ -375,6 +411,118 @@ def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict
     return _py_ngram_surprisal(docs, order=3, lam=lam, floor=floor)
 
 
+def _py_kn_discounts(counts: dict) -> tuple[float, float, float]:
+    """Chen & Goodman eq. 26 discounts from a count table, with the
+    engine's documented fallback (KenLM --discount_fallback defaults
+    0.5/1.0/1.5 when n_r = 0) and [0, r] clamp — written independently
+    from the paper, NOT from the engine's SQL text."""
+    n = [0, 0, 0, 0, 0]  # n[r] = #types with count exactly r, r=1..4
+    for v in counts.values():
+        if 1 <= v <= 4:
+            n[v] += 1
+    n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+    y = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.0
+    d1 = 0.5 if n1 == 0 else max(0.0, min(1.0, 1.0 - 2.0 * y * n2 / n1))
+    d2 = 1.0 if n2 == 0 else max(0.0, min(2.0, 2.0 - 3.0 * y * n3 / n2))
+    d3 = 1.5 if n3 == 0 else max(0.0, min(3.0, 3.0 - 4.0 * y * n4 / n3))
+    return d1, d2, d3
+
+
+def _py_kn_surprisal(docs: dict, order: int) -> dict:
+    """Independent plain-Python interpolated modified Kneser-Ney
+    (Chen & Goodman 1998 §3): raw counts at the top order,
+    continuation counts below, per-order discounts from
+    counts-of-counts, per-context backoff mass, uniform 1/V base.
+    Same engine conventions as the JM reference: no <s> padding
+    (position i scores at order min(i, n)), HALF-UP micro-nat
+    rounding."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(x: float, digits: int) -> float:
+        q = Decimal(1).scaleb(-digits) if digits else Decimal(1)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    raw = {k: Counter() for k in range(2, order + 1)}
+    vocab = set()
+    for w in docs.values():
+        for i in range(1, len(w) + 1):
+            vocab.add(w[i - 1])
+            for k in range(2, order + 1):
+                if i >= k:
+                    raw[k][tuple(w[i - k : i])] += 1
+    adj = {order: dict(raw[order])}
+    for k in range(1, order):
+        c = Counter()
+        for g in raw[k + 1]:
+            c[g[1:]] += 1
+        adj[k] = dict(c)
+    disc = {k: _py_kn_discounts(adj[k]) for k in range(1, order + 1)}
+    # per-context: A (total), N1, N2, N3+ over adjusted counts
+    ctx = {k: {} for k in range(2, order + 1)}
+    for k in range(2, order + 1):
+        for g, c in adj[k].items():
+            e = ctx[k].setdefault(g[:-1], [0, 0, 0, 0])
+            e[0] += c
+            if c == 1:
+                e[1] += 1
+            elif c == 2:
+                e[2] += 1
+            else:
+                e[3] += 1
+    a1_total = sum(adj[1].values())
+    g1 = [
+        a1_total,
+        sum(1 for c in adj[1].values() if c == 1),
+        sum(1 for c in adj[1].values() if c == 2),
+        sum(1 for c in adj[1].values() if c >= 3),
+    ]
+    v = len(vocab)
+
+    def _disc_num(c: int, k: int) -> float:
+        d1, d2, d3 = disc[k]
+        if c == 0:
+            return 0.0
+        if c == 1:
+            return 1.0 - d1
+        if c == 2:
+            return 2.0 - d2
+        return float(c) - d3
+
+    def p(k: int, gram: tuple) -> float:
+        if k == 1:
+            if a1_total <= 0:
+                return 1.0 / v
+            d1, d2, d3 = disc[1]
+            gamma = (d1 * g1[1] + d2 * g1[2] + d3 * g1[3]) / a1_total
+            return _disc_num(adj[1].get(gram, 0), 1) / a1_total + gamma * (
+                1.0 / v
+            )
+        plow = p(k - 1, gram[1:])
+        e = ctx[k].get(gram[:-1])
+        if e is None:
+            return plow
+        total, n1, n2, n3p = e
+        d1, d2, d3 = disc[k]
+        return _disc_num(adj[k].get(gram, 0), k) / total + (
+            (d1 * n1 + d2 * n2 + d3 * n3p) / total
+        ) * plow
+
+    out = {}
+    for d, w in docs.items():
+        if not w:
+            continue
+        micros = []
+        for i in range(1, len(w) + 1):
+            m = min(i, order)
+            micros.append(
+                int(_half_up(-math.log(p(m, tuple(w[i - m : i]))) * 1e6, 0))
+            )
+        out[d] = _half_up(sum(micros) / len(micros) / 1e6, 6)
+    return out
+
+
 def _py_lm_snapshot_score(
     train: dict,
     score: dict,
@@ -599,6 +747,219 @@ def test_ngram_ladder_randomized_corpus_matches_reference(spark):
             order,
             floor,
         )
+
+
+def test_c4_span_dedup_paper_anchored(spark):
+    # Raffel et al. 2020 §2.2: "we discarded all but one of any
+    # three-sentence span occurring more than once in the data set."
+    from magicxml_spark.operators.curation import c4_span_dedup
+
+    df = _docs(
+        spark,
+        [
+            (1, "Alpha one. Beta two. Gamma three. Delta four."),
+            # same 3-sentence span, later doc -> its copy is removed,
+            # surrounding unique sentences survive
+            (2, "Intro here. Alpha one. Beta two. Gamma three. Outro done."),
+            # fewer than 3 sentences: no spans, passes through whole
+            (3, "Too short. Just two."),
+            # ! and ? terminators segment too
+            (4, "Alpha one! Beta two? Unique tail four."),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_span_dedup(df).collect()}
+    # the duplicated span survives EXACTLY once, first occurrence wins
+    assert out[1]["text_dedup"] == "Alpha one. Beta two. Gamma three. Delta four."
+    assert out[2] == {
+        "doc_id": 2,
+        "n_sentences": 5,
+        "n_kept": 2,
+        "text_dedup": "Intro here. Outro done.",
+    }
+    assert out[3]["text_dedup"] == "Too short. Just two."
+    # different terminal punctuation -> different sentences -> no dup
+    assert out[4]["n_kept"] == 3
+
+
+def test_c4_span_dedup_overlap_and_within_doc(spark):
+    from magicxml_spark.operators.curation import c4_span_dedup
+
+    # within-doc duplicate span: "R. R. R. R." has spans at start 0
+    # and 1 with the same hash; the first survives as the keeper, the
+    # second occurrence's removal takes sentences 1-3 (the documented
+    # no-protection overlap semantics) leaving only sentence 0
+    df = _docs(spark, [(1, "R. R. R. R.")])
+    out = c4_span_dedup(df).collect()[0]
+    assert (out["n_sentences"], out["n_kept"], out["text_dedup"]) == (4, 1, "R.")
+
+    # partial overlap across docs: doc 2 repeats a SHIFTED run of doc
+    # 1's sentences — only the aligned duplicate window dies
+    df2 = _docs(
+        spark,
+        [
+            (1, "S1 a. S2 b. S3 c. S4 d."),
+            (2, "S2 b. S3 c. S4 d. S9 z."),
+        ],
+    )
+    out2 = {r["doc_id"]: r.asDict() for r in c4_span_dedup(df2).collect()}
+    assert out2[1]["n_kept"] == 4
+    # doc 2's span (S2,S3,S4) duplicates doc 1's start-1 window ->
+    # killed; its unique tail survives
+    assert out2[2]["text_dedup"] == "S9 z."
+
+
+def test_c4_span_dedup_empty_and_all_killed(spark):
+    from magicxml_spark.operators.curation import c4_span_dedup
+
+    df = _docs(
+        spark,
+        [(1, "X p. X q. X r."), (2, "X p. X q. X r."), (3, "")],
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_span_dedup(df).collect()}
+    assert out[1]["n_kept"] == 3  # keeper
+    assert out[2] == {
+        "doc_id": 2,
+        "n_sentences": 3,
+        "n_kept": 0,
+        "text_dedup": "",
+    }
+    assert out[3]["n_sentences"] == 0  # empty doc passes through
+
+
+def test_kn_discounts_hand_computed():
+    # Chen & Goodman eq. 26 worked BY HAND (not via any engine):
+    # counts {a:1,b:1,c:1, d:2,e:2, f:3,g:3, h:4} -> n1=3 n2=2 n3=2 n4=1
+    #   Y  = 3/(3+2*2)          = 3/7
+    #   D1 = 1 - 2*(3/7)*2/3    = 1 - 4/7 = 3/7
+    #   D2 = 2 - 3*(3/7)*2/2    = 2 - 9/7 = 5/7
+    #   D3 = 3 - 4*(3/7)*1/2    = 3 - 6/7 = 15/7
+    import pytest
+
+    counts = {"a": 1, "b": 1, "c": 1, "d": 2, "e": 2, "f": 3, "g": 3, "h": 4}
+    d1, d2, d3 = _py_kn_discounts(counts)
+    assert (d1, d2, d3) == (
+        pytest.approx(3 / 7),
+        pytest.approx(5 / 7),
+        pytest.approx(15 / 7),
+    )
+    # clamp: {1:1, 2:1, 3:5} -> Y=1/3, D2 = 2 - 3*(1/3)*5/1 = -3 -> 0.0
+    # and D3 = 3 - 4*(1/3)*0/5 = 3.0 (edge of the [0,3] range, kept)
+    counts2 = {"a": 1, "b": 2, "c": 3, "d": 3, "e": 3, "f": 3, "g": 3}
+    d1, d2, d3 = _py_kn_discounts(counts2)
+    assert d2 == 0.0 and d3 == 3.0
+    # fallback: no count-1/2/3 types at all -> KenLM defaults
+    assert _py_kn_discounts({}) == (0.5, 1.0, 1.5)
+    assert _py_kn_discounts({"a": 7, "b": 9}) == (0.5, 1.0, 1.5)
+
+
+def test_kn_bigram_hand_computed_probabilities(spark):
+    # Full bigram-KN worked example BY HAND (paper formulas, no code):
+    # corpus: "a b a b a b" / "b c" / "c a b"
+    #   raw bigrams: ab:4 ba:2 bc:1 ca:1
+    #   order-2 counts-of-counts: n1=2 n2=1 n3=0 n4=1
+    #     Y=2/4, D1 = 1-2*.5*1/2 = 0.5, D2 = 2-0 = 2.0, D3 = 1.5 (n3=0)
+    #   continuation counts (suffix types): a:2 b:1 c:1, A1=4, V=3
+    #   order-1 counts-of-counts: n1=2 n2=1 -> D = (0.5, 2.0, 1.5)
+    #     gamma1 = (0.5*2 + 2.0*1 + 1.5*0)/4 = 0.75
+    #   p1(a) = (2-2.0)/4 + .75/3 = 0.25      p1(b) = p1(c) = 0.375
+    #     (sums to 1 over the vocab — the distribution check)
+    #   ctx a: A=4 N3p=1 -> gamma(a) = 1.5/4 = 0.375
+    #   ctx b: A=3 N1=1 N2=1 -> gamma(b) = 2.5/3
+    #   p2(b|a) = (4-1.5)/4 + 0.375*0.375       = 0.765625
+    #   p2(c|b) = (1-0.5)/3 + (2.5/3)*0.375
+    #   p2(a|b) = 0/3       + (2.5/3)*0.25
+    #   (p2(a|b)+p2(b|b)+p2(c|b) = 1 — checked by hand)
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    def micro(p):
+        return int(
+            Decimal(repr(-math.log(p) * 1e6)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    df = _docs(spark, [(1, "a b a b a b"), (2, "b c"), (3, "c a b")])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal"])
+        for r in ngram_surprisal(df, order=2, smoothing="kn").collect()
+    }
+    p1a, p1b, p1c = 0.25, 0.375, 0.375
+    p_ba = (4 - 1.5) / 4 + (1.5 / 4) * p1b  # p2(b|a) = 0.765625
+    p_ab = 0.0 / 3 + (2.5 / 3) * p1a
+    p_bc = (1 - 0.5) / 3 + (2.5 / 3) * p1c
+    p_ac = (1 - 0.5) / 1 + (0.5 / 1) * p1a  # p2(a|c) = 0.625
+    # doc 1 "a b a b a b": p1(a), then ba, ab, ba, ab, ba
+    m1 = [micro(p1a)] + [micro(p_ba), micro(p_ab)] * 2 + [micro(p_ba)]
+    # doc 2 "b c": p1(b), bc
+    m2 = [micro(p1b), micro(p_bc)]
+    # doc 3 "c a b": p1(c), ca -> a, ab -> b
+    m3 = [micro(p1c), micro(p_ac), micro(p_ba)]
+
+    def s(ms):
+        return float(
+            Decimal(repr(sum(ms) / len(ms) / 1e6)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    assert got == {1: (6, s(m1)), 2: (2, s(m2)), 3: (3, s(m3))}
+
+
+def test_kn_surprisal_matches_reference(spark):
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    texts = {
+        1: "a b c d e a b c d e a b c d e",
+        2: "a b c d e b a d c e",
+        3: "a b",
+        4: "c",
+        5: "a a a a b b a a",
+    }
+    docs = {d: t.split() for d, t in texts.items()}
+    df = _docs(spark, list(texts.items()))
+    for order in (2, 3, 5):
+        got = {
+            r["doc_id"]: r["surprisal"]
+            for r in ngram_surprisal(df, order=order, smoothing="kn").collect()
+        }
+        assert got == _py_kn_surprisal(docs, order=order), order
+
+
+def test_kn_randomized_corpus_matches_reference(spark):
+    # same randomized sweep as the JM ladder: tiny vocab -> heavy
+    # collisions, short docs, every discount branch exercised
+    import random
+
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    rnd = random.Random(9)
+    vocab = ["a", "b", "c", "dd", "e"]
+    docs = {
+        i: [rnd.choice(vocab) for _ in range(rnd.randint(1, 12))]
+        for i in range(1, 41)
+    }
+    df = _docs(spark, [(d, " ".join(w)) for d, w in docs.items()])
+    for order in (2, 3, 5):
+        got = {
+            r["doc_id"]: r["surprisal"]
+            for r in ngram_surprisal(df, order=order, smoothing="kn").collect()
+        }
+        assert got == _py_kn_surprisal(docs, order=order), order
+
+
+def test_kn_mode_rejects_floor_and_unknown_smoothing(spark):
+    import pytest
+
+    from magicxml_spark.operators.curation import ngram_surprisal
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="count_floor"):
+        ngram_surprisal(df, order=3, smoothing="kn", count_floor=2)
+    with pytest.raises(ValueError, match="smoothing"):
+        ngram_surprisal(df, order=3, smoothing="katz")
 
 
 def test_lm_snapshot_randomized_oov_matches_reference(spark, tmp_path):

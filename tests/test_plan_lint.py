@@ -61,7 +61,8 @@ BROADCAST_WHITELIST = {
     "operators/text.py": {"tot"},  # corpus total: 1 row
     "operators/flatten.py": {"category_paths"},  # category dimension
     "operators/profiling.py": {"totals"},  # global agg: 1 row
-    "operators/curation.py": {"off_df", "tot"},  # offsets / 1-row total
+    # offsets / 1-row total / 1-row KN discount-scalar row
+    "operators/curation.py": {"off_df", "tot", "scalars"},
     "operators/similarity.py": {"sizes", "cdf"},  # n_cells-bounded
     "operators/sketches.py": {"sketch", "bits", "minmax"},  # m-bounded / 1 row
     "sources/synth_media.py": {"found"},  # planted-twin ids: probe-sized
