@@ -95,10 +95,13 @@ def main() -> None:
             "q_5gram_surprisal",
             "q_lm_snapshot_score",
         ],
-        # round-9 additions (modified Kneser-Ney + C4 span dedup)
+        # round-9 additions (modified Kneser-Ney ladder + frozen-KN
+        # snapshot, C4 span dedup, streaming frozen-LM scoring)
         "curation_r9": [
             "q_5gram_kn",
+            "q_lm_snapshot_kn",
             "q_c4_span_dedup",
+            "q_stream_lm_score",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

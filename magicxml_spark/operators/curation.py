@@ -36,7 +36,7 @@ LLM-data-pipeline class alongside operators/dedup.py and text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magicxml_spark.operators.text import tokens
@@ -1080,17 +1080,29 @@ def write_lm_snapshot(
     order: int = 3,
     count_floor: int = 1,
     floor_from: int = 3,
+    smoothing: str = "jm",
 ) -> dict:
-    """Train and persist an order-n Jelinek-Mercer LM: one parquet
-    count table per order (``{path}/t{k}`` with key columns + ``cnt``)
-    plus ``{path}/meta`` (order, count_floor, floor_from, n_total).
-    ``count_floor`` prunes tables of order >= ``floor_from`` at WRITE
-    time (KenLM prunes at build); the snapshot is then the ONLY thing
-    scoring needs — counts, never text. Returns ``{"order", "n_total"}``.
+    """Train and persist an order-n LM: one parquet count table per
+    order (``{path}/t{k}`` with key columns + ``cnt``) plus
+    ``{path}/meta`` (order, count_floor, floor_from, n_total,
+    smoothing). With the default ``smoothing='jm'`` the tables are raw
+    counts and ``count_floor`` prunes tables of order >=
+    ``floor_from`` at WRITE time (KenLM prunes at build).
+    ``smoothing='kn'`` persists the modified-Kneser-Ney model instead
+    (:func:`kn_ngram_surprisal`'s math): ``t{k}`` hold ADJUSTED counts
+    (raw at the top order, continuation counts below), ``c{k}`` the
+    per-context totals/type-counts, and ``scal`` the one-row
+    vocab/discount scalars — everything scoring needs, so a scoring
+    batch never touches training text. KN rejects ``count_floor``
+    (continuation counts are defined over the unpruned type
+    inventory). The snapshot is the ONLY thing scoring needs — counts,
+    never text. Returns ``{"order", "n_total"}``.
 
     Scale: the position stream materializes once and each table is
-    one partial-combine aggregate of it; snapshot size is the distinct
-    n-gram count after pruning, which the floor is the knob for."""
+    one partial-combine aggregate of it (KN table writes submit
+    concurrently — independent jobs); snapshot size is the distinct
+    n-gram count (after pruning for JM, which the floor is the knob
+    for)."""
     import os
 
     if order < 2:
@@ -1102,6 +1114,15 @@ def write_lm_snapshot(
         # would shift n_total and the 1/N floor away from a rebuild
         # (ADVICE r8); floors apply to higher-order tables only
         raise ValueError(f"floor_from must be >= 2: {floor_from}")
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"smoothing must be 'jm' or 'kn': {smoothing!r}")
+    if smoothing == "kn":
+        if count_floor != 1:
+            raise ValueError(
+                "count_floor does not apply to smoothing='kn' snapshots"
+                " (continuation counts need the unpruned type inventory)"
+            )
+        return _write_kn_snapshot(corpus, path, id_col, text_col, order)
     pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
     t1 = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt"))
     t1.write.mode("overwrite").parquet(os.path.join(path, "t1"))
@@ -1118,10 +1139,118 @@ def write_lm_snapshot(
     written_t1 = spark.read.parquet(os.path.join(path, "t1"))
     row = written_t1.agg(F.sum("cnt")).first()[0]
     n_total = int(row) if row is not None else 0
+    _write_lm_meta(spark, path, order, count_floor, floor_from, n_total, "jm")
+    return {"order": order, "n_total": n_total}
+
+
+def _write_lm_meta(
+    spark: SparkSession,
+    path: str,
+    order: int,
+    count_floor: int,
+    floor_from: int,
+    n_total: int,
+    smoothing: str,
+) -> None:
+    import os
+
     spark.createDataFrame(
-        [(order, count_floor, floor_from, n_total)],
-        "order int, count_floor int, floor_from int, n_total long",
+        [(order, count_floor, floor_from, n_total, smoothing)],
+        "order int, count_floor int, floor_from int, n_total long,"
+        " smoothing string",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _lm_meta_smoothing(meta) -> str:
+    """Smoothing family recorded in a snapshot's meta row; snapshots
+    written before the field existed are JM by construction."""
+    return (
+        meta["smoothing"]
+        if "smoothing" in getattr(meta, "__fields__", ())
+        and meta["smoothing"] is not None
+        else "jm"
+    )
+
+
+def _write_kn_snapshot(
+    corpus: DataFrame, path: str, id_col: str, text_col: str, order: int
+) -> dict:
+    """KN arm of :func:`write_lm_snapshot`: persist adjusted count
+    tables ``t{k}``, per-context aggregates ``c{k}``, and the one-row
+    vocab/discount scalar table ``scal``."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = corpus.sparkSession
+    pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
+    raw: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        raw[k] = (
+            pos.filter(F.col("pos") >= k)
+            .groupBy(*_lm_table_keys(k))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    adj_lazy: dict[int, DataFrame] = {order: raw[order]}
+    for k in range(1, order):
+        adj_lazy[k] = (
+            raw[k + 1]
+            .groupBy(*_lm_table_keys(k))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def _write(item: tuple[int, DataFrame]) -> None:
+        k, df_k = item
+        df_k.write.mode("overwrite").parquet(os.path.join(path, f"t{k}"))
+
+    with ThreadPoolExecutor(max_workers=len(adj_lazy)) as pool:
+        list(pool.map(_write, adj_lazy.items()))
+
+    # derive context aggregates and scalars from the WRITTEN tables —
+    # distinct-n-gram-sized inputs, never the token stream again
+    adj = {
+        k: spark.read.parquet(os.path.join(path, f"t{k}"))
+        for k in range(1, order + 1)
+    }
+    for k in range(2, order + 1):
+        keys = _lm_table_keys(k)
+        ctx = adj[k].groupBy(*keys[:-1]).agg(
+            F.sum("cnt").alias(f"_tot{k}"),
+            F.sum((F.col("cnt") == 1).cast("bigint")).alias(f"_n1_{k}"),
+            F.sum((F.col("cnt") == 2).cast("bigint")).alias(f"_n2_{k}"),
+            F.sum((F.col("cnt") >= 3).cast("bigint")).alias(f"_n3p_{k}"),
+        )
+        ctx.write.mode("overwrite").parquet(os.path.join(path, f"c{k}"))
+    scalars = pos.agg(
+        F.countDistinct("cur").alias("_V"),
+        F.count(F.lit(1)).alias("_n_tokens"),
+    ).crossJoin(
+        adj[1].agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tot1"),
+            F.coalesce(
+                F.sum((F.col("cnt") == 1).cast("bigint")), F.lit(0)
+            ).alias("_n1_1"),
+            F.coalesce(
+                F.sum((F.col("cnt") == 2).cast("bigint")), F.lit(0)
+            ).alias("_n2_1"),
+            F.coalesce(
+                F.sum((F.col("cnt") >= 3).cast("bigint")), F.lit(0)
+            ).alias("_n3p_1"),
+        )
+    )
+    for k in range(1, order + 1):
+        scalars = scalars.crossJoin(_kn_count_of_counts(adj[k], k))
+    scalars = scalars.select(
+        "*",
+        *[
+            F.expr(text).alias(name)
+            for k in range(1, order + 1)
+            for name, text in kn_discount_sql(k).items()
+        ],
+    )
+    scalars.write.mode("overwrite").parquet(os.path.join(path, "scal"))
+    row = spark.read.parquet(os.path.join(path, "scal")).first()
+    n_total = int(row["_n_tokens"])
+    _write_lm_meta(spark, path, order, 1, order, n_total, "kn")
     return {"order": order, "n_total": n_total}
 
 
@@ -1145,12 +1274,20 @@ def score_with_lm_snapshot(
     scoring join chain), so it stays lazy — scoring is one pass over
     the batch joined against snapshot parquet, hint-free (AQE
     broadcasts the tables while they measure small; a web-scale
-    snapshot shuffle-joins like any equi-join)."""
+    snapshot shuffle-joins like any equi-join).
+
+    A ``smoothing='kn'`` snapshot scores with the modified-Kneser-Ney
+    ladder instead (``lam`` is ignored): adjusted counts + per-context
+    aggregates + the frozen discount scalars, with OOV mass falling
+    out of the math itself — an unseen token takes the gamma-chained
+    uniform ``1/V`` of the TRAINING vocab, no Laplace floor needed."""
     import os
 
     spark = df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     order = int(meta["order"])
+    if _lm_meta_smoothing(meta) == "kn":
+        return _score_kn_snapshot(df, path, id_col, text_col, order)
     # an LM trained on an EMPTY corpus has n_total 0; every scored
     # position is then OOV-floored to count 1, and the denominator
     # clamps to 1 so the score is a well-defined 0 nats instead of an
@@ -1207,6 +1344,47 @@ def score_with_lm_snapshot(
     )
 
 
+def _score_kn_snapshot(
+    df: DataFrame, path: str, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """KN arm of :func:`score_with_lm_snapshot`: the identical join
+    chain and F.expr ladder as :func:`kn_ngram_surprisal`, reading the
+    frozen ``t{k}``/``c{k}``/``scal`` parquet instead of in-plan
+    aggregates. Single-consumer position stream, stays lazy."""
+    import os
+
+    spark = df.sparkSession
+    pos = _lm_positions(df, id_col, text_col, order, materialize=False)
+    joined = pos
+    for k in range(1, order + 1):
+        keys = _lm_table_keys(k)
+        tk = spark.read.parquet(os.path.join(path, f"t{k}"))
+        joined = joined.join(
+            tk.select(*keys, F.col("cnt").alias(f"_a{k}")), keys, "left"
+        )
+        if k >= 2:
+            ck = spark.read.parquet(os.path.join(path, f"c{k}"))
+            joined = joined.join(ck, keys[:-1], "left")
+    scal = spark.read.parquet(os.path.join(path, "scal"))
+    joined = joined.crossJoin(F.broadcast(scal))
+    micro = joined.select(
+        "_id",
+        F.expr(
+            f"CAST(round(-ln({kn_ladder_sql(order)}) * 1e6, 0) AS BIGINT)"
+        ).alias("_micro"),
+    )
+    return (
+        micro.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "surprisal"
+            ),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "surprisal")
+    )
+
+
 def append_lm_snapshot(
     delta: DataFrame,
     path: str,
@@ -1236,6 +1414,14 @@ def append_lm_snapshot(
 
     spark = delta.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    if _lm_meta_smoothing(meta) == "kn":
+        raise ValueError(
+            "append is not supported for smoothing='kn' snapshots:"
+            " continuation counts and counts-of-counts discounts do not"
+            " merge incrementally from adjusted tables (KenLM rebuilds"
+            " too) — retrain with write_lm_snapshot on the union, or use"
+            " a JM snapshot where appends are O(delta)"
+        )
     order = int(meta["order"])
     count_floor = int(meta["count_floor"])
     floor_from = int(meta["floor_from"])
@@ -1398,28 +1584,38 @@ def kn_discount_sql(k: int) -> dict[str, str]:
     """SQL texts computing the order-``k`` discounts ``_d1_{k}``,
     ``_d2_{k}``, ``_d3_{k}`` from the counts-of-counts columns
     ``_cn1_{k}``..``_cn4_{k}`` (types at adjusted count exactly
-    1..4) — Chen & Goodman eq. 26 with the documented fallback/clamp
-    rules for degenerate corpora."""
+    1..4) — Chen & Goodman eq. 26 with the documented fallback rules
+    for degenerate corpora: when the formula is undefined (n_r = 0) OR
+    computes a non-positive discount, D_r takes KenLM's
+    --discount_fallback default (0.5/1.0/1.5). A discount clamped to
+    ZERO would be worse than inexact — a context holding only
+    count-r types would then carry zero backoff mass and every unseen
+    continuation in it would score probability 0 (ln(0) — the exact
+    estimation failure KenLM refuses with "could not calculate
+    Kneser-Ney discounts"). The upper clamp at r keeps the discounted
+    numerator non-negative."""
+
+    def rule(r: int, fb: str, formula: str) -> str:
+        return (
+            f"CASE WHEN _cn{r}_{k} = 0 THEN {fb}"
+            f" WHEN ({formula}) <= 0.0 THEN {fb}"
+            f" ELSE least({r}.0, {formula}) END"
+        )
+
     y = (
         f"CASE WHEN _cn1_{k} + 2 * _cn2_{k} > 0"
         f" THEN CAST(_cn1_{k} AS DOUBLE) / (_cn1_{k} + 2 * _cn2_{k})"
         f" ELSE 0.0 END"
     )
     return {
-        f"_d1_{k}": (
-            f"CASE WHEN _cn1_{k} = 0 THEN 0.5"
-            f" ELSE greatest(0.0, least(1.0,"
-            f" 1.0 - 2.0 * ({y}) * _cn2_{k} / _cn1_{k})) END"
+        f"_d1_{k}": rule(
+            1, "0.5", f"1.0 - 2.0 * ({y}) * _cn2_{k} / _cn1_{k}"
         ),
-        f"_d2_{k}": (
-            f"CASE WHEN _cn2_{k} = 0 THEN 1.0"
-            f" ELSE greatest(0.0, least(2.0,"
-            f" 2.0 - 3.0 * ({y}) * _cn3_{k} / _cn2_{k})) END"
+        f"_d2_{k}": rule(
+            2, "1.0", f"2.0 - 3.0 * ({y}) * _cn3_{k} / _cn2_{k}"
         ),
-        f"_d3_{k}": (
-            f"CASE WHEN _cn3_{k} = 0 THEN 1.5"
-            f" ELSE greatest(0.0, least(3.0,"
-            f" 3.0 - 4.0 * ({y}) * _cn4_{k} / _cn3_{k})) END"
+        f"_d3_{k}": rule(
+            3, "1.5", f"3.0 - 4.0 * ({y}) * _cn4_{k} / _cn3_{k}"
         ),
     }
 

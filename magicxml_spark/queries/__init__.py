@@ -95,6 +95,8 @@ _DRIVER_SAMPLE_ORDER = [
     # --- new this round: fresh rows required ---
     "q_5gram_kn",
     "q_c4_span_dedup",
+    "q_stream_lm_score",
+    "q_lm_snapshot_kn",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

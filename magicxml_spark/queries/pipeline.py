@@ -2030,7 +2030,7 @@ def q_5gram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_surprisal(docs, order=5, count_floor=2)
 
 
-def _kn_oracle(order: int) -> str:
+def _kn_oracle(order: int, train_src: str = 'pos', score_src: str = 'pos', extra_ctes: str = '') -> str:
     """GENERATED modified-Kneser-Ney oracle at any order. The ladder,
     gamma, and discount expressions come from the SAME text generators
     the Spark operator applies via F.expr
@@ -2063,7 +2063,7 @@ def _kn_oracle(order: int) -> str:
         keys = ", ".join(keys_of[k])
         tables.append(
             f"r{k} AS (SELECT {keys}, count(*) AS cnt"
-            f" FROM pos WHERE pos >= {k} GROUP BY {keys})"
+            f" FROM {train_src} WHERE pos >= {k} GROUP BY {keys})"
         )
     tables.append(f"a{order} AS (SELECT * FROM r{order})")
     for k in range(1, order):
@@ -2114,8 +2114,8 @@ def _kn_oracle(order: int) -> str:
                    unnest(list_transform(range(1, len(w) + 1),
                                          i -> least(i, {order}))) AS pos
             FROM nz),
-    {tables_sql},
-    vv AS (SELECT count(DISTINCT cur) AS _V FROM pos),
+    {extra_ctes}{tables_sql},
+    vv AS (SELECT count(DISTINCT cur) AS _V FROM {train_src}),
     g1 AS (SELECT coalesce(sum(cnt), 0) AS _tot1,
                   coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS _n1_1,
                   coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS _n2_1,
@@ -2125,7 +2125,7 @@ def _kn_oracle(order: int) -> str:
     j AS (SELECT p.doc_id AS doc_id, p.pos AS pos,
            {jcols_sql},
            s.*
-      FROM pos p
+      FROM {score_src} p
       {joins_sql}, scal s),
     micro AS (
       SELECT doc_id,
@@ -2249,6 +2249,65 @@ def q_lm_snapshot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _snapshot_scratch("lm3")
     write_lm_snapshot(train, snap, order=3, count_floor=2)
     return score_with_lm_snapshot(batch, snap)
+
+
+@query(
+    "q_lm_snapshot_kn",
+    oracle=_kn_oracle(
+        3,
+        train_src="tr",
+        score_src="sc",
+        extra_ctes=(
+            "tr AS (SELECT * FROM pos WHERE doc_id % 2 = 0),\n"
+            "    sc AS (SELECT * FROM pos WHERE doc_id % 2 = 1),\n    "
+        ),
+    ),
+)
+def q_lm_snapshot_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen modified-Kneser-Ney snapshot lifecycle: train a KN
+    trigram snapshot on the even-doc_id half (adjusted count tables +
+    context aggregates + discount scalars as parquet), score the odd
+    half against it — OOV tokens take the gamma-chained uniform 1/V of
+    the TRAIN vocab, straight from the math. The oracle is the same
+    generated KN SQL as q_5gram_kn with the train/score split injected
+    as CTEs."""
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    snap = _snapshot_scratch("lmkn3")
+    write_lm_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0), snap, order=3, smoothing="kn"
+    )
+    return score_with_lm_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 1), snap
+    )
+
+
+@query("q_stream_lm_score", oracle=_lm_snapshot_oracle(order=3, floor=2))
+def q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_lm_snapshot_score — the crawl half arrives
+    as a document STREAM and each micro-batch is scored statelessly
+    against the frozen snapshot (streaming/lm.py); the oracle is the
+    SAME frozen-ladder SQL, so parity pins stream == batch == DuckDB.
+    Completes the snapshot family's streaming symmetry (VERDICT r8
+    missing #3)."""
+    from magicxml_spark.operators.curation import write_lm_snapshot
+    from magicxml_spark.streaming.lm import run_stream_lm_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    snap = _snapshot_scratch("lm3s")
+    write_lm_snapshot(train, snap, order=3, count_floor=2)
+    return run_stream_lm_score(
+        spark,
+        sf_dir,
+        snap,
+        out_dir=_snapshot_scratch("lm3s_out"),
+        doc_filter=F.col("doc_id") % 2 == 1,
+    )
 
 
 # --- Seeded deterministic corpus shuffle -------------------------------------

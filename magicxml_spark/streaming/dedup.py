@@ -49,21 +49,30 @@ from magicxml_spark.streaming.events import (
 DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
     """readStream over the documents parquet with a synthetic ingest
     timestamp (doc_id seconds since epoch): the testdata has no ingest
     time, and stateful operators need an event-time column to bound
     their state. Monotonic in doc_id, so watermarks behave like a real
-    ordered feed."""
+    ordered feed. ``max_files_per_trigger`` caps files per micro-batch
+    (multi-batch tests); ``path_glob`` lets tests stream a multi-file
+    layout."""
     from magicxml_spark.tables import ensure_session_confs
 
     ensure_session_confs(spark)
-    stream = (
+    reader = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", path_glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(sf_dir)
     # +1: event time must sit strictly above the initial watermark (0 =
     # epoch) — stateful operators with event-time timeouts filter rows
     # whose timestamp is <= the current watermark as late, which would

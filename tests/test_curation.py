@@ -414,17 +414,26 @@ def _py_trigram_surprisal(docs: dict, lam: float = 0.75, floor: int = 1) -> dict
 def _py_kn_discounts(counts: dict) -> tuple[float, float, float]:
     """Chen & Goodman eq. 26 discounts from a count table, with the
     engine's documented fallback (KenLM --discount_fallback defaults
-    0.5/1.0/1.5 when n_r = 0) and [0, r] clamp — written independently
-    from the paper, NOT from the engine's SQL text."""
+    0.5/1.0/1.5 when n_r = 0 OR the formula computes a non-positive
+    discount — a zero discount would zero the backoff mass of
+    pure-count-r contexts and give unseen continuations probability 0)
+    and an upper clamp at r — written independently from the paper,
+    NOT from the engine's SQL text."""
     n = [0, 0, 0, 0, 0]  # n[r] = #types with count exactly r, r=1..4
     for v in counts.values():
         if 1 <= v <= 4:
             n[v] += 1
     n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
     y = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.0
-    d1 = 0.5 if n1 == 0 else max(0.0, min(1.0, 1.0 - 2.0 * y * n2 / n1))
-    d2 = 1.0 if n2 == 0 else max(0.0, min(2.0, 2.0 - 3.0 * y * n3 / n2))
-    d3 = 1.5 if n3 == 0 else max(0.0, min(3.0, 3.0 - 4.0 * y * n4 / n3))
+
+    def rule(r, fb, val):
+        if val <= 0.0:
+            return fb
+        return min(float(r), val)
+
+    d1 = 0.5 if n1 == 0 else rule(1, 0.5, 1.0 - 2.0 * y * n2 / n1)
+    d2 = 1.0 if n2 == 0 else rule(2, 1.0, 2.0 - 3.0 * y * n3 / n2)
+    d3 = 1.5 if n3 == 0 else rule(3, 1.5, 3.0 - 4.0 * y * n4 / n3)
     return d1, d2, d3
 
 
@@ -842,11 +851,14 @@ def test_kn_discounts_hand_computed():
         pytest.approx(5 / 7),
         pytest.approx(15 / 7),
     )
-    # clamp: {1:1, 2:1, 3:5} -> Y=1/3, D2 = 2 - 3*(1/3)*5/1 = -3 -> 0.0
-    # and D3 = 3 - 4*(1/3)*0/5 = 3.0 (edge of the [0,3] range, kept)
+    # non-positive formula result -> FALLBACK, never zero: {1:1, 2:1,
+    # 3:5} gives Y=1/3, D2 = 2 - 3*(1/3)*5/1 = -3 -> fallback 1.0 (a
+    # zero discount would zero pure-count-2 contexts' backoff mass and
+    # hand unseen continuations probability 0); D3 = 3 - 4*(1/3)*0/5
+    # = 3.0 (top of range, kept)
     counts2 = {"a": 1, "b": 2, "c": 3, "d": 3, "e": 3, "f": 3, "g": 3}
     d1, d2, d3 = _py_kn_discounts(counts2)
-    assert d2 == 0.0 and d3 == 3.0
+    assert d2 == 1.0 and d3 == 3.0
     # fallback: no count-1/2/3 types at all -> KenLM defaults
     assert _py_kn_discounts({}) == (0.5, 1.0, 1.5)
     assert _py_kn_discounts({"a": 7, "b": 9}) == (0.5, 1.0, 1.5)
@@ -948,6 +960,164 @@ def test_kn_randomized_corpus_matches_reference(spark):
             for r in ngram_surprisal(df, order=order, smoothing="kn").collect()
         }
         assert got == _py_kn_surprisal(docs, order=order), order
+
+
+def _py_kn_frozen_score(train: dict, score: dict, order: int) -> dict:
+    """Frozen-KN twin of :func:`_py_kn_surprisal`: model statistics
+    (counts, discounts, contexts, V) come from ``train`` only; ``score``
+    docs — including OOV tokens — score against them."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(x: float, digits: int) -> float:
+        q = Decimal(1).scaleb(-digits) if digits else Decimal(1)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    raw = {k: Counter() for k in range(2, order + 1)}
+    vocab = set()
+    for w in train.values():
+        for i in range(1, len(w) + 1):
+            vocab.add(w[i - 1])
+            for k in range(2, order + 1):
+                if i >= k:
+                    raw[k][tuple(w[i - k : i])] += 1
+    adj = {order: dict(raw[order])}
+    for k in range(1, order):
+        c = Counter()
+        for g in raw[k + 1]:
+            c[g[1:]] += 1
+        adj[k] = dict(c)
+    disc = {k: _py_kn_discounts(adj[k]) for k in range(1, order + 1)}
+    ctx = {k: {} for k in range(2, order + 1)}
+    for k in range(2, order + 1):
+        for g, c in adj[k].items():
+            e = ctx[k].setdefault(g[:-1], [0, 0, 0, 0])
+            e[0] += c
+            if c == 1:
+                e[1] += 1
+            elif c == 2:
+                e[2] += 1
+            else:
+                e[3] += 1
+    a1_total = sum(adj[1].values())
+    g1 = [
+        a1_total,
+        sum(1 for c in adj[1].values() if c == 1),
+        sum(1 for c in adj[1].values() if c == 2),
+        sum(1 for c in adj[1].values() if c >= 3),
+    ]
+    v = len(vocab)
+
+    def _disc_num(c: int, k: int) -> float:
+        d1, d2, d3 = disc[k]
+        if c == 0:
+            return 0.0
+        if c == 1:
+            return 1.0 - d1
+        if c == 2:
+            return 2.0 - d2
+        return float(c) - d3
+
+    def p(k: int, gram: tuple) -> float:
+        if k == 1:
+            if a1_total <= 0:
+                return 1.0 / v
+            d1, d2, d3 = disc[1]
+            gamma = (d1 * g1[1] + d2 * g1[2] + d3 * g1[3]) / a1_total
+            return _disc_num(adj[1].get(gram, 0), 1) / a1_total + gamma * (
+                1.0 / v
+            )
+        plow = p(k - 1, gram[1:])
+        e = ctx[k].get(gram[:-1])
+        if e is None:
+            return plow
+        total, n1, n2, n3p = e
+        d1, d2, d3 = disc[k]
+        return _disc_num(adj[k].get(gram, 0), k) / total + (
+            (d1 * n1 + d2 * n2 + d3 * n3p) / total
+        ) * plow
+
+    out = {}
+    for d, w in score.items():
+        if not w:
+            continue
+        micros = []
+        for i in range(1, len(w) + 1):
+            m = min(i, order)
+            micros.append(
+                int(_half_up(-math.log(p(m, tuple(w[i - m : i]))) * 1e6, 0))
+            )
+        out[d] = _half_up(sum(micros) / len(micros) / 1e6, 6)
+    return out
+
+
+def test_kn_snapshot_frozen_score_matches_reference(spark, tmp_path):
+    # the frozen lifecycle with guaranteed OOV mass: score docs use a
+    # WIDER vocab than the train half — OOV tokens must take the
+    # gamma-chained uniform 1/V of the TRAIN vocab, matching the
+    # independent Python frozen ladder exactly
+    import random
+
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    rnd = random.Random(19)
+    train_vocab = ["a", "b", "c", "d"]
+    score_vocab = ["a", "b", "c", "d", "oovx", "oovy"]
+    train = {
+        i: [rnd.choice(train_vocab) for _ in range(rnd.randint(1, 10))]
+        for i in range(0, 30, 2)
+    }
+    score = {
+        i: [rnd.choice(score_vocab) for _ in range(rnd.randint(1, 10))]
+        for i in range(1, 30, 2)
+    }
+    snap = str(tmp_path / "kn")
+    for order in (2, 3):
+        write_lm_snapshot(
+            _docs(spark, [(d, " ".join(w)) for d, w in train.items()]),
+            snap + str(order),
+            order=order,
+            smoothing="kn",
+        )
+        got = {
+            r["doc_id"]: r["surprisal"]
+            for r in score_with_lm_snapshot(
+                _docs(spark, [(d, " ".join(w)) for d, w in score.items()]),
+                snap + str(order),
+            ).collect()
+        }
+        assert got == _py_kn_frozen_score(train, score, order), order
+
+
+def test_kn_snapshot_append_raises_and_self_score_is_ladder(spark, tmp_path):
+    from magicxml_spark.operators.curation import (
+        append_lm_snapshot,
+        ngram_surprisal,
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    docs = _docs(spark, [(1, "a b c a b"), (2, "c c a b a"), (3, "b a d")])
+    snap = str(tmp_path / "kn3")
+    write_lm_snapshot(docs, snap, order=3, smoothing="kn")
+    # self-scoring against the snapshot == the in-plan KN ladder
+    a = {r["doc_id"]: r.asDict() for r in score_with_lm_snapshot(docs, snap).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_surprisal(docs, order=3, smoothing="kn").collect()
+    }
+    assert a == b
+    # KN snapshots do not append — actionable error, not silent drift
+    import pytest
+
+    with pytest.raises(ValueError, match="smoothing='kn'"):
+        append_lm_snapshot(_docs(spark, [(9, "a b")]), snap)
+    with pytest.raises(ValueError, match="count_floor"):
+        write_lm_snapshot(docs, str(tmp_path / "x"), smoothing="kn", count_floor=2)
 
 
 def test_kn_mode_rejects_floor_and_unknown_smoothing(spark):

@@ -690,3 +690,51 @@ def test_stream_default_bucket_cap_engages(spark, tmp_path):
     got = spark.table(name).count()
     assert got == cap * (cap - 1) // 2 + (n - cap) * cap  # capped
     assert got < n * (n - 1) // 2  # NOT the quadratic multiset
+
+
+def test_stream_lm_score_multibatch_equals_batch(spark, tmp_path):
+    # Streaming frozen-LM scoring is a STATELESS per-batch map: split
+    # the crawl half over 3 parquet files, force one file per
+    # micro-batch, and the union of per-batch scores must equal the
+    # batch scorer on the same documents EXACTLY (and the DuckDB
+    # frozen ladder via the registered oracle).
+    import os
+
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+    from magicxml_spark.streaming.lm import run_stream_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} tok{i % 3} tok{i % 7} tail{i % 11}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    crawl = docs.filter("doc_id % 2 = 1")
+    snap = str(tmp_path / "snap")
+    write_lm_snapshot(train, snap, order=3, count_floor=1)
+
+    feed = str(tmp_path / "feed")
+    crawl.repartition(3).write.parquet(feed)
+    assert len([f for f in os.listdir(feed) if f.endswith(".parquet")]) >= 2
+
+    out = str(tmp_path / "scores")
+    streamed = run_stream_lm_score(
+        spark,
+        feed,
+        snap,
+        out_dir=out,
+        max_files_per_trigger=1,
+        path_glob="*.parquet",
+    )
+    # multiple micro-batches actually happened
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2
+    got = {r["doc_id"]: r.asDict() for r in streamed.collect()}
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in score_with_lm_snapshot(crawl, snap).collect()
+    }
+    assert got == exp
