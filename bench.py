@@ -102,6 +102,7 @@ def main() -> None:
             "q_lm_snapshot_kn",
             "q_c4_span_dedup",
             "q_stream_lm_score",
+            "q_dsir_select",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -1,0 +1,230 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+NeurIPS, arXiv:2302.03169).
+
+Selects raw-corpus documents that look like a TARGET domain: fit two
+bag-of-hashed-ngrams generative models (target p, raw q), weight each
+raw document by its log importance ratio log p(x) - log q(x), add
+Gumbel noise, and keep the top-k — Gumbel-top-k IS sampling without
+replacement proportional to the softmax of the weights (the paper's
+§3 resampling step), so the one pass produces a true importance
+resample, not just the argmax documents.
+
+Published recipe -> Spark mapping:
+
+* hashed n-gram features (paper §3.1: unigrams + bigrams hashed into
+  m buckets): word unigrams + bigrams, bucket = first ``hash_chars``
+  hex digits of md5(gram) -> m = 16**hash_chars buckets. md5-prefix
+  bucketing (not xxhash64) keeps the bucket function reproducible in
+  any engine, the repo-wide oracle-parity rule (sampling.hash_order).
+* both models fit in ONE aggregation pass over the exploded gram
+  stream (groupBy bucket: raw count + conditional target count) — at
+  100 TB that is a single map-side-combinable shuffle of at most m
+  rows per mapper, not two corpus scans.
+* additive (Laplace) ``alpha`` smoothing keeps every bucket's ratio
+  finite; the paper smooths the hashed multinomials the same way.
+* the per-bucket log ratio is pre-rounded to integer MICRO-NATS in
+  the m-bounded bucket table, so each document's weight is an exact
+  integer sum — engine-exact under any addition order (the
+  unigram_surprisal determinism contract).
+* Gumbel noise is derived deterministically from md5(doc_id) (seeded
+  resampling; u in (0,1) by construction), so the selection is
+  reproducible and DuckDB-checkable.
+
+Scale shape: one explode (pre-repartitioned to defaultParallelism —
+the LM-family scan-parallelism rule), one localCheckpoint of the
+(doc, bucket) stream (it feeds the model fit AND the scoring join),
+one groupBy(bucket) agg bounded by m, one AQE-planned join of the
+gram stream against the <=m-row ratio table (hint-free: AQE
+broadcasts it at runtime), one groupBy(doc) integer sum, and a
+distributed TakeOrdered (orderBy+limit) for the top-k. Zero windows,
+zero collects, zero Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _WS), lambda t: t != F.lit(""))
+
+
+def hashed_ngram_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_chars: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per unigram/bigram INSTANCE (multiset — counts matter
+    for the multinomial models, unlike word_shingles' distinct sets):
+    (id, bucket) where bucket = substr(md5(gram), 1, hash_chars).
+
+    Repartitions the compact (id, text) projection to
+    defaultParallelism before the explode so gram fan-out is not
+    pinned to the scan's input-split count (the gopher_repetition /
+    _lm_positions pre-explode fix).
+    """
+    sc = df.sparkSession.sparkContext
+    w = _words(F.col("_t"))
+    n = F.size(w)
+    # bigrams: zip each word with its successor; the last position
+    # pairs with null -> null -> filtered (no when-guard needed, and
+    # n=1 docs zip against an empty slice the same way)
+    bi = F.filter(
+        F.zip_with(
+            w,
+            F.slice(w, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    grams = F.concat(w, bi)
+    keep = [F.col(c) for c in (extra_cols or [])]
+    return (
+        df.select(F.col(id_col).alias("_id"), *keep, F.col(text_col).alias("_t"))
+        .repartition(sc.defaultParallelism)
+        .select(
+            "_id",
+            *[c for c in (extra_cols or [])],
+            F.explode(grams).alias("_g"),
+        )
+        .select(
+            "_id",
+            *[c for c in (extra_cols or [])],
+            F.substring(F.md5("_g"), 1, hash_chars).alias("bucket"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: Column,
+    hash_chars: int = 3,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    ``target_flag`` marks the rows of ``raw`` that form the target
+    corpus (the usual deployment: the target is a trusted subset —
+    Wikipedia, curated books — riding in the same table as the crawl).
+    Returns one row per input document:
+    (id, n_grams, lw_micro bigint) where lw_micro = sum over gram
+    instances of round(1e6 * [ln p_hat(bucket) - ln q_hat(bucket)]),
+    p_hat/q_hat the alpha-smoothed target/raw bucket multinomials.
+    Documents with no tokens score 0 (empty product).
+    """
+    m_buckets = 16**hash_chars
+    grams = hashed_ngram_stream(
+        raw.withColumn("_is_t", target_flag.cast("int")),
+        id_col,
+        text_col,
+        hash_chars,
+        extra_cols=["_is_t"],
+    )
+    # the gram stream feeds the model fit AND the scoring join —
+    # materialize once (localCheckpoint, not persist: the
+    # CacheManager plan-matching trap documented in ngram_surprisal)
+    grams = grams.localCheckpoint(eager=True)
+
+    # <=m rows; materialized so (a) the totals agg below reuses it
+    # instead of re-aggregating the corpus gram stream a third time,
+    # and (b) the ratio side's size is runtime-known, letting AQE
+    # broadcast the SMALL side of the scoring join at any SF
+    counts = (
+        grams.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum("_is_t").alias("ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("n_raw"), F.sum("ct").alias("n_tgt")
+    )
+    # 1-row totals: the whitelisted broadcast-crossJoin pattern
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + alpha) / (F.col("n_tgt") + alpha * m_buckets))
+                - F.log((F.col("cr") + alpha) / (F.col("n_raw") + alpha * m_buckets))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    scored = (
+        grams.join(ratio, "bucket")  # hint-free: AQE broadcasts <=m rows
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("m").alias("lw_micro"))
+    )
+    ids = raw.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("lw_micro", F.lit(0)).alias("lw_micro"),
+        )
+    )
+
+
+def gumbel_key(id_col: Column, lw_micro: Column) -> Column:
+    """Integer micro-nat Gumbel-perturbed selection key.
+
+    u = (first 8 md5 hex digits of the id + 0.5) / 2^32 lands strictly
+    inside (0,1); g = -ln(-ln(u)) ~ Gumbel(0,1) under the uniform-hash
+    model. Micro-rounding g before the integer add keeps the key
+    engine-exact (the surprisal-family contract).
+    """
+    u = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    g = -F.log(-F.log(u))
+    return lw_micro + F.round(g * 1e6).cast("bigint")
+
+
+def dsir_select(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: Column,
+    k: int,
+    hash_chars: int = 3,
+    alpha: float = 0.5,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Gumbel-top-k importance resample of ``raw`` toward the target.
+
+    ``gumbel=False`` degrades to plain top-k by importance weight (the
+    paper's "top-k heuristic" baseline). Selection is a distributed
+    TakeOrdered — orderBy+limit, never a single-task global window.
+    Output: (id, n_grams, log_w, sel_key) sorted by sel_key desc.
+    """
+    lw = dsir_log_weights(raw, id_col, text_col, target_flag, hash_chars, alpha)
+    key = (
+        gumbel_key(F.col(id_col), F.col("lw_micro"))
+        if gumbel
+        else F.col("lw_micro")
+    )
+    return (
+        lw.withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("lw_micro") / 1e6, 6).alias("log_w"),
+            F.round(F.col("_key") / 1e6, 6).alias("sel_key"),
+        )
+    )

@@ -97,6 +97,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_c4_span_dedup",
     "q_stream_lm_score",
     "q_lm_snapshot_kn",
+    "q_dsir_select",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

@@ -2521,3 +2521,57 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_hits", F.col("keep").cast("int").alias("keep")
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) -----------------------------
+# Select crawl documents that look like a target domain: here the
+# target is the corpus's English subset (a stand-in for "trusted
+# docs riding in the same table"), raw is everything. Hashed
+# unigram+bigram multinomials (md5-prefix buckets, m=4096), Laplace
+# alpha=0.5, per-bucket micro-nat pre-rounding for engine-exact
+# integer document weights, deterministic md5-seeded Gumbel-top-k
+# (= sampling without replacement ~ softmax(log_w), paper §3).
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang = 'en' AS is_t, {_WORDS_SQL} AS w
+               FROM documents),
+    g AS (SELECT doc_id, is_t,
+                 unnest(w || list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i + 1])) AS gram
+          FROM w WHERE len(w) > 0),
+    b AS (SELECT doc_id, is_t, substr(md5(gram), 1, 3) AS bucket FROM g),
+    cnt AS (SELECT bucket, count(*) AS cr,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+            FROM b GROUP BY bucket),
+    tot AS (SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM cnt),
+    ratio AS (SELECT bucket,
+                     CAST(round((ln((ct + 0.5) / (n_tgt + 0.5 * 4096))
+                               - ln((cr + 0.5) / (n_raw + 0.5 * 4096))) * 1e6,
+                                0) AS BIGINT) AS m
+              FROM cnt, tot),
+    sc AS (SELECT doc_id, count(*) AS n_grams, sum(m) AS lw
+           FROM b JOIN ratio USING (bucket) GROUP BY doc_id),
+    filled AS (SELECT d.doc_id,
+                    CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                    CAST(coalesce(lw, 0) AS BIGINT) AS lw
+             FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)),
+    keyed AS (SELECT doc_id, n_grams, lw,
+                     lw + CAST(round(-ln(-ln(
+                           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) + 0.5) / 4294967296.0)) * 1e6, 0)
+                               AS BIGINT) AS sel
+              FROM filled)
+    SELECT doc_id, n_grams,
+           round(lw / 1e6, 6) AS log_w,
+           round(sel / 1e6, 6) AS sel_key
+    FROM keyed ORDER BY sel DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dsir import dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", k=100
+    )

@@ -61,8 +61,10 @@ BROADCAST_WHITELIST = {
     "operators/text.py": {"tot"},  # corpus total: 1 row
     "operators/flatten.py": {"category_paths"},  # category dimension
     "operators/profiling.py": {"totals"},  # global agg: 1 row
-    # offsets / 1-row total / 1-row KN discount-scalar row
-    "operators/curation.py": {"off_df", "tot", "scalars"},
+    # offsets / 1-row total / 1-row KN discount-scalar row (built as
+    # `scalars`, read back from the snapshot's parquet as `scal`)
+    "operators/curation.py": {"off_df", "tot", "scalars", "scal"},
+    "operators/dsir.py": {"totals"},  # global bucket-count sums: 1 row
     "operators/similarity.py": {"sizes", "cdf"},  # n_cells-bounded
     "operators/sketches.py": {"sketch", "bits", "minmax"},  # m-bounded / 1 row
     "sources/synth_media.py": {"found"},  # planted-twin ids: probe-sized
