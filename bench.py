@@ -103,6 +103,7 @@ def main() -> None:
             "q_c4_span_dedup",
             "q_stream_lm_score",
             "q_dsir_select",
+            "q_bm25_topk",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -1,0 +1,109 @@
+"""BM25 ranked retrieval (Robertson et al., Okapi BM25; the Lucene
+non-negative IDF variant) — the retrieval-based data-selection arm of
+the pipeline family: "find the crawl documents most relevant to this
+query/domain description" is a standard curation primitive alongside
+DSIR's distribution-matching arm (operators/dsir.py).
+
+score(D, Q) = sum over t in Q of
+    idf(t) * tf(t,D) * (k1 + 1) / (tf(t,D) + k1 * (1 - b + b*|D|/avgdl))
+with idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))  (always >= 0,
+the Lucene smoothing of the classic RSJ weight).
+
+Scale shape: ONE tokenize pass over the corpus (a compact
+(id, doclen, query-term-hits) projection, localCheckpointed because it
+feeds both the tf explode and the corpus-stats agg — measured 2.60 vs
+1.94 s at sf1 forced), pre-repartitioned to defaultParallelism (the
+LM-family scan-parallelism rule; the no-shuffle spelling measured
+4.19 s on sf1's 2-split layout). The query-term filter lands inside
+the projection, so the explode fans out only matching tokens; corpus
+stats (N, total token count) broadcast as a 1-row crossJoin; the df
+table is at most |Q| rows (AQE broadcasts it); the final top-k is a
+distributed TakeOrdered. Per-(doc, term) contributions pre-round to
+integer micro-units so the document score is an exact integer sum
+(the repo-wide engine-exactness contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    Returns (id, n_hits, score) sorted by score desc (micro-rounded;
+    id breaks ties). ``n_hits`` = number of DISTINCT query terms the
+    document contains. Documents matching no term never surface (their
+    score is exactly 0 and retrieval only ranks matches).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    sc = df.sparkSession.sparkContext
+    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    terms = [t.lower() for t in query_terms]
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).repartition(sc.defaultParallelism)
+    # ONE tokenize pass: doc length + query-term hits in a single
+    # compact projection, materialized once (localCheckpoint — it
+    # feeds the tf explode AND the corpus-stats agg; the two-consumer
+    # spelling re-ran the regex split per consumer, measured 2.60 vs
+    # 1.94 s at sf1 forced). The checkpointed frame is (id, dl, hits):
+    # bytes-per-row bounded by |Q| matches, not the document text.
+    pre = base.select(
+        "_id",
+        F.size(words).alias("dl"),
+        F.filter(words, lambda t: t.isin(terms)).alias("hits"),
+    ).localCheckpoint(eager=True)
+    # the explode fans out |Q|-filtered tokens, not the corpus
+    tok = pre.select("_id", "dl", F.explode("hits").alias("term"))
+    # N = collection size (BM25's N is all docs, not matching docs)
+    stats = pre.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = tok.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(
+        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_c = F.col("tf").cast("double")
+    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    contrib = idf * tf_c * (k1 + 1.0) / norm
+
+    scored = (
+        tf.join(dfreq, "term")  # <=|Q| rows; AQE broadcasts
+        .crossJoin(F.broadcast(stats))  # 1 row
+        .select(
+            "_id",
+            F.round(contrib * 1e6).cast("bigint").alias("m"),
+        )
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("m").alias("s_micro"))
+    )
+    return (
+        scored.orderBy(F.desc("s_micro"), "_id")
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_hits",
+            F.round(F.col("s_micro") / 1e6, 6).alias("score"),
+        )
+    )

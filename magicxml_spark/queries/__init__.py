@@ -98,6 +98,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_stream_lm_score",
     "q_lm_snapshot_kn",
     "q_dsir_select",
+    "q_bm25_topk",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

@@ -1397,3 +1397,45 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_correct"),
         )
     )
+
+
+# --- BM25 ranked retrieval (Okapi / Lucene-IDF variant) -----------------------
+# Retrieval-based data selection: rank the corpus against a fixed
+# query-term bag. Query-term filter sits inside the explode projection
+# (map-side: only matching tokens fan out), corpus stats are a 1-row
+# broadcast, the df table is <=|Q| rows, top-k is a TakeOrdered.
+# Micro-unit pre-rounding per (doc, term) keeps scores engine-exact;
+# both engines spell the float arithmetic in the same association
+# order (left-to-right product, then the single divide).
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS total_len FROM w),
+    tok AS (SELECT doc_id, len(w) AS dl,
+                   unnest(list_filter(w, x -> x IN ('spark', 'customer', 'vector')))
+                     AS term
+            FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+           FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (SELECT doc_id,
+                       CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                  * tf * 2.2
+                                  / (tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs)))
+                                  * 1e6, 0) AS BIGINT) AS m
+                FROM tf JOIN dfq USING (term), stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           round(sum(m) / 1e6, 6) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY sum(m) DESC, doc_id LIMIT 50
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "customer", "vector"], k=50
+    )

@@ -65,6 +65,7 @@ BROADCAST_WHITELIST = {
     # `scalars`, read back from the snapshot's parquet as `scal`)
     "operators/curation.py": {"off_df", "tot", "scalars", "scal"},
     "operators/dsir.py": {"totals"},  # global bucket-count sums: 1 row
+    "operators/retrieval.py": {"stats"},  # global N/avgdl agg: 1 row
     "operators/similarity.py": {"sizes", "cdf"},  # n_cells-bounded
     "operators/sketches.py": {"sketch", "bits", "minmax"},  # m-bounded / 1 row
     "sources/synth_media.py": {"found"},  # planted-twin ids: probe-sized

@@ -1,0 +1,85 @@
+"""Unit tests for operators/retrieval.py — BM25 against an
+independent plain-Python reference plus a hand-computed pin (the
+shared-misconception guard: engine-vs-oracle parity alone cannot catch
+a formula both engines spell identically wrong)."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from magicxml_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Independent reference -> {id: (n_hits, s_micro)} for docs with
+    at least one hit."""
+    toks = {i: [x for x in t.lower().split() if x] for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    terms = [t.lower() for t in terms]
+    df = Counter(t for w in toks.values() for t in set(w) if t in terms)
+    out = {}
+    for i, w in toks.items():
+        tf = Counter(t for t in w if t in terms)
+        if not tf:
+            continue
+        s = 0
+        for t, f in tf.items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * len(w) / avgdl)) * 1e6
+            )
+        out[i] = (len(tf), s)
+    return out
+
+
+def test_bm25_hand_computed_single_term(spark):
+    # N=3, df(cat)=2, avgdl=(2+3+1)/3=2. Doc 1: tf=1, dl=2;
+    # idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    # contrib = ln(1.6)*1*2.2/(1 + 1.2*(0.25 + 0.75*2/2)) = ln(1.6)*2.2/2.2
+    rows = [(1, "cat dog"), (2, "cat cat mouse"), (3, "fish")]
+    got = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in bm25_topk(_docs(spark, rows), "doc_id", "text", ["cat"]).collect()
+    }
+    exp1 = round(math.log(1.6) * 1e6) / 1e6
+    assert got[1] == (1, exp1)
+    # doc 2: tf=2, dl=3 -> ln(1.6)*2*2.2/(2 + 1.2*(0.25 + 1.125))
+    exp2 = round(math.log(1.6) * 2 * 2.2 / (2 + 1.2 * 1.375) * 1e6) / 1e6
+    assert got[2] == (1, exp2)
+    assert 3 not in got  # no hit -> never surfaces
+    assert got[2] > got[1]  # tf=2 outranks tf=1 here
+
+
+def test_bm25_matches_python_reference_randomized(spark):
+    rng = random.Random(97)
+    vocab = [f"w{j}" for j in range(23)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(150)
+    ]
+    terms = ["w0", "w7", "w19"]
+    got = {
+        r["doc_id"]: (r["n_hits"], round(r["score"] * 1e6))
+        for r in bm25_topk(
+            _docs(spark, rows), "doc_id", "text", terms, k=150
+        ).collect()
+    }
+    assert got == _py_bm25(rows, terms)
+
+
+def test_bm25_topk_order_and_validation(spark):
+    rows = [(i, "hit " * (i + 1)) for i in range(10)]
+    out = bm25_topk(_docs(spark, rows), "doc_id", "text", ["hit"], k=3).collect()
+    scores = [r["score"] for r in out]
+    assert len(out) == 3 and scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, rows), "doc_id", "text", [])
