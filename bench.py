@@ -104,6 +104,7 @@ def main() -> None:
             "q_stream_lm_score",
             "q_dsir_select",
             "q_bm25_topk",
+            "q_dsir_model_score",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

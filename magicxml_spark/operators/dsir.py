@@ -228,3 +228,170 @@ def dsir_select(
             F.round(F.col("_key") / 1e6, 6).alias("sel_key"),
         )
     )
+
+
+# --- frozen DSIR model lifecycle ---------------------------------------------
+# The deployment shape (same as the LM snapshot family): fit the two
+# hashed-ngram multinomials ONCE on a reference crawl + target corpus,
+# persist the bucket counts, then score every future batch O(batch).
+# Unlike Kneser-Ney's adjusted counts, DSIR's sufficient statistics
+# are raw additive counts, so append merges EXACTLY (append == rebuild
+# is pinned in tests, no pruned-approximation caveat).
+
+
+def write_dsir_model(
+    raw: DataFrame,
+    path: str,
+    target_flag: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_chars: int = 3,
+    alpha: float = 0.5,
+) -> dict:
+    """Fit and persist the DSIR bucket model: ``{path}/counts``
+    (bucket, cr, ct — raw and target gram counts) and ``{path}/meta``
+    (hash_chars, alpha, n_raw, n_tgt). Counts, never ratios, so
+    appends stay exact and alpha can be rescored without refit.
+    Returns ``{"n_raw", "n_tgt"}``."""
+    import os
+
+    spark = raw.sparkSession
+    grams = hashed_ngram_stream(
+        raw.withColumn("_is_t", target_flag.cast("int")),
+        id_col,
+        text_col,
+        hash_chars,
+        extra_cols=["_is_t"],
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("_is_t").alias("ct")
+    )
+    counts.write.mode("overwrite").parquet(os.path.join(path, "counts"))
+    row = (
+        spark.read.parquet(os.path.join(path, "counts"))
+        .agg(F.sum("cr"), F.sum("ct"))
+        .first()
+    )
+    n_raw = int(row[0]) if row[0] is not None else 0
+    n_tgt = int(row[1]) if row[1] is not None else 0
+    spark.createDataFrame(
+        [(hash_chars, float(alpha), n_raw, n_tgt)],
+        "hash_chars int, alpha double, n_raw long, n_tgt long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return {"n_raw": n_raw, "n_tgt": n_tgt}
+
+
+def score_with_dsir_model(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a batch against a frozen DSIR model O(batch): one gram
+    explode, one LEFT join against the stored bucket counts (hint-free
+    — AQE broadcasts the <=m-row table), out-of-model buckets take the
+    zero-count ratio (the same alpha-smoothed formula with cr=ct=0,
+    spelled as an in-plan constant expression so both engines evaluate
+    their own ln). Output: (id, n_grams, log_w); docs with no tokens
+    score 0."""
+    import os
+
+    spark = docs.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    hash_chars = int(meta["hash_chars"])
+    alpha = float(meta["alpha"])
+    n_raw, n_tgt = int(meta["n_raw"]), int(meta["n_tgt"])
+    am = alpha * (16**hash_chars)
+    counts = spark.read.parquet(os.path.join(path, "counts"))
+    ratio = counts.select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + alpha) / F.lit(n_tgt + am))
+                - F.log((F.col("cr") + alpha) / F.lit(n_raw + am))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    oov = (
+        F.round(
+            (
+                F.log(F.lit(alpha) / F.lit(n_tgt + am))
+                - F.log(F.lit(alpha) / F.lit(n_raw + am))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+    )
+    grams = hashed_ngram_stream(docs, id_col, text_col, hash_chars)
+    scored = (
+        grams.join(ratio, "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("m", oov)).alias("lw_micro"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("_id"))
+    return ids.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.round(F.coalesce("lw_micro", F.lit(0)) / 1e6, 6).alias("log_w"),
+    )
+
+
+def append_dsir_model(
+    delta: DataFrame,
+    path: str,
+    target_flag: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold a delta corpus into a frozen DSIR model O(delta): bucket
+    counts are additive sufficient statistics, so the merged model is
+    EXACTLY the one a full refit on the union produces (pinned). Same
+    staged publish as append_lm_snapshot: all Spark work lands in
+    ``__new`` dirs while the live model stays readable, then a tight
+    rename loop swaps counts and meta in."""
+    import os
+    import shutil
+
+    spark = delta.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    hash_chars = int(meta["hash_chars"])
+    alpha = float(meta["alpha"])
+    grams = hashed_ngram_stream(
+        delta.withColumn("_is_t", target_flag.cast("int")),
+        id_col,
+        text_col,
+        hash_chars,
+        extra_cols=["_is_t"],
+    )
+    d = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("_is_t").alias("ct")
+    )
+    merged = (
+        spark.read.parquet(os.path.join(path, "counts"))
+        .unionByName(d)
+        .groupBy("bucket")
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+    )
+    counts_new = os.path.join(path, "counts__new")
+    merged.write.mode("overwrite").parquet(counts_new)
+    row = spark.read.parquet(counts_new).agg(F.sum("cr"), F.sum("ct")).first()
+    n_raw = int(row[0]) if row[0] is not None else 0
+    n_tgt = int(row[1]) if row[1] is not None else 0
+    meta_new = os.path.join(path, "meta__new")
+    spark.createDataFrame(
+        [(hash_chars, alpha, n_raw, n_tgt)],
+        "hash_chars int, alpha double, n_raw long, n_tgt long",
+    ).write.mode("overwrite").parquet(meta_new)
+    for new_dir, live_dir in (
+        (counts_new, os.path.join(path, "counts")),
+        (meta_new, os.path.join(path, "meta")),
+    ):
+        shutil.rmtree(live_dir)
+        os.replace(new_dir, live_dir)
+    return {"n_raw": n_raw, "n_tgt": n_tgt}

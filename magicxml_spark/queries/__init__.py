@@ -99,6 +99,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_lm_snapshot_kn",
     "q_dsir_select",
     "q_bm25_topk",
+    "q_dsir_model_score",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

@@ -2575,3 +2575,59 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         docs, "doc_id", "text", F.col("lang") == "en", k=100
     )
+
+
+# --- Frozen DSIR model lifecycle (Xie et al. 2023 deployed shape) -------------
+# Fit the hashed-ngram importance model on the even-doc half (target =
+# its English subset), WRITE it to parquet, score the odd half against
+# the frozen counts — the crawl-scoring amortization pattern
+# (q_lm_snapshot_score's class). The oracle replays the identical
+# algebra: out-of-model buckets take the zero-count smoothed ratio.
+@query(
+    "q_dsir_model_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+    gtr AS (SELECT lang = 'en' AS is_t,
+                   unnest(w || list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM w WHERE len(w) > 0 AND doc_id % 2 = 0),
+    btr AS (SELECT substr(md5(gram), 1, 3) AS bucket, count(*) AS cr,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+            FROM gtr GROUP BY 1),
+    tot AS (SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM btr),
+    ratio AS (SELECT bucket,
+                     CAST(round((ln((ct + 0.5) / (n_tgt + 2048.0))
+                               - ln((cr + 0.5) / (n_raw + 2048.0))) * 1e6,
+                                0) AS BIGINT) AS m
+              FROM btr, tot),
+    oov AS (SELECT CAST(round((ln(0.5 / (n_tgt + 2048.0))
+                             - ln(0.5 / (n_raw + 2048.0))) * 1e6, 0) AS BIGINT)
+                     AS moov
+            FROM tot),
+    gsc AS (SELECT doc_id,
+                   unnest(w || list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM w WHERE len(w) > 0 AND doc_id % 2 = 1),
+    bsc AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bucket FROM gsc),
+    sc AS (SELECT doc_id, count(*) AS n_grams,
+                  sum(coalesce(m, moov)) AS lw
+           FROM bsc LEFT JOIN ratio USING (bucket), oov GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           round(CAST(coalesce(lw, 0) AS BIGINT) / 1e6, 6) AS log_w
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q_dsir_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dsir import (
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    model = _snapshot_scratch("dsir")
+    write_dsir_model(train, model, F.col("lang") == "en")
+    return score_with_dsir_model(batch, model)

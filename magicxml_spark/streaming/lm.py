@@ -82,3 +82,52 @@ def run_stream_lm_score(
         q.awaitTermination()
     shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
     return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+
+
+def run_stream_dsir_score(
+    spark: SparkSession,
+    sf_dir: str,
+    model_path: str,
+    out_dir: str,
+    doc_filter=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.dsir.score_with_dsir_model`:
+    score a document stream against a frozen DSIR bucket model. Same
+    stateless-map-per-micro-batch shape as :func:`run_stream_lm_score`
+    (each batch joins the immutable parquet counts, no watermark, no
+    stateful operator), same overwrite-by-batch-id exactly-once sink.
+    Returns (doc_id, n_grams, log_w) read back from ``out_dir``."""
+    from magicxml_spark.operators.dsir import score_with_dsir_model
+
+    name = f"dsir_score_{uuid.uuid4().hex[:8]}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_with_dsir_model(
+            batch_df.select("doc_id", "text"), model_path
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    with _stream_tuning(spark, state_partitions):
+        docs = read_documents_stream(
+            spark,
+            sf_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            path_glob=path_glob,
+        )
+        if doc_filter is not None:
+            docs = docs.filter(doc_filter)
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.read.parquet(os.path.join(out_dir, "batch=*"))

@@ -138,3 +138,128 @@ def test_gumbel_key_u_strictly_inside_unit_interval(spark):
         gumbel_key(F.col("id"), F.lit(0).cast("bigint")).alias("k")
     )
     assert df.filter(F.col("k").isNull()).count() == 0
+
+
+def _docs3(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, is_t boolean"
+    )
+
+
+def test_dsir_model_score_matches_inline_weights(spark, tmp_path):
+    # freezing the model and scoring the SAME corpus must reproduce
+    # dsir_log_weights exactly (no OOV buckets in self-scoring)
+    from magicxml_spark.operators.dsir import (
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+
+    rows = [
+        (1, "the quick brown fox", True),
+        (2, "lorem ipsum dolor", False),
+        (3, "the fox jumps", False),
+    ]
+    df = _docs3(spark, rows)
+    path = str(tmp_path / "m")
+    stats = write_dsir_model(df, path, F.col("is_t"))
+    ref = _py_dsir(rows)
+    assert stats["n_raw"] == sum(n for n, _ in ref.values())
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["log_w"] * 1e6))
+        for r in score_with_dsir_model(
+            df.select("doc_id", "text"), path
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_dsir_model_oov_bucket_takes_smoothed_zero_ratio(spark, tmp_path):
+    # a scoring gram whose bucket the training corpus never touched
+    # must take the alpha-smoothed cr=ct=0 ratio, not drop out
+    from magicxml_spark.operators.dsir import (
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+
+    train = _docs3(spark, [(1, "aa bb", True), (2, "cc dd", False)])
+    path = str(tmp_path / "m")
+    write_dsir_model(train, path, F.col("is_t"))
+    probe = spark.createDataFrame(
+        [(9, "zz")], "doc_id long, text string"
+    )
+    row = score_with_dsir_model(probe, path).collect()[0]
+    m = 16**3
+    n_raw, n_tgt = 6, 3  # 2+1 grams per doc
+    exp = round(
+        (
+            math.log(0.5 / (n_tgt + 0.5 * m))
+            - math.log(0.5 / (n_raw + 0.5 * m))
+        )
+        * 1e6
+    )
+    assert (row["n_grams"], round(row["log_w"] * 1e6)) == (1, exp)
+
+
+def test_dsir_model_append_equals_rebuild(spark, tmp_path):
+    # bucket counts are additive sufficient statistics: folding a
+    # delta must yield EXACTLY the refit-on-union model
+    from magicxml_spark.operators.dsir import (
+        append_dsir_model,
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+
+    a = _docs3(spark, [(1, "a b c", True), (2, "c d", False)])
+    b = _docs3(spark, [(3, "b c e", False), (4, "e e a", True)])
+    probe = spark.createDataFrame(
+        [(9, "a b c d e zz"), (8, "e e")], "doc_id long, text string"
+    )
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_dsir_model(a, inc, F.col("is_t"))
+    stats = append_dsir_model(b, inc, F.col("is_t"))
+    write_dsir_model(a.unionByName(b), full, F.col("is_t"))
+    s_inc = {
+        r["doc_id"]: r.asDict()
+        for r in score_with_dsir_model(probe, inc).collect()
+    }
+    s_full = {
+        r["doc_id"]: r.asDict()
+        for r in score_with_dsir_model(probe, full).collect()
+    }
+    assert s_inc == s_full
+    # 4 docs: (3+2) + (2+1) + (3+2) + (3+2) uni+bi grams
+    assert stats["n_raw"] == 18
+    import os
+
+    assert not [d for d in os.listdir(inc) if d.endswith("__new")]
+
+
+def test_stream_dsir_score_equals_batch(spark, tmp_path):
+    # the streaming twin is a stateless per-batch map: multi-batch
+    # streamed scores must equal the one-shot batch scorer exactly
+    from magicxml_spark.operators.dsir import (
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+    from magicxml_spark.streaming.lm import run_stream_dsir_score
+    from magicxml_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    model = str(tmp_path / "m")
+    write_dsir_model(train, model, F.col("lang") == "en")
+    batch = score_with_dsir_model(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), model
+    )
+    streamed = run_stream_dsir_score(
+        spark,
+        sf,
+        model,
+        out_dir=str(tmp_path / "out"),
+        doc_filter=F.col("doc_id") % 2 == 1,
+    )
+    b = {r["doc_id"]: (r["n_grams"], r["log_w"]) for r in batch.collect()}
+    s = {r["doc_id"]: (r["n_grams"], r["log_w"]) for r in streamed.collect()}
+    assert s == b and len(s) > 0
