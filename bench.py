@@ -105,6 +105,7 @@ def main() -> None:
             "q_dsir_select",
             "q_bm25_topk",
             "q_dsir_model_score",
+            "q_justext_extract",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -2631,3 +2631,136 @@ def q_dsir_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _snapshot_scratch("dsir")
     write_dsir_model(train, model, F.col("lang") == "en")
     return score_with_dsir_model(batch, model)
+
+
+# --- jusText boilerplate removal (Pomikalek 2011) -----------------------------
+# Synthesized page per document (identical in both engines): two good
+# body paragraphs, a short nav line between them (promoted by the
+# context pass), an optional copyright line (killed), the real
+# word-salad text as a long bad paragraph, and a trailing short nav
+# line (dies at the bad/edge boundary). Exercises every class +
+# both smoothing rules at corpus scale.
+_JX_GOOD = (
+    "the data is in the table and it is good that we have it with the "
+    "rest of the set so that the story it tells is clear to all of us "
+    "and we can be sure that the numbers are as they should be for the "
+    "people who read them"
+)
+_JX_GOOD2 = (
+    "it is easy to see that the set of rows in the table is the same "
+    "as it was and that the people who read the story will be sure of "
+    "the numbers as they are laid out for all of us to see in the end "
+    "of the day"
+)
+
+
+def _justext_oracle() -> str:
+    from magicxml_spark.operators.extraction import (
+        JUSTEXT_STOPWORDS,
+        LENGTH_HIGH,
+        LENGTH_LOW,
+        STOPWORDS_HIGH,
+        STOPWORDS_LOW,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in JUSTEXT_STOPWORDS)
+    words = "list_filter(string_split_regex(lower(p), '\\s+'), x -> x <> '')"
+    dens = (
+        f"CAST(len(list_filter({words}, x -> x IN ({stops}))) AS DOUBLE)"
+        f" / len({words})"
+    )
+    cls = f"""CASE
+      WHEN contains(lower(p), 'copyright') OR contains(p, '©') THEN 'bad'
+      WHEN len({words}) = 0 THEN 'bad'
+      WHEN length(p) < {LENGTH_LOW} THEN 'short'
+      WHEN {dens} >= {STOPWORDS_HIGH}
+        THEN CASE WHEN length(p) > {LENGTH_HIGH} THEN 'good' ELSE 'neargood' END
+      WHEN {dens} >= {STOPWORDS_LOW} THEN 'neargood'
+      ELSE 'bad' END"""
+    prev = "coalesce(list_filter(c0[1:i-1], c -> c IN ('good','bad'))[-1], 'bad')"
+    nxt = (
+        "coalesce(list_filter(c0[i+1:len(c0)], c -> c IN ('good','bad'))[1],"
+        " 'bad')"
+    )
+    return f"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+               '{_JX_GOOD}',
+               CASE WHEN doc_id % 3 = 0 THEN 'quick stats overview' END,
+               '{_JX_GOOD2}',
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
+               substr(text, 1, 150),
+               CASE WHEN doc_id % 4 = 0 THEN 'contact us' END) AS text
+      FROM documents),
+    split_p AS (SELECT doc_id, text,
+                       string_split(text, chr(10) || chr(10)) AS paras
+                FROM synth),
+    cls AS (SELECT doc_id, text, paras,
+                   list_transform(paras, p -> {cls}) AS c0
+            FROM split_p),
+    fin AS (SELECT doc_id, text, paras,
+                   list_transform(range(1, len(paras) + 1), i -> CASE
+                     WHEN c0[i] = 'short'
+                       THEN CASE WHEN {prev} = 'good' AND {nxt} = 'good'
+                                 THEN 'good' ELSE 'bad' END
+                     WHEN c0[i] = 'neargood'
+                       THEN CASE WHEN {prev} = 'good' OR {nxt} = 'good'
+                                 THEN 'good' ELSE 'bad' END
+                     ELSE c0[i] END) AS fc
+            FROM cls),
+    kept AS (SELECT doc_id, text, paras, fc,
+                    list_filter(list_transform(range(1, len(paras) + 1),
+                                               i -> CASE WHEN fc[i] = 'good'
+                                                         THEN paras[i] END),
+                                x -> x IS NOT NULL) AS keep_p
+             FROM fin)
+    SELECT doc_id,
+           CAST(len(paras) AS BIGINT) AS n_paras,
+           CAST(len(keep_p) AS BIGINT) AS n_good,
+           CASE WHEN length(text) > 0
+                THEN round(CAST(coalesce(list_aggregate(
+                       list_transform(keep_p, p -> length(p)), 'sum'), 0)
+                       AS DOUBLE) / length(text), 4)
+                ELSE 0.0 END AS main_frac,
+           md5(array_to_string(keep_p, chr(10) || chr(10))) AS main_fp
+    FROM kept
+    """
+
+
+@query("q_justext_extract", oracle=_justext_oracle())
+def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.extraction import justext_boilerplate
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # synthesis + the multi-pass tokenize classification otherwise
+        # run at input-split parallelism (the _gopher_synth_spark fix)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sep = "\n\n"
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            sep,
+            F.lit(_JX_GOOD),
+            F.when(d % 3 == 0, "quick stats overview"),
+            F.lit(_JX_GOOD2),
+            F.when(
+                d % 5 == 0, "Copyright 2024 Example Corp. All rights reserved."
+            ),
+            F.substring("text", 1, 150),
+            F.when(d % 4 == 0, "contact us"),
+        ).alias("text"),
+    )
+    out = justext_boilerplate(synth)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        "main_frac",
+        F.md5("text_main").alias("main_fp"),
+    )
