@@ -106,6 +106,7 @@ def main() -> None:
             "q_bm25_topk",
             "q_dsir_model_score",
             "q_justext_extract",
+            "q_curation_v4",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -101,6 +101,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_bm25_topk",
     "q_dsir_model_score",
     "q_justext_extract",
+    "q_curation_v4",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

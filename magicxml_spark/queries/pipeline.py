@@ -2654,7 +2654,9 @@ _JX_GOOD2 = (
 )
 
 
-def _justext_oracle() -> str:
+def _justext_ctes() -> str:
+    """The jusText classification CTE chain (synth -> ... -> kept),
+    shared by q_justext_extract and the composed q_curation_v4."""
     from magicxml_spark.operators.extraction import (
         JUSTEXT_STOPWORDS,
         LENGTH_HIGH,
@@ -2715,7 +2717,12 @@ def _justext_oracle() -> str:
                                                i -> CASE WHEN fc[i] = 'good'
                                                          THEN paras[i] END),
                                 x -> x IS NOT NULL) AS keep_p
-             FROM fin)
+             FROM fin)"""
+
+
+def _justext_oracle() -> str:
+    return f"""
+    {_justext_ctes()}
     SELECT doc_id,
            CAST(len(paras) AS BIGINT) AS n_paras,
            CAST(len(keep_p) AS BIGINT) AS n_good,
@@ -2763,4 +2770,87 @@ def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_good").cast("bigint").alias("n_good"),
         "main_frac",
         F.md5("text_main").alias("main_fp"),
+    )
+
+
+# --- Composed curation v4: extraction -> importance selection -----------------
+# The round-9 stages chained end-to-end: jusText boilerplate removal
+# produces each page's main text, then DSIR importance resampling
+# selects the 100 documents whose EXTRACTED text best matches the
+# trusted half (target = even doc_ids) — the modern "extract, then
+# select what looks like the target domain" recipe (RefinedWeb-style
+# extraction feeding DSIR-style selection). Both engines run the
+# identical composition; zero-gram documents survive into the keyed
+# pool with weight 0 (only their Gumbel key ranks them).
+def _curation_v4_oracle() -> str:
+    return f"""
+    {_justext_ctes()},
+    main AS (SELECT doc_id,
+                    array_to_string(keep_p, chr(10) || chr(10)) AS text
+             FROM kept),
+    w2 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM main),
+    g2 AS (SELECT doc_id, doc_id % 2 = 0 AS is_t,
+                  unnest(w || list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS gram
+           FROM w2 WHERE len(w) > 0),
+    b2 AS (SELECT doc_id, is_t, substr(md5(gram), 1, 3) AS bucket FROM g2),
+    cnt2 AS (SELECT bucket, count(*) AS cr,
+                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+             FROM b2 GROUP BY bucket),
+    tot2 AS (SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM cnt2),
+    ratio2 AS (SELECT bucket,
+                      CAST(round((ln((ct + 0.5) / (n_tgt + 2048.0))
+                                - ln((cr + 0.5) / (n_raw + 2048.0))) * 1e6,
+                                 0) AS BIGINT) AS m
+               FROM cnt2, tot2),
+    sc2 AS (SELECT doc_id, count(*) AS n_grams, sum(m) AS lw
+            FROM b2 JOIN ratio2 USING (bucket) GROUP BY doc_id),
+    filled2 AS (SELECT d.doc_id,
+                       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                       CAST(coalesce(lw, 0) AS BIGINT) AS lw
+                FROM (SELECT doc_id FROM main) d LEFT JOIN sc2 USING (doc_id)),
+    keyed2 AS (SELECT doc_id, n_grams, lw,
+                      lw + CAST(round(-ln(-ln(
+                            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) + 0.5) / 4294967296.0)) * 1e6, 0)
+                                AS BIGINT) AS sel
+               FROM filled2)
+    SELECT doc_id, n_grams,
+           round(lw / 1e6, 6) AS log_w,
+           round(sel / 1e6, 6) AS sel_key
+    FROM keyed2 ORDER BY sel DESC, doc_id LIMIT 100
+    """
+
+
+@query("q_curation_v4", oracle=_curation_v4_oracle())
+def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dsir import dsir_select
+    from magicxml_spark.operators.extraction import justext_boilerplate
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sep = "\n\n"
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            sep,
+            F.lit(_JX_GOOD),
+            F.when(d % 3 == 0, "quick stats overview"),
+            F.lit(_JX_GOOD2),
+            F.when(
+                d % 5 == 0, "Copyright 2024 Example Corp. All rights reserved."
+            ),
+            F.substring("text", 1, 150),
+            F.when(d % 4 == 0, "contact us"),
+        ).alias("text"),
+    )
+    main = justext_boilerplate(synth).select(
+        "doc_id", F.col("text_main").alias("text")
+    )
+    return dsir_select(
+        main, "doc_id", "text", F.col("doc_id") % 2 == 0, k=100
     )
