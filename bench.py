@@ -107,6 +107,7 @@ def main() -> None:
             "q_dsir_model_score",
             "q_justext_extract",
             "q_curation_v4",
+            "q_bm25_per_query",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

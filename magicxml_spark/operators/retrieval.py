@@ -107,3 +107,100 @@ def bm25_topk(
             F.round(F.col("s_micro") / 1e6, 6).alias("score"),
         )
     )
+
+
+def bm25_topk_per_query(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_compiled_terms: int = 1000,
+) -> DataFrame:
+    """Batch retrieval: top-k documents PER QUERY for a whole queries
+    table (query_id, term) — the inverted-index shape. tf/df aggregate
+    per (doc, term) ONCE regardless of how many queries share a term;
+    the per-query cut is a row_number window over query_id, which
+    WindowGroupLimit bounds to k rows per group before the final
+    shuffle.
+
+    Term matching has two arms (the guarded-compile pattern from
+    category_path/asof): when the query workload has at most
+    ``max_compiled_terms`` distinct terms, they collect (a
+    workload-bounded, cap-guarded driver collect) into a literal
+    filter INSIDE the tokenize projection — only matching tokens
+    explode, the :func:`bm25_topk` fast path (measured 5.54 -> fast
+    at sf1: the full-corpus explode is the cost). Above the cap, the
+    general arm explodes the full token stream and inner-joins the
+    distinct-terms dimension (hint-free — AQE broadcasts it while it
+    measures small).
+
+    Output: (query_id, id, n_hits, score) — at most k docs per query,
+    ordered within each query by score desc (id breaks ties). Queries
+    whose terms match nothing emit no rows."""
+    sc = df.sparkSession.sparkContext
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).repartition(sc.defaultParallelism)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.lower(F.col(term_col)).alias("term"),
+    )
+    terms_dim = q.select("term").distinct()
+    compiled = terms_dim.limit(max_compiled_terms + 1).collect()
+    if len(compiled) <= max_compiled_terms:
+        terms = [r["term"] for r in compiled]
+        pre = base.select(
+            "_id",
+            F.size(words).alias("dl"),
+            F.filter(words, lambda t: t.isin(terms)).alias("hits"),
+        ).localCheckpoint(eager=True)
+        tok = pre.select("_id", "dl", F.explode("hits").alias("term"))
+        stats = pre.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+    else:
+        tok = base.select(
+            "_id", F.size(words).alias("dl"), F.explode(words).alias("term")
+        ).join(terms_dim, "term")
+        stats = base.select(F.size(words).alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+    tf = tok.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_c = F.col("tf").cast("double")
+    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    contrib = idf * tf_c * (k1 + 1.0) / norm
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))  # 1 row
+        .select("_id", "term", F.round(contrib * 1e6).cast("bigint").alias("m"))
+        .join(q, "term")  # fan out per query AFTER the per-term math
+        .groupBy("query_id", "_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("m").alias("s_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_micro"), "_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            "n_hits",
+            F.round(F.col("s_micro") / 1e6, 6).alias("score"),
+        )
+    )

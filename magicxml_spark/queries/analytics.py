@@ -1439,3 +1439,54 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "doc_id", "text", ["spark", "customer", "vector"], k=50
     )
+
+
+# --- Batch BM25: top-k per query over a queries TABLE -------------------------
+# The inverted-index shape: tf/df aggregate per (doc, term) once, the
+# query fan-out joins AFTER the per-term math, and the per-query cut
+# is a row_number window WindowGroupLimit bounds to k rows per group.
+# Query 3 carries a term absent from the corpus ('quantum') so the
+# missing-df path is exercised.
+_BM25_QUERIES = [
+    (1, "spark"), (1, "customer"),
+    (2, "vector"), (2, "merge"), (2, "window"),
+    (3, "quantum"), (3, "hash"),
+]
+
+
+@query(
+    "q_bm25_per_query",
+    oracle=f"""
+    WITH qs(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS total_len FROM w),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+           FROM tok JOIN (SELECT DISTINCT term FROM qs) USING (term)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (SELECT doc_id, term,
+                       CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                  * tf * 2.2
+                                  / (tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs)))
+                                  * 1e6, 0) AS BIGINT) AS m
+                FROM tf JOIN dfq USING (term), stats),
+    sc AS (SELECT query_id, doc_id, count(*) AS n_hits, sum(m) AS s
+           FROM contrib JOIN qs USING (term) GROUP BY 1, 2)
+    SELECT query_id, doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(s / 1e6, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id) AS rk
+          FROM sc)
+    WHERE rk <= 10
+    """,
+)
+def q_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.retrieval import bm25_topk_per_query
+
+    docs = table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, term string"
+    )
+    return bm25_topk_per_query(docs, "doc_id", "text", queries_df, k=10)

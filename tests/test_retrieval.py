@@ -83,3 +83,55 @@ def test_bm25_topk_order_and_validation(spark):
     assert len(out) == 3 and scores == sorted(scores, reverse=True)
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, rows), "doc_id", "text", [])
+
+
+def test_bm25_per_query_matches_single_query_arm(spark):
+    # restricted to one query's terms, the batch arm must reproduce
+    # the literal-term arm's scores exactly (same micro-rounding)
+    from magicxml_spark.operators.retrieval import bm25_topk_per_query
+
+    rng = random.Random(31)
+    vocab = [f"w{j}" for j in range(19)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(120)
+    ]
+    docs = _docs(spark, rows)
+    terms = ["w1", "w5"]
+    queries = spark.createDataFrame(
+        [(7, "w1"), (7, "w5"), (8, "zzz")], "query_id int, term string"
+    )
+    batch = bm25_topk_per_query(
+        docs, "doc_id", "text", queries, k=200
+    ).collect()
+    single = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in bm25_topk(docs, "doc_id", "text", terms, k=200).collect()
+    }
+    got7 = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in batch
+        if r["query_id"] == 7
+    }
+    assert got7 == single
+    # the absent-term query emits no rows
+    assert not [r for r in batch if r["query_id"] == 8]
+
+
+def test_bm25_per_query_k_bounds_each_group(spark):
+    from magicxml_spark.operators.retrieval import bm25_topk_per_query
+
+    rows = [(i, "hit miss " * (i + 1)) for i in range(20)]
+    queries = spark.createDataFrame(
+        [(1, "hit"), (2, "miss")], "query_id int, term string"
+    )
+    out = bm25_topk_per_query(
+        _docs(spark, rows), "doc_id", "text", queries, k=4
+    ).collect()
+    from collections import Counter
+
+    per = Counter(r["query_id"] for r in out)
+    assert per == {1: 4, 2: 4}
+    for qid in (1, 2):
+        scores = [r["score"] for r in out if r["query_id"] == qid]
+        assert scores == sorted(scores, reverse=True)
