@@ -108,6 +108,7 @@ def main() -> None:
             "q_justext_extract",
             "q_curation_v4",
             "q_bm25_per_query",
+            "q_bm25_index_query",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -204,3 +204,154 @@ def bm25_topk_per_query(
             F.round(F.col("s_micro") / 1e6, 6).alias("score"),
         )
     )
+
+
+# --- frozen BM25 index lifecycle ----------------------------------------------
+# The search-engine shape: tokenize and aggregate the corpus ONCE into
+# a persisted inverted index, then answer any number of query batches
+# O(index-probe) without touching corpus text again — the same
+# amortization pattern as the DSIR/LM snapshot families (and like
+# DSIR, the statistics are additive, so appends stay exact).
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Build and persist the full inverted index: ``{path}/postings``
+    (term, id, tf, dl — one row per distinct (term, doc)),
+    ``{path}/stats`` (n_docs, total_len). The postings table carries
+    EVERY term (index-time cost, query-time freedom); df(term) is
+    derivable (count of postings per term) so it is not stored —
+    queries aggregate it from the probed slice, which AQE keeps
+    broadcast-sized. Returns ``{"n_docs", "n_postings"}``."""
+    import os
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).repartition(sc.defaultParallelism)
+    pre = base.select(
+        "_id", F.size(words).alias("dl"), F.explode(words).alias("term")
+    )
+    postings = pre.groupBy("term", "_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    stats = base.select(F.size(words).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    spark_stats = spark.read.parquet(os.path.join(path, "stats")).first()
+    n_post = spark.read.parquet(os.path.join(path, "postings")).count()
+    return {"n_docs": int(spark_stats["n_docs"]), "n_postings": int(n_post)}
+
+
+def query_bm25_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Answer one query against a frozen index: probe the postings for
+    the query terms (a pushed-down IN filter on the parquet scan — the
+    probe reads only matching row groups), derive df from the probed
+    slice, score, TakeOrdered top-k. Never touches corpus text.
+    Output matches :func:`bm25_topk`: (id, n_hits, score)."""
+    import os
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_c = F.col("tf").cast("double")
+    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    contrib = idf * tf_c * (k1 + 1.0) / norm
+
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))  # 1 row
+        .select("_id", F.round(contrib * 1e6).cast("bigint").alias("m"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("m").alias("s_micro"))
+    )
+    return (
+        scored.orderBy(F.desc("s_micro"), "_id")
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_hits",
+            F.round(F.col("s_micro") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+def append_bm25_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold new documents into a frozen index O(delta): postings are
+    per-(term, doc) rows (new docs append new rows; key-summed merge
+    covers re-sharded deltas), stats add. Same staged ``__new``
+    publish as the DSIR/LM snapshot appends; append == rebuild
+    EXACTLY (pinned) because every statistic is additive."""
+    import os
+    import shutil
+
+    spark = delta.sparkSession
+    sc = spark.sparkContext
+    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    base = delta.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).repartition(sc.defaultParallelism)
+    d_post = (
+        base.select("_id", F.size(words).alias("dl"), F.explode(words).alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    merged = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .unionByName(d_post)
+        .groupBy("term", "_id")
+        .agg(F.sum("tf").alias("tf"), F.min("dl").alias("dl"))
+    )
+    post_new = os.path.join(path, "postings__new")
+    merged.write.mode("overwrite").parquet(post_new)
+    d_stats = base.select(F.size(words).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    s_merged = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .unionByName(d_stats)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_len").alias("total_len"),
+        )
+    )
+    stats_new = os.path.join(path, "stats__new")
+    s_merged.write.mode("overwrite").parquet(stats_new)
+    row = spark.read.parquet(stats_new).first()
+    for new_dir, live_dir in (
+        (post_new, os.path.join(path, "postings")),
+        (stats_new, os.path.join(path, "stats")),
+    ):
+        shutil.rmtree(live_dir)
+        os.replace(new_dir, live_dir)
+    return {"n_docs": int(row["n_docs"])}

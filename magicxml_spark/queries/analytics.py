@@ -1490,3 +1490,28 @@ def q_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, term string"
     )
     return bm25_topk_per_query(docs, "doc_id", "text", queries_df, k=10)
+
+
+# --- Frozen BM25 inverted index lifecycle --------------------------------------
+# Build the full inverted index once (postings + stats as parquet),
+# answer the q_bm25_topk query against the FROZEN index — never
+# touching corpus text. The oracle is q_bm25_topk's SQL verbatim:
+# the index algebra must be indistinguishable from direct computation
+# (the same lifecycle-parity trick as q_stream_lm_score).
+from magicxml_spark.queries import ORACLE as _ORACLE  # noqa: E402
+
+
+@query("q_bm25_index_query", oracle=_ORACLE["q_bm25_topk"])
+def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.retrieval import (
+        query_bm25_index,
+        write_bm25_index,
+    )
+    from magicxml_spark.queries.pipeline import _snapshot_scratch
+
+    docs = table(spark, sf_dir, "documents")
+    idx = _snapshot_scratch("bm25idx")
+    write_bm25_index(docs, idx)
+    return query_bm25_index(
+        spark, idx, ["spark", "customer", "vector"], k=50
+    )

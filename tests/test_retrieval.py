@@ -135,3 +135,55 @@ def test_bm25_per_query_k_bounds_each_group(spark):
     for qid in (1, 2):
         scores = [r["score"] for r in out if r["query_id"] == qid]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_index_query_equals_direct_and_append_rebuild(spark, tmp_path):
+    # the frozen-index probe must reproduce the direct scorer exactly,
+    # and folding a delta must equal a rebuild (additive statistics)
+    from magicxml_spark.operators.retrieval import (
+        append_bm25_index,
+        query_bm25_index,
+        write_bm25_index,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{j}" for j in range(15)]
+    mk = lambda n0, n1: [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(n0, n1)
+    ]
+    a, b_rows = mk(0, 60), mk(60, 90)
+    terms = ["w2", "w9"]
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    stats = write_bm25_index(_docs(spark, a), inc)
+    assert stats["n_docs"] == 60 and stats["n_postings"] > 0
+    # direct == index on the initial corpus
+    direct = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in bm25_topk(_docs(spark, a), "doc_id", "text", terms, k=100).collect()
+    }
+    probed = {
+        r["doc_id"]: (r["n_hits"], r["score"])
+        for r in query_bm25_index(spark, inc, terms, k=100).collect()
+    }
+    assert probed == direct
+    # append == rebuild
+    append_bm25_index(_docs(spark, b_rows), inc)
+    write_bm25_index(_docs(spark, a + b_rows), full)
+    s_inc = {
+        r["doc_id"]: r.asDict()
+        for r in query_bm25_index(spark, inc, terms, k=200).collect()
+    }
+    s_full = {
+        r["doc_id"]: r.asDict()
+        for r in query_bm25_index(spark, full, terms, k=200).collect()
+    }
+    assert s_inc == s_full and len(s_inc) > 0
+    import os
+
+    assert not [d for d in os.listdir(inc) if d.endswith("__new")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        query_bm25_index(spark, inc, [])
