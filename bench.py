@@ -109,6 +109,7 @@ def main() -> None:
             "q_curation_v4",
             "q_bm25_per_query",
             "q_bm25_index_query",
+            "q_chunk_documents",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

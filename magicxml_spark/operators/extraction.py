@@ -48,6 +48,10 @@ JUSTEXT_STOPWORDS = [
     "could", "there", "their",
 ]
 
+def _words(text):
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
 STOPWORDS_LOW = 0.30
 STOPWORDS_HIGH = 0.32
 LENGTH_LOW = 70
@@ -158,4 +162,71 @@ def justext_boilerplate(
         .otherwise(0.0)
         .alias("main_frac"),
         F.concat_ws(sep, kept).alias("text_main"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunker — the embedding/RAG-pipeline
+    pre-step: split each document into windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens and no token is
+    dropped. The final window may be shorter; a window is only emitted
+    if it starts within the document (a doc shorter than one chunk
+    yields exactly one chunk; an empty doc yields none).
+
+    Output: one row per chunk — (id, chunk_id 0-based, start_tok
+    0-based, n_tokens, chunk_text). Deterministic: identical chunking
+    at any partitioning.
+
+    Scale shape: the window arithmetic happens inside the document's
+    own row (transform over a sequence of window starts, one
+    array-slice + join per window), then ONE posexplode fans chunks
+    out — no shuffle beyond what the caller does next. Chunk count
+    per document is ceil(max(n - overlap, 1) / step), linear in
+    document length."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): {overlap} vs {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    w = _words(F.col(text_col))
+    n = F.size(w)
+    # number of windows: smallest c with (c-1)*step + chunk >= n and
+    # every window start < n  ->  c = ceil(max(n - overlap, 1) / step)
+    n_chunks = F.ceil(
+        F.greatest(n - overlap, F.lit(1)).cast("double") / step
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            (c * step).alias("start_tok"),
+            F.slice(w, c * step + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    # empty docs: the n_chunks formula would yield 1 window of 0
+    # tokens — emit nothing instead
+    out = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(
+            F.when(n > 0, chunks).otherwise(
+                F.array().cast(
+                    "array<struct<start_tok:int,toks:array<string>>>"
+                )
+            )
+        ).alias("chunk_id", "_c"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.col("_c.start_tok").alias("start_tok"),
+        F.size("_c.toks").alias("n_tokens"),
+        F.array_join("_c.toks", " ").alias("chunk_text"),
     )

@@ -104,6 +104,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_curation_v4",
     "q_bm25_per_query",
     "q_bm25_index_query",
+    "q_chunk_documents",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

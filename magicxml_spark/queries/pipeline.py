@@ -2854,3 +2854,44 @@ def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         main, "doc_id", "text", F.col("doc_id") % 2 == 0, k=100
     )
+
+
+# --- Overlapping token-window chunking (RAG/embedding pre-step) ---------------
+# 64-token windows advancing by 48 (16-token overlap); every token
+# covered, deterministic at any partitioning. The md5 fingerprint pins
+# each chunk's exact text.
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+    c AS (SELECT doc_id, w, n,
+                 unnest(range(0, CAST(ceil(CAST(greatest(n - 16, 1) AS DOUBLE)
+                                           / 48) AS BIGINT))) AS chunk_id
+          FROM nz)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 48 AS INTEGER) AS start_tok,
+           CAST(len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INTEGER)
+             AS n_tokens,
+           md5(array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+             AS chunk_fp
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.extraction import chunk_documents
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )

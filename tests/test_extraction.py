@@ -81,3 +81,68 @@ def test_justext_empty_and_fraction(spark):
     r = _run(spark, f"{GOOD}\n\n{SALAD}")
     assert 0.0 < r["main_frac"] < 1.0
     assert r["main_frac"] == round(len(GOOD) / (len(GOOD) + 2 + len(SALAD)), 4)
+
+
+def test_chunk_documents_hand_computed(spark):
+    import pytest
+    from magicxml_spark.operators.extraction import chunk_documents
+
+    text = " ".join(f"t{j}" for j in range(10))  # 10 tokens
+    rows = chunk_documents(
+        _docs(spark, [(1, text), (2, "a b"), (3, "")]),
+        chunk_tokens=4,
+        overlap=1,
+    ).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["start_tok"],
+            r["n_tokens"],
+            r["chunk_text"],
+        )
+        for r in rows
+    }
+    # doc 1: step=3, n=10 -> ceil((10-1)/3)=3 windows at 0,3,6...
+    # window 3 would start at 9 < 10 -> ceil(9/3)=3 windows: 0,3,6
+    # tokens 6..9 = t6 t7 t8 t9 (4 tokens) — every token covered,
+    # consecutive windows share 1 token
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert (1, 3) not in got
+    # short doc -> exactly one (short) chunk; empty doc -> none
+    assert got[(2, 0)] == (0, 2, "a b")
+    assert not [k for k in got if k[0] == 3]
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=0)
+
+
+def test_chunk_documents_covers_every_token_no_gaps(spark):
+    import random
+
+    from magicxml_spark.operators.extraction import chunk_documents
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(rng.randint(1, 97))))
+        for i in range(50)
+    ]
+    out = chunk_documents(
+        _docs(spark, rows), chunk_tokens=16, overlap=4
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        toks = text.split()
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # reconstruction: stitch with the overlap dropped
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split()[4:]
+        assert rebuilt == toks, i
+        # starts advance by exactly step; last window starts in-range
+        for j, c in enumerate(chunks):
+            assert c["start_tok"] == j * 12
+            assert c["start_tok"] < len(toks)
