@@ -110,6 +110,7 @@ def main() -> None:
             "q_bm25_per_query",
             "q_bm25_index_query",
             "q_chunk_documents",
+            "q_pack_sequences",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

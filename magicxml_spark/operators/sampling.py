@@ -260,3 +260,99 @@ def seeded_shuffle(
     keyed = df.withColumn("_h", h)
     ranked, _ = two_phase_rank(keyed, ["_h", key], rank_col, n_range_partitions)
     return ranked.drop("_h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Token-exact sequence packing — the pretraining recipe: documents
+    concatenate in ``key`` order into one global token stream that is
+    cut into fixed ``seq_len`` sequences, documents SPLITTING across
+    boundaries (no padding, no token dropped — the GPT-style pack).
+    Zero-token rows are skipped.
+
+    Output: one row per (document, sequence) segment —
+    (all input columns, seq_id, doc_from, seg_len, seq_off): tokens
+    [doc_from, doc_from + seg_len) of the document land in sequence
+    ``seq_id`` at offset ``seq_off``. Per sequence the segments tile
+    [0, seq_len) exactly (the final sequence may be shorter); per
+    document the segments tile [0, n_tokens).
+
+    Scale shape: the global token offset per document is the two-phase
+    prefix sum (range partition + local window + partitions-sized
+    offset broadcast — pack_shards' machinery, never a single global
+    window); each document then computes its spanned sequences IN ROW
+    (a transform over its first..last seq id) and one posexplode fans
+    segments out. A document adds ceil(n/seq_len)+1 segments at most —
+    linear, no join."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    from pyspark.sql import Window
+
+    nz = df.filter(F.col(tokens_col) > 0)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        nz.repartitionByRange(n_parts, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum_in", F.sum(tokens_col).over(w))
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum_in").alias("_total"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += int(r["_total"])
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    start = (F.col("_off") + F.col("_cum_in") - F.col(tokens_col)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    L = F.lit(seq_len).cast("long")
+    with_start = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_start", start)
+        .drop("_pid", "_cum_in", "_off")
+    )
+    # integer division (div), never float floor — exact at any offset
+    first_seq = F.expr(f"_start div {seq_len}")
+    last_seq = F.expr(f"(_start + {tokens_col} - 1) div {seq_len}")
+    segs = F.transform(
+        F.sequence(first_seq, last_seq),
+        lambda s: F.struct(
+            s.alias("seq_id"),
+            F.greatest(s * L - F.col("_start"), F.lit(0).cast("long")).alias(
+                "doc_from"
+            ),
+            (
+                F.least(n, (s + 1) * L - F.col("_start"))
+                - F.greatest(s * L - F.col("_start"), F.lit(0).cast("long"))
+            ).alias("seg_len"),
+            F.greatest(F.col("_start") - s * L, F.lit(0).cast("long")).alias(
+                "seq_off"
+            ),
+        ),
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        with_start.withColumn("_seg", F.explode(segs))
+        .select(
+            *out_cols,
+            F.col("_seg.seq_id").alias("seq_id"),
+            F.col("_seg.doc_from").alias("doc_from"),
+            F.col("_seg.seg_len").alias("seg_len"),
+            F.col("_seg.seq_off").alias("seq_off"),
+        )
+    )

@@ -2895,3 +2895,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.md5("chunk_text").alias("chunk_fp"),
     )
+
+
+# --- Token-exact sequence packing (pretraining pack) ---------------------------
+# Concatenate documents in doc_id order into one token stream, cut
+# into 512-token training sequences, documents splitting across
+# boundaries. Two-phase prefix sum for the global offsets (never a
+# single global window); in-row segment arithmetic + one posexplode.
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, len({_WORDS_SQL}) AS n FROM documents),
+    nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM w WHERE n > 0),
+    pre AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM nz),
+    seg AS (SELECT doc_id, n, s,
+                   unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+            FROM pre)
+    SELECT doc_id, n AS n_tokens, seq_id,
+           greatest(seq_id * 512 - s, 0) AS doc_from,
+           least(n, (seq_id + 1) * 512 - s)
+             - greatest(seq_id * 512 - s, 0) AS seg_len,
+           greatest(s - seq_id * 512, 0) AS seq_off
+    FROM seg
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512)

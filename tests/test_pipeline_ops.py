@@ -661,3 +661,67 @@ def test_mixture_weights_degenerate_inputs(spark):
         ).collect()
     }
     assert all(r["target_share"] == 0.0 and r["weight"] == 0.0 for r in absent.values())
+
+
+def test_pack_sequences_hand_computed(spark):
+    import pytest
+
+    from magicxml_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 4), (4, 0)], "doc_id long, n_tokens long"
+    )
+    out = {
+        (r["doc_id"], r["seq_id"]): (r["doc_from"], r["seg_len"], r["seq_off"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", seq_len=4).collect()
+    }
+    # starts: doc1=0, doc2=5, doc3=8; L=4; doc4 (0 tokens) skipped
+    assert out == {
+        (1, 0): (0, 4, 0),
+        (1, 1): (4, 1, 0),
+        (2, 1): (0, 3, 1),
+        (3, 2): (0, 4, 0),
+    }
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", seq_len=0)
+
+
+def test_pack_sequences_tiling_property(spark):
+    import random
+    from collections import defaultdict
+
+    from magicxml_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 37)) for i in range(200)]
+    L = 16
+    segs = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+        "doc_id",
+        "n_tokens",
+        seq_len=L,
+    ).collect()
+    total = sum(n for _, n in rows)
+    by_seq = defaultdict(list)
+    by_doc = defaultdict(list)
+    for r in segs:
+        by_seq[r["seq_id"]].append((r["seq_off"], r["seg_len"]))
+        by_doc[r["doc_id"]].append((r["doc_from"], r["seg_len"]))
+    # sequences tile [0, L) exactly (last may be short), ids contiguous
+    assert sorted(by_seq) == list(range((total + L - 1) // L))
+    for sid, parts in by_seq.items():
+        parts.sort()
+        expect_len = L if sid < total // L else total - L * (total // L)
+        assert sum(p[1] for p in parts) == (expect_len or L)
+        pos = 0
+        for off, ln in parts:
+            assert off == pos
+            pos += ln
+    # documents tile [0, n_tokens) exactly
+    for i, n in rows:
+        parts = sorted(by_doc[i])
+        pos = 0
+        for frm, ln in parts:
+            assert frm == pos
+            pos += ln
+        assert pos == n
