@@ -111,6 +111,7 @@ def main() -> None:
             "q_bm25_index_query",
             "q_chunk_documents",
             "q_pack_sequences",
+            "q_pack_sequences_text",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

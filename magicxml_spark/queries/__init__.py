@@ -106,6 +106,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_bm25_index_query",
     "q_chunk_documents",
     "q_pack_sequences",
+    "q_pack_sequences_text",
     # --- r7-fresh block (next-oldest; the window tail reaches here) ---
     "q_ann_recall",
     "q_asof_join",

@@ -2935,3 +2935,78 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512)
+
+
+# --- Packed-sequence materialization ------------------------------------------
+# The composition a trainer actually consumes: pack_sequences'
+# segment metadata joined back to the token arrays, each sequence
+# reassembled in seq_off order and fingerprinted — any divergence in
+# offsets, splits, or ordering is a value mismatch on the exact
+# packed byte stream. Sequences have bounded membership (a 512-token
+# sequence spans at most 512 documents), so the groupBy(seq_id)
+# collect_list is cap-bounded by construction.
+@query(
+    "q_pack_sequences_text",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w
+           WHERE len(w) > 0),
+    pre AS (SELECT doc_id, w, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM nz),
+    seg AS (SELECT doc_id, w, n, s,
+                   unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+            FROM pre),
+    parts AS (SELECT seq_id,
+                     greatest(s - seq_id * 512, 0) AS seq_off,
+                     least(n, (seq_id + 1) * 512 - s)
+                       - greatest(seq_id * 512 - s, 0) AS seg_len,
+                     array_to_string(
+                       w[greatest(seq_id * 512 - s, 0) + 1 :
+                         CAST(least(n, (seq_id + 1) * 512 - s) AS BIGINT)],
+                       ' ') AS part
+              FROM seg)
+    SELECT seq_id,
+           CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs,
+           md5(string_agg(part, ' ' ORDER BY seq_off)) AS seq_fp
+    FROM parts GROUP BY seq_id
+    """,
+)
+def q_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.sampling import pack_sequences
+
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        words.alias("w"),
+        F.size(words).cast("long").alias("n_tokens"),
+    )
+    segs = pack_sequences(docs, "doc_id", "n_tokens", seq_len=512)
+    parts = segs.select(
+        "seq_id",
+        "seq_off",
+        "seg_len",
+        F.array_join(
+            F.slice("w", F.col("doc_from").cast("int") + 1,
+                    F.col("seg_len").cast("int")),
+            " ",
+        ).alias("part"),
+    )
+    return parts.groupBy("seq_id").agg(
+        F.sum("seg_len").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_off", "part"))),
+                    lambda s: s["part"],
+                ),
+                " ",
+            )
+        ).alias("seq_fp"),
+    )
