@@ -219,6 +219,7 @@ def write_bm25_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_postings: bool = False,
 ) -> dict:
     """Build and persist the full inverted index: ``{path}/postings``
     (term, id, tf, dl — one row per distinct (term, doc)),
@@ -226,7 +227,9 @@ def write_bm25_index(
     EVERY term (index-time cost, query-time freedom); df(term) is
     derivable (count of postings per term) so it is not stored —
     queries aggregate it from the probed slice, which AQE keeps
-    broadcast-sized. Returns ``{"n_docs", "n_postings"}``."""
+    broadcast-sized. Returns ``{"n_docs"}``, plus ``"n_postings"``
+    when ``count_postings`` (an extra full postings scan — off by
+    default so the build is write-only)."""
     import os
 
     spark = df.sparkSession
@@ -247,8 +250,12 @@ def write_bm25_index(
     )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
     spark_stats = spark.read.parquet(os.path.join(path, "stats")).first()
-    n_post = spark.read.parquet(os.path.join(path, "postings")).count()
-    return {"n_docs": int(spark_stats["n_docs"]), "n_postings": int(n_post)}
+    out = {"n_docs": int(spark_stats["n_docs"])}
+    if count_postings:
+        out["n_postings"] = int(
+            spark.read.parquet(os.path.join(path, "postings")).count()
+        )
+    return out
 
 
 def query_bm25_index(

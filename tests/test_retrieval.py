@@ -156,7 +156,7 @@ def test_bm25_index_query_equals_direct_and_append_rebuild(spark, tmp_path):
     terms = ["w2", "w9"]
     inc = str(tmp_path / "inc")
     full = str(tmp_path / "full")
-    stats = write_bm25_index(_docs(spark, a), inc)
+    stats = write_bm25_index(_docs(spark, a), inc, count_postings=True)
     assert stats["n_docs"] == 60 and stats["n_postings"] > 0
     # direct == index on the initial corpus
     direct = {
