@@ -903,6 +903,19 @@ def ngram_surprisal(
                 " (store adjusted counts to prune a KN model — KenLM's"
                 " separate prune pass)"
             )
+        # reject (never silently ignore) the JM-only knobs: a caller
+        # who "tuned" lam or floor_from must not get an unrelated model
+        if lam != 0.75:
+            raise ValueError(
+                "lam does not apply to smoothing='kn': KN has no"
+                " interpolation weight — discounts come from"
+                " counts-of-counts (Chen & Goodman eq. 26)"
+            )
+        if floor_from != 3:
+            raise ValueError(
+                "floor_from does not apply to smoothing='kn' (no"
+                " count-floor pruning in KN mode)"
+            )
         return kn_ngram_surprisal(df, id_col, text_col, order=order)
     if order < 2:
         raise ValueError(f"order must be >= 2: {order}")
@@ -1172,6 +1185,30 @@ def _lm_meta_smoothing(meta) -> str:
     )
 
 
+def _kn_adjusted_tables(pos, order: int) -> dict[int, DataFrame]:
+    """LAZY modified-KN adjusted-count tables a_k from a position
+    stream: RAW counts at the top order, CONTINUATION counts (distinct
+    left-extension types among raw (k+1)-gram types) below — the one
+    subtle convention in the KN math, defined in exactly one place so
+    in-plan scoring (:func:`kn_ngram_surprisal`) and frozen snapshots
+    (:func:`_write_kn_snapshot`) can never drift."""
+    raw: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        raw[k] = (
+            pos.filter(F.col("pos") >= k)
+            .groupBy(*_lm_table_keys(k))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    adj: dict[int, DataFrame] = {order: raw[order]}
+    for k in range(1, order):
+        adj[k] = (
+            raw[k + 1]
+            .groupBy(*_lm_table_keys(k))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    return adj
+
+
 def _write_kn_snapshot(
     corpus: DataFrame, path: str, id_col: str, text_col: str, order: int
 ) -> dict:
@@ -1183,20 +1220,19 @@ def _write_kn_snapshot(
 
     spark = corpus.sparkSession
     pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
-    raw: dict[int, DataFrame] = {}
-    for k in range(2, order + 1):
-        raw[k] = (
-            pos.filter(F.col("pos") >= k)
-            .groupBy(*_lm_table_keys(k))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    if pos.isEmpty():
+        # V=0 would make the ladder's uniform 1/V base undefined for
+        # every FUTURE batch scored against the snapshot (ANSI
+        # DIVIDE_BY_ZERO at score time, long after the write
+        # "succeeded") — refuse up front; KenLM likewise rejects
+        # empty input. The JM arm stays well-defined on empty corpora
+        # (its OOV floor caps the denominator at 1).
+        raise ValueError(
+            "cannot write a smoothing='kn' snapshot from an empty"
+            " training corpus: the KN uniform base is 1/V and V=0;"
+            " use smoothing='jm' if degenerate corpora must score"
         )
-    adj_lazy: dict[int, DataFrame] = {order: raw[order]}
-    for k in range(1, order):
-        adj_lazy[k] = (
-            raw[k + 1]
-            .groupBy(*_lm_table_keys(k))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    adj_lazy = _kn_adjusted_tables(pos, order)
 
     def _write(item: tuple[int, DataFrame]) -> None:
         k, df_k = item
@@ -1366,6 +1402,15 @@ def _score_kn_snapshot(
             ck = spark.read.parquet(os.path.join(path, f"c{k}"))
             joined = joined.join(ck, keys[:-1], "left")
     scal = spark.read.parquet(os.path.join(path, "scal"))
+    scal_row = scal.first()
+    if scal_row is None or int(scal_row["_V"]) == 0:
+        # snapshots written before the write-time guard existed can
+        # carry V=0; fail actionably instead of a per-row ANSI
+        # DIVIDE_BY_ZERO deep inside the ladder expression
+        raise ValueError(
+            f"KN snapshot at {path} was trained on an empty corpus"
+            " (V=0) — retrain with write_lm_snapshot on non-empty text"
+        )
     joined = joined.crossJoin(F.broadcast(scal))
     micro = joined.select(
         "_id",
@@ -1663,18 +1708,9 @@ def kn_ngram_surprisal(
         raise ValueError(f"order must be >= 2: {order}")
     pos = _lm_positions(df, id_col, text_col, order, materialize=True)
 
-    # raw type/count tables r_k (k >= 2); r_1 is never needed — the
-    # unigram level uses continuation counts, and V comes from pos
-    raw: dict[int, DataFrame] = {}
-    for k in range(2, order + 1):
-        keys = _lm_table_keys(k)
-        raw[k] = (
-            pos.filter(F.col("pos") >= k)
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-    # adjusted counts: raw at the top order, continuation counts
-    # (distinct left-extension types among raw (k+1)-gram types) below.
+    # adjusted counts from the SHARED builder (_kn_adjusted_tables —
+    # raw at the top order, continuation below; r_1 is never needed:
+    # the unigram level uses continuation counts and V comes from pos).
     # Each a_k feeds THREE consumers (numerator join, per-context
     # aggregate, counts-of-counts), and per-consumer column pruning
     # makes the three subplans differ so ReuseExchange never fires —
@@ -1690,13 +1726,7 @@ def kn_ngram_surprisal(
     # would spill at 100 TB.
     from concurrent.futures import ThreadPoolExecutor
 
-    adj_lazy: dict[int, DataFrame] = {order: raw[order]}
-    for k in range(1, order):
-        adj_lazy[k] = (
-            raw[k + 1]
-            .groupBy(*_lm_table_keys(k))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    adj_lazy = _kn_adjusted_tables(pos, order)
     with ThreadPoolExecutor(max_workers=len(adj_lazy)) as pool:
         adj: dict[int, DataFrame] = dict(
             zip(

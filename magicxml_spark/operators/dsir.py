@@ -45,11 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_WS = r"\s+"
-
-
-def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), _WS), lambda t: t != F.lit(""))
+from magicxml_spark.operators.text import tokens as _words
 
 
 def hashed_ngram_stream(

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from magicxml_spark.operators.text import tokens as _words
+
 # Compact English function-word list (public-domain stopword set; the
 # density thresholds below are the paper's defaults for full lists —
 # callers tune them when swapping lists).
@@ -48,10 +50,6 @@ JUSTEXT_STOPWORDS = [
     "could", "there", "their",
 ]
 
-def _words(text):
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
-
-
 STOPWORDS_LOW = 0.30
 STOPWORDS_HIGH = 0.32
 LENGTH_LOW = 70
@@ -60,7 +58,7 @@ LENGTH_HIGH = 200
 
 def _para_class(p: Column, stopwords: list[str]) -> Column:
     """Context-free jusText class of one paragraph string."""
-    words = F.filter(F.split(F.lower(p), r"\s+"), lambda t: t != F.lit(""))
+    words = _words(p)
     n_words = F.size(words)
     stops = F.size(F.filter(words, lambda t: t.isin(stopwords)))
     density = stops.cast("double") / n_words.cast("double")

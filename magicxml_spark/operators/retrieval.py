@@ -28,7 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WS = r"\s+"
+from magicxml_spark.operators.text import tokens as _tokens
+
+
+def _bm25_contrib(k1: float, b: float):
+    """The per-(doc, term) BM25 contribution as a Column over the
+    standard column names (tf, dl, df, n_docs, total_len). ONE
+    definition — the direct, batch, and frozen-index paths must score
+    with the identical expression tree (the micro-rounding parity
+    contract depends on the exact float association order)."""
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_c = F.col("tf").cast("double")
+    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    return idf * tf_c * (k1 + 1.0) / norm
 
 
 def bm25_topk(
@@ -50,7 +64,7 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     sc = df.sparkSession.sparkContext
-    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    words = _tokens(F.col("_t"))
     terms = [t.lower() for t in query_terms]
 
     base = df.select(
@@ -79,14 +93,7 @@ def bm25_topk(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    n_docs = F.col("n_docs").cast("double")
-    avgdl = F.col("total_len").cast("double") / n_docs
-    idf = F.log(
-        1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_c = F.col("tf").cast("double")
-    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
-    contrib = idf * tf_c * (k1 + 1.0) / norm
+    contrib = _bm25_contrib(k1, b)
 
     scored = (
         tf.join(dfreq, "term")  # <=|Q| rows; AQE broadcasts
@@ -145,7 +152,7 @@ def bm25_topk_per_query(
     sc = df.sparkSession.sparkContext
     from pyspark.sql import Window
 
-    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    words = _tokens(F.col("_t"))
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).repartition(sc.defaultParallelism)
@@ -178,12 +185,7 @@ def bm25_topk_per_query(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    n_docs = F.col("n_docs").cast("double")
-    avgdl = F.col("total_len").cast("double") / n_docs
-    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_c = F.col("tf").cast("double")
-    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
-    contrib = idf * tf_c * (k1 + 1.0) / norm
+    contrib = _bm25_contrib(k1, b)
 
     scored = (
         tf.join(dfreq, "term")
@@ -234,18 +236,25 @@ def write_bm25_index(
 
     spark = df.sparkSession
     sc = spark.sparkContext
-    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    words = _tokens(F.col("_t"))
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).repartition(sc.defaultParallelism)
+    # ONE tokenize pass: the (id, dl, words) frame feeds the postings
+    # explode AND the corpus stats — without the checkpoint each
+    # consumer re-runs the regex split over the full corpus (the
+    # bm25_topk two-consumer lesson; the materialized bytes are the
+    # tokenized corpus, the _lm_positions trade)
     pre = base.select(
-        "_id", F.size(words).alias("dl"), F.explode(words).alias("term")
-    )
-    postings = pre.groupBy("term", "_id").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+        "_id", F.size(words).alias("dl"), words.alias("_w")
+    ).localCheckpoint(eager=True)
+    postings = (
+        pre.select("_id", "dl", F.explode("_w").alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    stats = base.select(F.size(words).alias("dl")).agg(
+    stats = pre.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
@@ -283,12 +292,7 @@ def query_bm25_index(
     stats = spark.read.parquet(os.path.join(path, "stats"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    n_docs = F.col("n_docs").cast("double")
-    avgdl = F.col("total_len").cast("double") / n_docs
-    idf = F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_c = F.col("tf").cast("double")
-    norm = tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
-    contrib = idf * tf_c * (k1 + 1.0) / norm
+    contrib = _bm25_contrib(k1, b)
 
     scored = (
         postings.join(dfreq, "term")
@@ -324,12 +328,16 @@ def append_bm25_index(
 
     spark = delta.sparkSession
     sc = spark.sparkContext
-    words = F.filter(F.split(F.lower(F.col("_t")), _WS), lambda t: t != F.lit(""))
+    words = _tokens(F.col("_t"))
     base = delta.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).repartition(sc.defaultParallelism)
+    # one tokenize pass over the delta (same shape as the write path)
+    pre = base.select(
+        "_id", F.size(words).alias("dl"), words.alias("_w")
+    ).localCheckpoint(eager=True)
     d_post = (
-        base.select("_id", F.size(words).alias("dl"), F.explode(words).alias("term"))
+        pre.select("_id", "dl", F.explode("_w").alias("term"))
         .groupBy("term", "_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
@@ -341,7 +349,7 @@ def append_bm25_index(
     )
     post_new = os.path.join(path, "postings__new")
     merged.write.mode("overwrite").parquet(post_new)
-    d_stats = base.select(F.size(words).alias("dl")).agg(
+    d_stats = pre.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
     s_merged = (

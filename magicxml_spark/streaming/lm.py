@@ -27,6 +27,50 @@ from magicxml_spark.streaming.dedup import read_documents_stream
 from magicxml_spark.streaming.events import _checkpoint_dir, _stream_tuning
 
 
+def _run_frozen_score(
+    spark: SparkSession,
+    sf_dir: str,
+    score_fn,
+    out_dir: str,
+    name_prefix: str,
+    doc_filter=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Shared frozen-model stream scorer: stateless map per
+    micro-batch (``score_fn(batch_df) -> scored_df``), overwrite-by-
+    batch-id parquet sink (exactly-once), checkpoint cleaned up after
+    the availableNow run drains. Both public scorers are this body
+    with a different frozen model behind ``score_fn``."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        score_fn(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    with _stream_tuning(spark, state_partitions):
+        docs = read_documents_stream(
+            spark,
+            sf_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            path_glob=path_glob,
+        )
+        if doc_filter is not None:
+            docs = docs.filter(doc_filter)
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
+    return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+
+
 def run_stream_lm_score(
     spark: SparkSession,
     sf_dir: str,
@@ -53,35 +97,17 @@ def run_stream_lm_score(
     there is no watermark and no stateful operator in the plan."""
     from magicxml_spark.operators.curation import score_with_lm_snapshot
 
-    name = f"lm_score_{uuid.uuid4().hex[:8]}"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_with_lm_snapshot(
-            batch_df.select("doc_id", "text"), snapshot_path, lam=lam
-        )
-        scored.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-
-    with _stream_tuning(spark, state_partitions):
-        docs = read_documents_stream(
-            spark,
-            sf_dir,
-            max_files_per_trigger=max_files_per_trigger,
-            path_glob=path_glob,
-        )
-        if doc_filter is not None:
-            docs = docs.filter(doc_filter)
-        q = (
-            docs.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", _checkpoint_dir(name))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
-    return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        lambda batch: score_with_lm_snapshot(batch, snapshot_path, lam=lam),
+        out_dir,
+        "lm_score",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )
 
 
 def run_stream_dsir_score(
@@ -95,39 +121,19 @@ def run_stream_dsir_score(
     path_glob: str = "documents.parquet",
 ) -> DataFrame:
     """Streaming twin of :func:`operators.dsir.score_with_dsir_model`:
-    score a document stream against a frozen DSIR bucket model. Same
-    stateless-map-per-micro-batch shape as :func:`run_stream_lm_score`
-    (each batch joins the immutable parquet counts, no watermark, no
-    stateful operator), same overwrite-by-batch-id exactly-once sink.
+    score a document stream against a frozen DSIR bucket model — the
+    same stateless shape as :func:`run_stream_lm_score` (shared body).
     Returns (doc_id, n_grams, log_w) read back from ``out_dir``."""
     from magicxml_spark.operators.dsir import score_with_dsir_model
 
-    name = f"dsir_score_{uuid.uuid4().hex[:8]}"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_with_dsir_model(
-            batch_df.select("doc_id", "text"), model_path
-        )
-        scored.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-
-    with _stream_tuning(spark, state_partitions):
-        docs = read_documents_stream(
-            spark,
-            sf_dir,
-            max_files_per_trigger=max_files_per_trigger,
-            path_glob=path_glob,
-        )
-        if doc_filter is not None:
-            docs = docs.filter(doc_filter)
-        q = (
-            docs.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", _checkpoint_dir(name))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    shutil.rmtree(_checkpoint_dir(name), ignore_errors=True)
-    return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        lambda batch: score_with_dsir_model(batch, model_path),
+        out_dir,
+        "dsir_score",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )

@@ -1353,3 +1353,34 @@ def test_badwords_filter_whole_word_semantics(spark):
     assert out[4]["n_hits"] == 2 and out[4]["keep"] is False
     with pytest.raises(ValueError):
         badwords_filter(df, [])
+
+
+def test_kn_rejects_empty_train_and_jm_only_knobs(spark, tmp_path):
+    # review r9: (a) a KN snapshot trained on an empty corpus would
+    # crash EVERY future scoring batch with an ANSI DIVIDE_BY_ZERO at
+    # 1/V — the write must refuse up front (and scoring must refuse a
+    # legacy V=0 snapshot actionably); (b) the KN dispatch must REJECT
+    # the JM-only knobs, never silently discard a caller's "tuning"
+    import pytest
+
+    from magicxml_spark.operators.curation import (
+        ngram_surprisal,
+        write_lm_snapshot,
+    )
+
+    empty = _docs(spark, [(1, ""), (2, "   ")])
+    with pytest.raises(ValueError, match="empty"):
+        write_lm_snapshot(
+            empty, str(tmp_path / "kn0"), order=3, smoothing="kn"
+        )
+    some = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="lam"):
+        ngram_surprisal(some, order=3, lam=0.5, smoothing="kn")
+    with pytest.raises(ValueError, match="floor_from"):
+        ngram_surprisal(some, order=3, floor_from=2, smoothing="kn")
+    # non-empty train still writes and scores fine
+    write_lm_snapshot(some, str(tmp_path / "kn1"), order=3, smoothing="kn")
+    from magicxml_spark.operators.curation import score_with_lm_snapshot
+
+    out = score_with_lm_snapshot(some, str(tmp_path / "kn1")).collect()
+    assert len(out) == 1

@@ -187,3 +187,34 @@ def test_bm25_index_query_equals_direct_and_append_rebuild(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         query_bm25_index(spark, inc, [])
+
+
+def test_bm25_per_query_general_arm_matches_compiled(spark):
+    # review r9: the >max_compiled_terms general arm (full token
+    # explode + terms-dim join, separately-spelled stats agg) had no
+    # regression coverage — pin it equal to the compiled arm
+    from magicxml_spark.operators.retrieval import bm25_topk_per_query
+
+    rng = random.Random(13)
+    vocab = [f"w{j}" for j in range(17)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 22))))
+        for i in range(100)
+    ]
+    docs = _docs(spark, rows)
+    queries = spark.createDataFrame(
+        [(1, "w3"), (1, "w8"), (2, "w11"), (2, "zzz")],
+        "query_id int, term string",
+    )
+    key = lambda rows_: sorted(
+        (r["query_id"], r["doc_id"], r["n_hits"], r["score"]) for r in rows_
+    )
+    compiled = key(
+        bm25_topk_per_query(docs, "doc_id", "text", queries, k=200).collect()
+    )
+    general = key(
+        bm25_topk_per_query(
+            docs, "doc_id", "text", queries, k=200, max_compiled_terms=0
+        ).collect()
+    )
+    assert general == compiled and len(general) > 0
