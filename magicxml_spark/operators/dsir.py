@@ -391,3 +391,58 @@ def append_dsir_model(
         shutil.rmtree(live_dir)
         os.replace(new_dir, live_dir)
     return {"n_raw": n_raw, "n_tgt": n_tgt}
+
+
+def dsir_select_against_target(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_chars: int = 3,
+    alpha: float = 0.5,
+    gumbel: bool = True,
+) -> DataFrame:
+    """DSIR with the paper's literal setup — the target is a SEPARATE
+    corpus (Wikipedia, curated books) rather than a flagged subset of
+    the raw table. Target rows contribute to the target multinomial
+    and to the raw (mixture) multinomial exactly as a flagged union,
+    and only RAW documents are candidates for selection (the target is
+    a distribution to match, not data to select). Target ids never
+    collide with selection output because candidates filter on the
+    flag, not the id space."""
+    flagged = raw.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        F.lit(False).alias("_tgt"),
+    ).unionByName(
+        target.select(
+            F.col(id_col).alias(id_col),
+            F.col(text_col).alias(text_col),
+            F.lit(True).alias("_tgt"),
+        )
+    )
+    lw = dsir_log_weights(
+        flagged, id_col, text_col, F.col("_tgt"), hash_chars, alpha
+    )
+    # keep only raw-side candidates (anti-flag semi join on the id+flag
+    # projection — the flag never left `flagged`, so re-join it)
+    cand = lw.join(
+        flagged.filter(~F.col("_tgt")).select(id_col), id_col, "inner"
+    )
+    key = (
+        gumbel_key(F.col(id_col), F.col("lw_micro"))
+        if gumbel
+        else F.col("lw_micro")
+    )
+    return (
+        cand.withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("lw_micro") / 1e6, 6).alias("log_w"),
+            F.round(F.col("_key") / 1e6, 6).alias("sel_key"),
+        )
+    )

@@ -263,3 +263,29 @@ def test_stream_dsir_score_equals_batch(spark, tmp_path):
     b = {r["doc_id"]: (r["n_grams"], r["log_w"]) for r in batch.collect()}
     s = {r["doc_id"]: (r["n_grams"], r["log_w"]) for r in streamed.collect()}
     assert s == b and len(s) > 0
+
+
+def test_dsir_separate_target_table_matches_flag_form(spark):
+    # the two-corpus API must equal the flagged-union form with the
+    # target rows excluded from the candidate pool
+    from magicxml_spark.operators.dsir import dsir_select_against_target
+
+    raw_rows = [(i, f"w{i % 7} w{(i + 1) % 7} common") for i in range(40)]
+    tgt_rows = [(1000 + j, "common target words here") for j in range(10)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    out = dsir_select_against_target(
+        raw, tgt, "doc_id", "text", k=40
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == 40 and all(i < 1000 for i in ids)
+    # equality vs the flag form on the union
+    flag_rows = [(i, t, False) for i, t in raw_rows] + [
+        (i, t, True) for i, t in tgt_rows
+    ]
+    ref = _py_dsir(flag_rows)
+    for r in out:
+        assert round(r["log_w"] * 1e6) == ref[r["doc_id"]][1]
+        assert round(r["sel_key"] * 1e6) == ref[r["doc_id"]][1] + _py_gumbel(
+            r["doc_id"]
+        )
