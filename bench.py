@@ -168,6 +168,33 @@ def main() -> None:
     sec_timings = _time_list(secondary)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    subtotals = {
+        g: round(sum(sec_timings.get(n, 0.0) for n in names), 3)
+        for g, names in secondary_groups.items()
+    }
+    # Emission order matters: the driver stores only the LAST 2000
+    # chars of stdout and parses the final line.  BENCH_r09's single
+    # ~3.5 KB line got truncated mid-headline (parsed: null, headline
+    # total lost from the official record — VERDICT r9 "What's wrong
+    # #2").  So: verbose per-query record FIRST (full secondary dict +
+    # notes, for humans reading the raw log), compact parseable record
+    # LAST (headline total + per-headline-query timings + subtotals,
+    # well under 2000 chars) so truncation always keeps the vitals.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock_verbose",
+                "secondary": sec_timings,
+                "notes": {
+                    n: t
+                    for n, t in notes.items()
+                    if n in timings or n in sec_timings
+                },
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -175,18 +202,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "secondary": sec_timings,
                 "secondary_value": round(sum(sec_timings.values()), 3),
-                "secondary_subtotals": {
-                    g: round(sum(sec_timings.get(n, 0.0) for n in names), 3)
-                    for g, names in secondary_groups.items()
-                },
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "notes": {
-                    n: t
-                    for n, t in notes.items()
-                    if n in timings or n in sec_timings
-                },
+                "secondary_subtotals": subtotals,
+                "sf": sf_val,
             }
         )
     )

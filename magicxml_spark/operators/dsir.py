@@ -408,39 +408,44 @@ def dsir_select_against_target(
     the raw table. Target rows contribute to the target multinomial
     and to the raw (mixture) multinomial exactly as a flagged union,
     and only RAW documents are candidates for selection (the target is
-    a distribution to match, not data to select). Target ids never
-    collide with selection output because candidates filter on the
-    flag, not the id space."""
-    flagged = raw.select(
-        F.col(id_col).alias(id_col),
-        F.col(text_col).alias(text_col),
-        F.lit(False).alias("_tgt"),
-    ).unionByName(
-        target.select(
-            F.col(id_col).alias(id_col),
-            F.col(text_col).alias(text_col),
-            F.lit(True).alias("_tgt"),
-        )
+    a distribution to match, not data to select).
+
+    The two tables may use OVERLAPPING id spaces: per-document scoring
+    keys on a composite (side-prefixed) id, so a target row whose id
+    collides with a raw id neither merges into that raw document's
+    weight nor leaks into the candidate pool (ADVICE r9: the earlier
+    spelling grouped by bare id and an inner join re-admitted the
+    colliding row with a combined weight)."""
+    side_id = lambda side: F.concat(  # noqa: E731
+        F.lit(side), F.col(id_col).cast("string")
+    ).alias("_cid")
+    flagged = raw.select(side_id("r|"), F.col(text_col).alias(text_col)).unionByName(
+        target.select(side_id("t|"), F.col(text_col).alias(text_col))
     )
     lw = dsir_log_weights(
-        flagged, id_col, text_col, F.col("_tgt"), hash_chars, alpha
+        flagged,
+        "_cid",
+        text_col,
+        F.col("_cid").startswith("t|"),
+        hash_chars,
+        alpha,
     )
-    # keep only raw-side candidates (anti-flag semi join on the id+flag
-    # projection — the flag never left `flagged`, so re-join it)
-    cand = lw.join(
-        flagged.filter(~F.col("_tgt")).select(id_col), id_col, "inner"
+    # raw-side candidates: the side prefix IS the flag, so the cut is a
+    # pure filter — no join back into an id space the target shares
+    cand = lw.filter(F.col("_cid").startswith("r|")).withColumn(
+        "_oid", F.substring("_cid", 3, 2**30).cast(raw.schema[id_col].dataType)
     )
     key = (
-        gumbel_key(F.col(id_col), F.col("lw_micro"))
+        gumbel_key(F.col("_oid"), F.col("lw_micro"))
         if gumbel
         else F.col("lw_micro")
     )
     return (
         cand.withColumn("_key", key)
-        .orderBy(F.desc("_key"), id_col)
+        .orderBy(F.desc("_key"), "_oid")
         .limit(k)
         .select(
-            id_col,
+            F.col("_oid").alias(id_col),
             "n_grams",
             F.round(F.col("lw_micro") / 1e6, 6).alias("log_w"),
             F.round(F.col("_key") / 1e6, 6).alias("sel_key"),

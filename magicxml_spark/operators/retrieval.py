@@ -156,10 +156,15 @@ def bm25_topk_per_query(
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).repartition(sc.defaultParallelism)
+    # set semantics per query, matching bm25_topk's bag-of-DISTINCT
+    # terms: duplicate (query_id, term) rows would otherwise fan the
+    # post-scoring join out once per row, inflating s_micro and n_hits
+    # (ADVICE r9 — the two entry points must agree on the same logical
+    # query)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.lower(F.col(term_col)).alias("term"),
-    )
+    ).distinct()
     terms_dim = q.select("term").distinct()
     compiled = terms_dim.limit(max_compiled_terms + 1).collect()
     if len(compiled) <= max_compiled_terms:

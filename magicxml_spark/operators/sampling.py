@@ -122,6 +122,10 @@ def pack_shards(
     offsets (one tiny driver collect of partition totals — rows =
     partitions, not data). Result is identical to the global window at
     any partition count.
+
+    ``key`` MUST be unique per row (same contract as pack_sequences —
+    duplicate keys would order arbitrarily inside the cumsum and shard
+    assignment would not be deterministic run-to-run).
     """
     from pyspark.sql import Window
 
@@ -280,6 +284,12 @@ def pack_sequences(
     ``seq_id`` at offset ``seq_off``. Per sequence the segments tile
     [0, seq_len) exactly (the final sequence may be shorter); per
     document the segments tile [0, n_tokens).
+
+    ``key`` MUST be unique per row (ADVICE r9): the prefix sum orders
+    by ``key`` alone, so rows sharing a key would take arbitrary
+    relative order and their global offsets could differ run-to-run.
+    Every call site packs on ``doc_id``/``shuffle_rank`` (unique by
+    construction); pack on a composed unique key if yours is not.
 
     Scale shape: the global token offset per document is the two-phase
     prefix sum (range partition + local window + partitions-sized

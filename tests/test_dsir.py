@@ -289,3 +289,34 @@ def test_dsir_separate_target_table_matches_flag_form(spark):
         assert round(r["sel_key"] * 1e6) == ref[r["doc_id"]][1] + _py_gumbel(
             r["doc_id"]
         )
+
+def test_dsir_separate_target_id_collision_does_not_merge(spark):
+    # ADVICE r9: a target doc sharing an id with a raw doc must not
+    # merge into its weight nor re-enter the candidate pool — scoring
+    # keys on the side-prefixed composite id. Colliding and disjoint
+    # target id spaces must give IDENTICAL selections (the models only
+    # see text, never ids).
+    from magicxml_spark.operators.dsir import dsir_select_against_target
+
+    raw_rows = [(i, f"w{i % 7} w{(i + 1) % 7} common") for i in range(40)]
+    tgt_texts = ["common target words here"] * 10
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt_disjoint = spark.createDataFrame(
+        [(1000 + j, t) for j, t in enumerate(tgt_texts)],
+        "doc_id long, text string",
+    )
+    # colliding ids: every target id equals a raw id
+    tgt_collide = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(tgt_texts)], "doc_id long, text string"
+    )
+    a = dsir_select_against_target(
+        raw, tgt_disjoint, "doc_id", "text", k=40
+    ).collect()
+    b = dsir_select_against_target(
+        raw, tgt_collide, "doc_id", "text", k=40
+    ).collect()
+    as_tuples = lambda rs: [  # noqa: E731
+        (r["doc_id"], r["n_grams"], r["log_w"], r["sel_key"]) for r in rs
+    ]
+    assert as_tuples(a) == as_tuples(b)
+    assert len(a) == 40 and all(r["doc_id"] < 1000 for r in a)

@@ -218,3 +218,30 @@ def test_bm25_per_query_general_arm_matches_compiled(spark):
         ).collect()
     )
     assert general == compiled and len(general) > 0
+
+def test_bm25_per_query_duplicate_terms_are_set_semantics(spark):
+    # ADVICE r9: duplicate (query_id, term) rows must not double-count
+    # — both entry points use bag-of-DISTINCT-terms semantics, so a
+    # query listing "w1" twice scores identically to listing it once
+    from magicxml_spark.operators.retrieval import bm25_topk_per_query
+
+    rng = random.Random(57)
+    vocab = [f"w{j}" for j in range(11)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+    clean = spark.createDataFrame(
+        [(1, "w1"), (1, "w4")], "query_id int, term string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "w1"), (1, "w1"), (1, "W1"), (1, "w4")],
+        "query_id int, term string",
+    )
+    as_map = lambda rs: {  # noqa: E731
+        r["doc_id"]: (r["n_hits"], r["score"]) for r in rs
+    }
+    a = as_map(bm25_topk_per_query(docs, "doc_id", "text", clean, k=100).collect())
+    b = as_map(bm25_topk_per_query(docs, "doc_id", "text", dup, k=100).collect())
+    assert a == b and len(a) > 0
