@@ -1,0 +1,305 @@
+"""Language identification — the missing "stage 0" of every published
+curation pipeline this engine implements: CCNet gates on fastText
+langid before its LM filter (Wenzek et al. 2020 §4.1), C4 keeps only
+langdetect en>=0.99 pages before its heuristics (Raffel et al. 2020
+§2.2). Until now ``documents.lang`` was consumed on faith (dsir /
+pipeline compositions filtered on the stored column); this operator
+computes a language from text, model-file-free and oracle-checkable.
+
+Method (two stages, both engine-exact integer arithmetic):
+
+1. **Script histogram** — per-script letter counts from Unicode block
+   character classes (literal ``[а-я]``-style ranges so the same
+   pattern text runs under both Java regex and RE2). The dominant
+   script decides directly for single-language scripts (hangul -> ko,
+   arabic -> ar, greek -> el, devanagari -> hi) and for CJK (kana
+   present -> ja, else zh — Japanese text always carries kana among
+   its Han characters; Chinese never does).
+2. **Function-word vote** for the multi-language scripts (Latin,
+   Cyrillic) — the hashed-linear-scorer arm of Cavnar-Trenkle-style
+   profiling (1994): score(lang) = occurrences of that language's top
+   function words in the token stream; argmax with deterministic
+   (score desc, lang asc) tie-break. Function words are the most
+   frequent and most language-exclusive tokens (the head of every
+   C-T rank profile), and a ~20-word public profile per language is
+   enough to separate the European languages the synthetic corpus
+   labels. Zero hits -> 'und' for Latin (keyword soup / non-covered
+   languages), 'ru' for Cyrillic (the dominant-language prior; the
+   reference's own 1C dialect — /root/reference/main.py:328-455 — is
+   the Russian anchor).
+
+Output is all-integer (hits, letter counts) plus two bounded strings,
+so Spark/DuckDB parity is exact with no float-rounding caveats.
+
+Scale shape: one projection computing 9 ``regexp_replace`` counts and
+one tokenize, a second projection doing array votes over the
+materialized token column (each profile filter scans the in-row array;
+the tokenize itself runs ONCE — the jusText reference-count lesson),
+and a final pure-Column branch table. Zero shuffles, zero joins, zero
+UDFs; composes into any pipeline as a map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Unicode-block character classes as LITERAL ranges — the identical
+# pattern text is valid Java regex (Spark) and RE2 (DuckDB); \u/\x{}
+# escapes would not be. Order matters: it is the deterministic
+# tie-break for the dominant-script argmax (first listed wins a tie).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ÖØ-öø-ÿ"),  # ASCII + Latin-1 letters (× ÷ excluded)
+    ("cyrillic", "Ѐ-ӿ"),  # U+0400-U+04FF
+    ("greek", "Ͱ-Ͽ"),  # U+0370-U+03FF
+    ("arabic", "؀-ۿ"),  # U+0600-U+06FF
+    ("devanagari", "ऀ-ॿ"),  # U+0900-U+097F
+    ("han", "一-鿿"),  # U+4E00-U+9FFF
+    ("hiragana", "ぁ-ゟ"),  # U+3041-U+309F
+    ("katakana", "ァ-ヿ"),  # U+30A1-U+30FF
+    ("hangul", "가-힣"),  # U+AC00-U+D7A3
+]
+
+# Compact public function-word profiles (the head of each language's
+# frequency list — the discriminative prefix of a Cavnar-Trenkle rank
+# profile). Shared words across languages (de/fr/es articles, en/nl
+# "in") simply vote for several candidates; the exclusive words decide.
+LATIN_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was",
+           "for", "on", "are", "with", "as", "this", "be", "at",
+           "have", "not", "from"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "den", "dem", "des", "zu", "von", "auf", "sich",
+           "auch", "werden", "oder", "aber"],
+    "fr": ["le", "la", "les", "des", "est", "et", "une", "dans",
+           "que", "qui", "pas", "pour", "sur", "avec", "au", "aux",
+           "ce", "cette", "mais", "ne"],
+    "es": ["el", "los", "las", "es", "y", "en", "que", "una", "para",
+           "por", "con", "su", "se", "del", "al", "como", "más",
+           "pero", "lo", "sus"],
+    "it": ["il", "lo", "gli", "di", "che", "è", "e", "un", "una",
+           "per", "non", "sono", "con", "della", "nel", "alla",
+           "più", "anche", "come", "ma"],
+    "pt": ["o", "os", "as", "de", "que", "e", "um", "uma", "para",
+           "não", "com", "do", "da", "dos", "das", "em", "se", "por",
+           "mais", "você"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat",
+           "niet", "met", "zijn", "voor", "aan", "er", "maar", "ook",
+           "als", "bij", "naar", "dan"],
+}
+CYRILLIC_PROFILES: dict[str, list[str]] = {
+    "ru": ["и", "в", "не", "на", "что", "с", "по", "как", "это",
+           "он", "она", "его", "но", "из", "у", "за", "то", "же",
+           "бы", "для"],
+    "uk": ["і", "в", "не", "на", "що", "з", "як", "та", "це", "він",
+           "вона", "його", "але", "із", "у", "за", "те", "ж", "би",
+           "для"],
+}
+
+# The exact tokenizer both engines share: split on non-letters
+# (Unicode category L — \p{L} is common Java/RE2 syntax), lowercase
+# first, drop empties.
+_TOKEN_SPLIT = r"[^\p{L}]+"
+
+
+def _isin(words: list[str]):
+    """Closure factory for F.filter lambdas (a default-arg capture
+    would change the lambda's arity and bind the element INDEX)."""
+    return lambda x: x.isin(words)
+
+
+def _vote_entries(toks: Column, profiles: dict[str, list[str]]) -> Column:
+    """Array of (n = -hits, l = lang) structs; ascending sort puts the
+    winner (max hits, then lang asc) first in both engines."""
+    return F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(toks, _isin(words)))).cast("long").alias("n"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, words in sorted(profiles.items())
+        ]
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Identify each document's language. Output one row per input:
+    (id, script, lang, hits, n_letters) where ``script`` is the
+    dominant Unicode script ('none' when the text has no letters),
+    ``lang`` the ISO-639-1 code ('und' when undecidable), ``hits`` the
+    evidence size (function-word occurrences for voted scripts, script
+    letter count for script-determined ones), ``n_letters`` the total
+    count over all tracked script classes."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(t), _TOKEN_SPLIT), lambda x: x != F.lit("")
+    )
+    # stage 1: materialize counts + tokens ONCE (downstream references
+    # read columns, never re-evaluate the regex/tokenize expressions)
+    s1 = df.select(
+        F.col(id_col).alias(id_col),
+        *[
+            F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+            .cast("long")
+            .alias(f"c_{name}")
+            for name, rng in SCRIPT_RANGES
+        ],
+        toks.alias("_toks"),
+    )
+    # stage 2: dominant script + both votes
+    script_names = [name for name, _ in SCRIPT_RANGES]
+    n_letters = None
+    for name in script_names:
+        c = F.col(f"c_{name}")
+        n_letters = c if n_letters is None else n_letters + c
+    top = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"c_{name}")).alias("n"),
+                    F.lit(i).cast("int").alias("i"),
+                )
+                for i, name in enumerate(script_names)
+            ]
+        )
+    )[0]
+    s2 = s1.select(
+        id_col,
+        *[F.col(f"c_{name}") for name in script_names],
+        n_letters.alias("n_letters"),
+        F.element_at(
+            F.array(*[F.lit(n) for n in script_names]), top["i"] + 1
+        ).alias("_script0"),
+        F.array_sort(_vote_entries(F.col("_toks"), LATIN_PROFILES))[0].alias(
+            "_lat"
+        ),
+        F.array_sort(_vote_entries(F.col("_toks"), CYRILLIC_PROFILES))[
+            0
+        ].alias("_cyr"),
+    )
+    # stage 3: the branch table (identical CASE tree in the oracle)
+    script = F.when(F.col("n_letters") == 0, "none").otherwise(
+        F.col("_script0")
+    )
+    lat_hits, lat_lang = -F.col("_lat.n"), F.col("_lat.l")
+    cyr_hits, cyr_lang = -F.col("_cyr.n"), F.col("_cyr.l")
+    kana = F.col("c_hiragana") + F.col("c_katakana")
+    cjk = F.col("c_han") + kana
+    is_cjk = script.isin("han", "hiragana", "katakana")
+    lang = (
+        F.when(script == "none", "und")
+        .when(script == "hangul", "ko")
+        .when(script == "arabic", "ar")
+        .when(script == "greek", "el")
+        .when(script == "devanagari", "hi")
+        .when(is_cjk, F.when(kana > 0, "ja").otherwise("zh"))
+        .when(
+            script == "cyrillic",
+            F.when(cyr_hits > 0, cyr_lang).otherwise("ru"),
+        )
+        .otherwise(F.when(lat_hits > 0, lat_lang).otherwise("und"))
+    )
+    hits = (
+        F.when(script == "none", F.lit(0))
+        .when(script == "hangul", F.col("c_hangul"))
+        .when(script == "arabic", F.col("c_arabic"))
+        .when(script == "greek", F.col("c_greek"))
+        .when(script == "devanagari", F.col("c_devanagari"))
+        .when(is_cjk, cjk)
+        .when(script == "cyrillic", cyr_hits)
+        .otherwise(lat_hits)
+        .cast("long")
+    )
+    return s2.select(
+        id_col,
+        script.alias("script"),
+        lang.alias("lang"),
+        hits.alias("hits"),
+        F.col("n_letters"),
+    )
+
+
+# --- DuckDB oracle generation --------------------------------------------------
+# One source of truth: the CTE chain below is generated from the SAME
+# SCRIPT_RANGES / profile tables the Column implementation reads, so
+# an edited profile cannot drift between engines (the KN
+# generated-formula pattern).
+
+
+def _sql_words(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def langid_duckdb_ctes(
+    src: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE chain ``lid_cnt -> lid_top -> lid`` over ``src``; the final
+    CTE ``lid`` has (id, script, lang, hits, n_letters)."""
+    counts = ",\n             ".join(
+        f"length(regexp_replace(t, '[^{rng}]', '', 'g')) AS c_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    script_names = [name for name, _ in SCRIPT_RANGES]
+    total = " + ".join(f"c_{n}" for n in script_names)
+    top_entries = ", ".join(
+        f"{{'n': -c_{name}, 'i': {i}}}" for i, name in enumerate(script_names)
+    )
+    name_case = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, name in enumerate(script_names)
+    )
+
+    def vote(profiles: dict[str, list[str]]) -> str:
+        entries = ", ".join(
+            f"{{'n': -len(list_filter(toks, x -> x IN ({_sql_words(words)}))),"
+            f" 'l': '{lang}'}}"
+            for lang, words in sorted(profiles.items())
+        )
+        return f"(list_sort([{entries}]))[1]"
+
+    return f"""
+    lid_cnt AS (
+      SELECT {id_col},
+             {counts},
+             list_filter(regexp_split_to_array(lower(t),
+                                               '{_TOKEN_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM (SELECT {id_col}, coalesce({text_col}, '') AS t FROM {src})),
+    lid_top AS (
+      SELECT *,
+             {total} AS n_letters,
+             CASE ((list_sort([{top_entries}]))[1]).i {name_case} END
+               AS script0,
+             {vote(LATIN_PROFILES)} AS lat,
+             {vote(CYRILLIC_PROFILES)} AS cyr
+      FROM lid_cnt),
+    lid AS (
+      SELECT {id_col},
+             CASE WHEN n_letters = 0 THEN 'none' ELSE script0 END AS script,
+             CASE
+               WHEN n_letters = 0 THEN 'und'
+               WHEN script0 = 'hangul' THEN 'ko'
+               WHEN script0 = 'arabic' THEN 'ar'
+               WHEN script0 = 'greek' THEN 'el'
+               WHEN script0 = 'devanagari' THEN 'hi'
+               WHEN script0 IN ('han', 'hiragana', 'katakana')
+                 THEN CASE WHEN c_hiragana + c_katakana > 0
+                           THEN 'ja' ELSE 'zh' END
+               WHEN script0 = 'cyrillic'
+                 THEN CASE WHEN -cyr.n > 0 THEN cyr.l ELSE 'ru' END
+               ELSE CASE WHEN -lat.n > 0 THEN lat.l ELSE 'und' END
+             END AS lang,
+             CAST(CASE
+               WHEN n_letters = 0 THEN 0
+               WHEN script0 = 'hangul' THEN c_hangul
+               WHEN script0 = 'arabic' THEN c_arabic
+               WHEN script0 = 'greek' THEN c_greek
+               WHEN script0 = 'devanagari' THEN c_devanagari
+               WHEN script0 IN ('han', 'hiragana', 'katakana')
+                 THEN c_han + c_hiragana + c_katakana
+               WHEN script0 = 'cyrillic' THEN -cyr.n
+               ELSE -lat.n
+             END AS BIGINT) AS hits,
+             CAST(n_letters AS BIGINT) AS n_letters
+      FROM lid_top)"""

@@ -3010,3 +3010,26 @@ def q_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq_fp"),
     )
+
+# --- Language identification (curation stage 0) --------------------------------
+# The langid gate every published pipeline starts with (CCNet §4.1,
+# C4 §2.2): script histogram + function-word vote, all-integer
+# evidence so parity is exact. The synthetic corpus is DB-keyword
+# soup, so most documents resolve via the en function words they
+# contain and the rest read 'und' — the semantic pins (one fixture
+# per script/language, hand-labeled) live in tests/test_langid.py.
+def _lang_id_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    return f"""
+    WITH {langid_duckdb_ctes("documents")}
+    SELECT doc_id, script, lang, hits, n_letters FROM lid
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.langid import lang_id
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id(docs)

@@ -1,0 +1,86 @@
+"""Semantic pins for operators/langid.py — hand-labeled fixtures in
+every supported script (engine-vs-engine parity for q_lang_id lives in
+test_oracle_parity; these pins are the defense against a SHARED
+misconception, per the repo's verification doctrine)."""
+
+from __future__ import annotations
+
+from magicxml_spark.operators.langid import lang_id
+
+# (text, expected script, expected lang) — one per supported language.
+# The Russian fixture uses the 1C/YML product-feed vocabulary the
+# reference engine parses (/root/reference/main.py:328-455 — its
+# Cyrillic dialect is the anchor VERDICT r9 prescribes).
+PINS = [
+    ("The cat sat on the mat and it was happy to be at home.", "latin", "en"),
+    ("Der Hund und die Katze sind nicht mit dem Mann im Haus.", "latin", "de"),
+    ("Le chat est dans la maison avec les enfants et le chien.", "latin", "fr"),
+    ("El perro y los gatos es que una para por con su casa.", "latin", "es"),
+    ("Il gatto è un animale che non sono per la casa di lui.", "latin", "it"),
+    ("O cachorro e os gatos que um uma para não com do mais.", "latin", "pt"),
+    ("De hond en het een van ik te dat niet met huis.", "latin", "nl"),
+    (
+        "Наименование товара и цена не указаны на складе, это остаток",
+        "cyrillic",
+        "ru",
+    ),
+    ("Це не так і він був у домі за рікою але що з того", "cyrillic", "uk"),
+    ("这是一个中文句子没有空格也没有假名", "han", "zh"),
+    ("これは日本語の文です漢字も含みます", "hiragana", "ja"),
+    ("이것은 한국어 문장입니다", "hangul", "ko"),
+    ("هذه جملة عربية قصيرة", "arabic", "ar"),
+    ("αυτή είναι μια ελληνική πρόταση", "greek", "el"),
+    ("यह एक हिंदी वाक्य है", "devanagari", "hi"),
+    ("12345 !!! ???", "none", "und"),
+    ("", "none", "und"),
+    (None, "none", "und"),
+    ("zxqv wfgh plmk", "latin", "und"),  # letters, zero function words
+]
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r for r in lang_id(df).collect()}
+
+
+def test_lang_id_hand_labeled_fixtures(spark):
+    got = _run(spark, [t for t, _, _ in PINS])
+    for i, (text, script, lang) in enumerate(PINS):
+        r = got[i]
+        assert (r["script"], r["lang"]) == (script, lang), (
+            f"fixture {i!r} ({text!r}): got ({r['script']}, {r['lang']}), "
+            f"want ({script}, {lang})"
+        )
+    # evidence counters are consistent: voted scripts report hits,
+    # script-determined ones report the script letter count
+    assert got[0]["hits"] > 0 and got[0]["n_letters"] > got[0]["hits"]
+    assert got[11]["hits"] == got[11]["n_letters"]  # hangul: all letters
+    assert got[15]["hits"] == 0 and got[15]["n_letters"] == 0
+
+
+def test_lang_id_tie_breaks_are_deterministic(spark):
+    got = _run(
+        spark,
+        [
+            # one de word + one fr word -> tie -> lexicographically
+            # smaller code wins (the pinned (score desc, lang asc) rule)
+            "der le",
+            # cyrillic with no profile words -> ru prior
+            "привет мир",
+            # latin-dominant text with a cyrillic tail stays en
+            "the quick brown fox was here and it is fine Цена",
+            # 2 han + 2 hiragana: a script-count TIE resolves to the
+            # first-listed script (han), and kana presence still says ja
+            "漢字かな",
+        ],
+    )
+    assert (got[0]["lang"], got[0]["hits"]) == ("de", 1)
+    assert (got[1]["script"], got[1]["lang"], got[1]["hits"]) == (
+        "cyrillic",
+        "ru",
+        0,
+    )
+    assert (got[2]["script"], got[2]["lang"]) == ("latin", "en")
+    assert (got[3]["script"], got[3]["lang"]) == ("han", "ja")
