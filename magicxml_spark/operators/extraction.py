@@ -55,12 +55,58 @@ STOPWORDS_HIGH = 0.32
 LENGTH_LOW = 70
 LENGTH_HIGH = 200
 
+# Per-language function-word lists (public high-frequency words; the
+# paper ships one list per language and the LIST is the knob — the
+# density mechanics never change). Keys match lang_id output codes
+# (operators/langid.py), so `lang_id -> justext(lang_col=...)` is the
+# langid->extract stage of a multilingual pipeline. The en list is the
+# original compact set; de/fr/es/ru are the same class of words for
+# the languages the synthetic corpus labels plus the reference's
+# Cyrillic dialect.
+JUSTEXT_STOPWORDS_BY_LANG: dict[str, list[str]] = {
+    # en assigned below (the module-level list predates the map)
+    "de": [
+        "der", "die", "das", "den", "dem", "des", "und", "ist",
+        "nicht", "mit", "ein", "eine", "einen", "einem", "einer",
+        "zu", "von", "auf", "sich", "auch", "werden", "oder", "aber",
+        "wie", "für", "an", "in", "dass", "er", "sie", "es", "wir",
+        "ich", "du", "man", "bei", "nach", "aus", "wenn", "nur",
+        "noch", "schon", "kann", "hat", "war", "sind",
+    ],
+    "fr": [
+        "le", "la", "les", "des", "de", "du", "un", "une", "et",
+        "est", "dans", "que", "qui", "pas", "pour", "sur", "avec",
+        "au", "aux", "ce", "cette", "ces", "mais", "ne", "se", "son",
+        "sa", "ses", "il", "elle", "ils", "elles", "nous", "vous",
+        "je", "tu", "on", "plus", "être", "avoir", "fait", "comme",
+        "si", "tout",
+    ],
+    "es": [
+        "el", "la", "los", "las", "un", "una", "unos", "unas", "es",
+        "de", "del", "que", "y", "en", "para", "por", "con", "su",
+        "sus", "se", "al", "como", "más", "pero", "lo", "si", "no",
+        "nos", "ya", "este", "esta", "estos", "estas", "él", "ella",
+        "ellos", "son", "fue", "ser", "hay", "todo",
+    ],
+    "ru": [
+        "и", "в", "не", "на", "что", "с", "по", "как", "это", "он",
+        "она", "оно", "они", "его", "её", "но", "из", "у", "за",
+        "то", "же", "бы", "для", "о", "от", "при", "был", "была",
+        "были", "есть", "только", "уже", "или", "если", "когда",
+        "мы", "вы", "я", "ты", "так", "вот",
+    ],
+}
+JUSTEXT_STOPWORDS_BY_LANG["en"] = JUSTEXT_STOPWORDS
 
-def _para_class(p: Column, stopwords: list[str]) -> Column:
-    """Context-free jusText class of one paragraph string."""
+
+def _para_class(p: Column, stopword_member) -> Column:
+    """Context-free jusText class of one paragraph string;
+    ``stopword_member`` maps a token Column to a boolean membership
+    Column (a plain list membership, or a per-document CASE over a
+    language column)."""
     words = _words(p)
     n_words = F.size(words)
-    stops = F.size(F.filter(words, lambda t: t.isin(stopwords)))
+    stops = F.size(F.filter(words, stopword_member))
     density = stops.cast("double") / n_words.cast("double")
     has_copyright = F.lower(p).contains("copyright") | p.contains("©")
     return (
@@ -80,18 +126,52 @@ def justext_boilerplate(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    stopwords: list[str] | None = None,
+    stopwords: list[str] | dict[str, list[str]] | None = None,
     sep: str = "\n\n",
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Per-document boilerplate removal. Output:
     (id, n_paras, n_good, main_frac, text_main) — ``text_main`` is the
     final-good paragraphs re-joined with ``sep`` (empty when nothing
-    survives), ``main_frac`` the surviving char fraction (4 dp)."""
-    stopwords = JUSTEXT_STOPWORDS if stopwords is None else stopwords
+    survives), ``main_frac`` the surviving char fraction (4 dp).
+
+    ``lang_col`` selects PER-LANGUAGE stopword lists (the paper's
+    multilingual deployment): pass a lang->list dict (default
+    JUSTEXT_STOPWORDS_BY_LANG — keys are lang_id output codes) and the
+    membership test becomes a per-document CASE on ``lang_col``.
+    Documents whose language has no list get zero stopword density
+    (everything classifies short/bad — jusText cannot run without a
+    list; gate on lang_id upstream)."""
     import re
 
+    if isinstance(stopwords, dict) != (lang_col is not None) and (
+        stopwords is not None
+    ):
+        raise ValueError(
+            "per-language stopword dicts require lang_col (and vice versa)"
+        )
+    if lang_col is not None:
+        smap = JUSTEXT_STOPWORDS_BY_LANG if stopwords is None else stopwords
+
+        def member(tok: Column) -> Column:
+            e = None
+            for lang, words in sorted(smap.items()):
+                cond = F.col(lang_col) == lang
+                e = (
+                    F.when(cond, tok.isin(words))
+                    if e is None
+                    else e.when(cond, tok.isin(words))
+                )
+            return e.otherwise(F.lit(False))
+
+    else:
+        slist = JUSTEXT_STOPWORDS if stopwords is None else stopwords
+
+        def member(tok: Column) -> Column:
+            return tok.isin(slist)
+
     paras = F.split(F.col(text_col), re.escape(sep), -1)
-    cls0 = F.transform(paras, lambda p: _para_class(p, stopwords))
+    cls0 = F.transform(paras, lambda p: _para_class(p, member))
 
     # Nearest context-free full (good/bad) class before/after each
     # index; document edges read as 'bad' (the paper's boundary

@@ -5,6 +5,9 @@ test_oracle_parity."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from magicxml_spark.operators.extraction import (
     JUSTEXT_STOPWORDS,
     justext_boilerplate,
@@ -146,3 +149,57 @@ def test_chunk_documents_covers_every_token_no_gaps(spark):
         for j, c in enumerate(chunks):
             assert c["start_tok"] == j * 12
             assert c["start_tok"] < len(toks)
+
+
+def test_justext_per_language_stopword_lists_flip_verdict(spark):
+    # VERDICT r9 #7: the paper's multilingual knob — the same German
+    # page classifies GOOD under the de list and BAD under the
+    # English-only list (its German function words have ~zero density
+    # against the en list). The mechanics never change; the list does.
+    from magicxml_spark.operators.extraction import justext_boilerplate
+
+    de_para = (
+        "der hund und die katze sind nicht mit dem mann in dem haus "
+        "und sie werden auch nicht mit einem anderen mann aus dem "
+        "dorf zu der alten frau gehen wenn es nur noch schon kann "
+        "und das ist auch schon alles was wir von der sache wissen"
+    )
+    assert len(de_para) > 200
+    df = spark.createDataFrame(
+        [(1, de_para, "de")], "doc_id long, text string, lang string"
+    )
+    multi = justext_boilerplate(df, lang_col="lang").collect()[0]
+    en_only = justext_boilerplate(df).collect()[0]
+    assert multi["n_good"] == 1 and multi["text_main"] == de_para
+    assert en_only["n_good"] == 0 and en_only["text_main"] == ""
+    # a language with no list gets zero density -> nothing survives
+    no_list = justext_boilerplate(
+        df.withColumn("lang", F.lit("xx")), lang_col="lang"
+    ).collect()[0]
+    assert no_list["n_good"] == 0
+    # mixed-language frame: each document classified by ITS OWN list
+    en_para = (
+        "it is easy to see that the set of rows in the table is the "
+        "same as it was and that the people who read the story will "
+        "be sure of the numbers as they are laid out for all of us "
+        "to see in the end of the day and this is the way it is"
+    )
+    both = spark.createDataFrame(
+        [(1, de_para, "de"), (2, en_para, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r["n_good"]
+        for r in justext_boilerplate(both, lang_col="lang").collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_justext_stopwords_lang_col_validation(spark):
+    from magicxml_spark.operators.extraction import justext_boilerplate
+
+    df = spark.createDataFrame([(1, "x", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        justext_boilerplate(df, stopwords={"en": ["the"]})  # dict, no lang_col
+    with pytest.raises(ValueError):
+        justext_boilerplate(df, stopwords=["the"], lang_col="lang")
