@@ -113,6 +113,12 @@ def main() -> None:
             "q_pack_sequences",
             "q_pack_sequences_text",
         ],
+        # round-10 additions (language identification + the full
+        # FineWeb-shape composition)
+        "curation_r10": [
+            "q_lang_id",
+            "q_curation_v5",
+        ],
     }
     # Per-query accounting footnotes, emitted verbatim so the
     # BENCH_r*.json trail reads true WITHOUT BASELINE.md exegesis

@@ -286,7 +286,7 @@ def gopher_repetition(
     aggregated into the nine metric columns (no pivot shuffle: n is a
     9-value literal set). Docs shorter than the order emit no grams
     and report 0 for that metric."""
-    words = tokens(F.col(text_col))
+    words = tokens(F.coalesce(F.col(text_col), F.lit("")))
     orders = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
     # Pre-explode repartition: the 9x gram amplification runs in the
     # SCAN's stage, so its parallelism is the input split count — a
@@ -389,25 +389,35 @@ def gopher_quality(
     Scale: the scalar + line/paragraph arm is a pure projection (zero
     shuffle); the join with the n-gram repetition arm is id-keyed,
     both sides one row per doc."""
-    words = tokens(F.col(text_col))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = tokens(t)
     scalars = df.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
+        t.alias("_text"),
         words.alias("_w"),
     ).select(
         "_id",
         F.size("_w").cast("long").alias("n_words"),
+        # ANSI mode makes x/0 a JOB FAILURE, not a NULL, and a
+        # zero-token document is an expected corpus state (an
+        # extraction stage can empty a page; Catalyst may also reorder
+        # this frame's deterministic `keep` predicate BEFORE an
+        # upstream language gate — observed in the v5 composition).
+        # Every by-word-count division is therefore when-guarded, the
+        # mixture_weights rule; coalesce alone cannot catch a RAISED
+        # division error.
         F.round(
-            F.coalesce(
+            F.when(
+                F.size("_w") > 0,
                 F.aggregate("_w", F.lit(0), lambda a, w: a + F.length(w))
                 / F.size("_w"),
-                F.lit(0.0),
-            ),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_word_len"),
         # symbol-to-word ratio: '#' and ellipsis occurrences per word
         F.round(
-            F.coalesce(
+            F.when(
+                F.size("_w") > 0,
                 (
                     F.size(F.split("_text", "#", -1))
                     - 1
@@ -415,16 +425,15 @@ def gopher_quality(
                     - 1
                 )
                 / F.size("_w"),
-                F.lit(0.0),
-            ),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("symbol_ratio"),
         F.round(
-            F.coalesce(
+            F.when(
+                F.size("_w") > 0,
                 F.size(F.filter("_w", lambda w: w.rlike("[a-z]")))
                 / F.size("_w"),
-                F.lit(0.0),
-            ),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("alpha_word_frac"),
         F.size(F.filter("_w", lambda w: w.isin(GOPHER_STOPWORDS)))

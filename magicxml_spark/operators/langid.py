@@ -122,43 +122,42 @@ def _vote_entries(toks: Column, profiles: dict[str, list[str]]) -> Column:
     )
 
 
-def lang_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def with_lang(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang"
 ) -> DataFrame:
-    """Identify each document's language. Output one row per input:
-    (id, script, lang, hits, n_letters) where ``script`` is the
-    dominant Unicode script ('none' when the text has no letters),
-    ``lang`` the ISO-639-1 code ('und' when undecidable), ``hits`` the
-    evidence size (function-word occurrences for voted scripts, script
-    letter count for script-determined ones), ``n_letters`` the total
-    count over all tracked script classes."""
+    """Append detected-language columns to ``df`` (all input columns
+    survive): ``{out_col}`` plus ``{out_col}_script``, ``{out_col}_hits``,
+    ``{out_col}_n_letters``. The shuffle-free composition form — a
+    pipeline gates on the computed language with a plain filter, no
+    join back to a scored side table."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(
         F.split(F.lower(t), _TOKEN_SPLIT), lambda x: x != F.lit("")
     )
+    script_names = [name for name, _ in SCRIPT_RANGES]
+    keep = list(df.columns)
     # stage 1: materialize counts + tokens ONCE (downstream references
     # read columns, never re-evaluate the regex/tokenize expressions)
     s1 = df.select(
-        F.col(id_col).alias(id_col),
+        *keep,
         *[
             F.length(F.regexp_replace(t, f"[^{rng}]", ""))
             .cast("long")
-            .alias(f"c_{name}")
+            .alias(f"_lid_c_{name}")
             for name, rng in SCRIPT_RANGES
         ],
-        toks.alias("_toks"),
+        toks.alias("_lid_toks"),
     )
     # stage 2: dominant script + both votes
-    script_names = [name for name, _ in SCRIPT_RANGES]
     n_letters = None
     for name in script_names:
-        c = F.col(f"c_{name}")
+        c = F.col(f"_lid_c_{name}")
         n_letters = c if n_letters is None else n_letters + c
     top = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    (-F.col(f"c_{name}")).alias("n"),
+                    (-F.col(f"_lid_c_{name}")).alias("n"),
                     F.lit(i).cast("int").alias("i"),
                 )
                 for i, name in enumerate(script_names)
@@ -166,27 +165,27 @@ def lang_id(
         )
     )[0]
     s2 = s1.select(
-        id_col,
-        *[F.col(f"c_{name}") for name in script_names],
-        n_letters.alias("n_letters"),
+        *keep,
+        *[F.col(f"_lid_c_{name}") for name in script_names],
+        n_letters.alias("_lid_nl"),
         F.element_at(
             F.array(*[F.lit(n) for n in script_names]), top["i"] + 1
-        ).alias("_script0"),
-        F.array_sort(_vote_entries(F.col("_toks"), LATIN_PROFILES))[0].alias(
-            "_lat"
-        ),
-        F.array_sort(_vote_entries(F.col("_toks"), CYRILLIC_PROFILES))[
+        ).alias("_lid_script0"),
+        F.array_sort(_vote_entries(F.col("_lid_toks"), LATIN_PROFILES))[
             0
-        ].alias("_cyr"),
+        ].alias("_lid_lat"),
+        F.array_sort(_vote_entries(F.col("_lid_toks"), CYRILLIC_PROFILES))[
+            0
+        ].alias("_lid_cyr"),
     )
     # stage 3: the branch table (identical CASE tree in the oracle)
-    script = F.when(F.col("n_letters") == 0, "none").otherwise(
-        F.col("_script0")
+    script = F.when(F.col("_lid_nl") == 0, "none").otherwise(
+        F.col("_lid_script0")
     )
-    lat_hits, lat_lang = -F.col("_lat.n"), F.col("_lat.l")
-    cyr_hits, cyr_lang = -F.col("_cyr.n"), F.col("_cyr.l")
-    kana = F.col("c_hiragana") + F.col("c_katakana")
-    cjk = F.col("c_han") + kana
+    lat_hits, lat_lang = -F.col("_lid_lat.n"), F.col("_lid_lat.l")
+    cyr_hits, cyr_lang = -F.col("_lid_cyr.n"), F.col("_lid_cyr.l")
+    kana = F.col("_lid_c_hiragana") + F.col("_lid_c_katakana")
+    cjk = F.col("_lid_c_han") + kana
     is_cjk = script.isin("han", "hiragana", "katakana")
     lang = (
         F.when(script == "none", "und")
@@ -203,21 +202,45 @@ def lang_id(
     )
     hits = (
         F.when(script == "none", F.lit(0))
-        .when(script == "hangul", F.col("c_hangul"))
-        .when(script == "arabic", F.col("c_arabic"))
-        .when(script == "greek", F.col("c_greek"))
-        .when(script == "devanagari", F.col("c_devanagari"))
+        .when(script == "hangul", F.col("_lid_c_hangul"))
+        .when(script == "arabic", F.col("_lid_c_arabic"))
+        .when(script == "greek", F.col("_lid_c_greek"))
+        .when(script == "devanagari", F.col("_lid_c_devanagari"))
         .when(is_cjk, cjk)
         .when(script == "cyrillic", cyr_hits)
         .otherwise(lat_hits)
         .cast("long")
     )
     return s2.select(
+        *keep,
+        script.alias(f"{out_col}_script"),
+        lang.alias(out_col),
+        hits.alias(f"{out_col}_hits"),
+        F.col("_lid_nl").cast("long").alias(f"{out_col}_n_letters"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Identify each document's language. Output one row per input:
+    (id, script, lang, hits, n_letters) where ``script`` is the
+    dominant Unicode script ('none' when the text has no letters),
+    ``lang`` the ISO-639-1 code ('und' when undecidable), ``hits`` the
+    evidence size (function-word occurrences for voted scripts, script
+    letter count for script-determined ones), ``n_letters`` the total
+    count over all tracked script classes."""
+    out = with_lang(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        text_col,
+        out_col="lang",
+    )
+    return out.select(
         id_col,
-        script.alias("script"),
-        lang.alias("lang"),
-        hits.alias("hits"),
-        F.col("n_letters"),
+        F.col("lang_script").alias("script"),
+        "lang",
+        F.col("lang_hits").alias("hits"),
+        F.col("lang_n_letters").alias("n_letters"),
     )
 
 

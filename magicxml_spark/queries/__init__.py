@@ -49,73 +49,18 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-9 rotation
-# (VERDICT r8 "Next #4"): the TWENTY-EIGHT queries whose latest rows
-# are r6 lead (computed from CORRECTNESS_r01..r08: no latest row may
-# age past two rounds), then the queries new this round (q_5gram_kn —
-# modified Kneser-Ney; plus the round's other additions as they land),
-# then the r7-fresh block (the ~50 window tail reaches into it,
-# rotating the next-oldest rows), and the r8-fresh rows close the
-# list. After this round no latest row should be older than r7. Names
-# missing from the list (future additions) append in registration
-# order; the assertion keeps the list honest.
+# get a driver-recorded correctness row each round. Round-10 rotation
+# (VERDICT r9 "Next #4"): the THIRTY-FIVE queries whose latest rows
+# are r7 lead (computed from CORRECTNESS_r01..r09), then the queries
+# new this round, then the r8-fresh block (the ~50 window tail reaches
+# into it), and the r9-fresh rows close the list. After this round no
+# latest row should be older than r8. Names missing from the list
+# (future additions) append in registration order; the assertion keeps
+# the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    # --- r6-stale head (rotation target: all 28 r6-latest rows;
-    #     q_collect_distinct's plan also changed — hint dropped) ---
-    "q_anti_join",
-    "q_collect_distinct",
-    "q_counts",
-    "q_cube",
-    "q_dedup_clusters",
-    "q_dense_ids",
-    "q_dependency_parse",
-    "q_events_stream_dedup",
-    "q_events_stream_sessionize",
-    "q_events_windowed",
-    "q_histogram_quantiles",
-    "q_null_handling",
-    "q_percentiles",
-    "q_pivot",
-    "q_price_pivot",
-    "q_pricing_summary",
-    "q_prune_profile",
-    "q_rollup",
-    "q_sanitize_name",
-    "q_sessionize",
-    "q_set_ops",
-    "q_stream_cm_events",
-    "q_stream_minhash_pairs",
-    "q_stream_winnow_pairs",
-    "q_tfidf_pca",
-    "q_topk_per_group",
-    "q_union_lineage",
-    "q_zorder_key",
-    # --- new this round: fresh rows required ---
-    "q_5gram_kn",
-    "q_c4_span_dedup",
-    "q_stream_lm_score",
-    "q_lm_snapshot_kn",
-    "q_dsir_select",
-    "q_bm25_topk",
-    "q_dsir_model_score",
-    "q_justext_extract",
-    "q_curation_v4",
-    "q_bm25_per_query",
-    "q_bm25_index_query",
-    "q_chunk_documents",
-    "q_pack_sequences",
-    "q_pack_sequences_text",
-    # --- r7-fresh block (next-oldest; the window tail reaches here) ---
-    "q_ann_recall",
-    "q_asof_join",
-    "q_asof_prev_purchase",
-    "q_audio_near_dup",
-    "q_badwords_filter",
-    "q_bpe_tokenize",
-    "q_category_path",
-    "q_category_path_recursive",
+    # --- r7-stale head (round-10 rotation: every latest-r7 row, computed from CORRECTNESS_r01..r09) ---
     "q_contamination",
     "q_corpus_shuffle",
     "q_cosine_topk",
@@ -151,7 +96,10 @@ _DRIVER_SAMPLE_ORDER = [
     "q_text_profile",
     "q_video_near_dup",
     "q_winnow_pairs_capped",
-    # --- r8-fresh tail (newest rows; sampled last) ---
+    # --- new this round: fresh rows required ---
+    "q_lang_id",
+    "q_curation_v5",
+    # --- r8-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_surprisal",
     "q_bigram_surprisal",
     "q_bloom_prefilter",
@@ -202,6 +150,57 @@ _DRIVER_SAMPLE_ORDER = [
     "q_url_dedup",
     "q_winnow_fingerprint",
     "q_winnow_pairs",
+    # --- r9-fresh tail (newest rows; sampled last) ---
+    "q_5gram_kn",
+    "q_ann_recall",
+    "q_anti_join",
+    "q_asof_join",
+    "q_asof_prev_purchase",
+    "q_audio_near_dup",
+    "q_badwords_filter",
+    "q_bm25_index_query",
+    "q_bm25_per_query",
+    "q_bm25_topk",
+    "q_bpe_tokenize",
+    "q_c4_span_dedup",
+    "q_category_path",
+    "q_category_path_recursive",
+    "q_chunk_documents",
+    "q_collect_distinct",
+    "q_counts",
+    "q_cube",
+    "q_curation_v4",
+    "q_dedup_clusters",
+    "q_dense_ids",
+    "q_dependency_parse",
+    "q_dsir_model_score",
+    "q_dsir_select",
+    "q_events_stream_dedup",
+    "q_events_stream_sessionize",
+    "q_events_windowed",
+    "q_histogram_quantiles",
+    "q_justext_extract",
+    "q_lm_snapshot_kn",
+    "q_null_handling",
+    "q_pack_sequences",
+    "q_pack_sequences_text",
+    "q_percentiles",
+    "q_pivot",
+    "q_price_pivot",
+    "q_pricing_summary",
+    "q_prune_profile",
+    "q_rollup",
+    "q_sanitize_name",
+    "q_sessionize",
+    "q_set_ops",
+    "q_stream_cm_events",
+    "q_stream_lm_score",
+    "q_stream_minhash_pairs",
+    "q_stream_winnow_pairs",
+    "q_tfidf_pca",
+    "q_topk_per_group",
+    "q_union_lineage",
+    "q_zorder_key",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

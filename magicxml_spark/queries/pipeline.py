@@ -1732,9 +1732,45 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sentence runs (partial-overlap kills), every 4th doc gets a unique
 # namespace (untouched), and lengths 1-5 exercise the <3-sentence
 # passthrough.
+def _c4_span_ctes(src: str) -> str:
+    """Sentence split + 3-sentence span dedup reading (doc_id, text)
+    from ``src``; ends in ``c4_rebuilt`` (doc_id, n_sentences, kept
+    sentence list). Shared by q_c4_span_dedup and the v5 composition."""
+    return f"""
+    c4_sents AS (
+      SELECT doc_id, list_filter(list_transform(string_split(
+        regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'), chr(30)),
+        s -> trim(s)), s -> s <> '') AS s
+      FROM {src}),
+    c4_spans0 AS (
+      SELECT doc_id, s, unnest(range(0, len(s) - 2)) AS start
+      FROM c4_sents WHERE len(s) >= 3),
+    c4_spans AS (
+      SELECT doc_id, start,
+             md5(s[start + 1] || chr(31) || s[start + 2] || chr(31)
+                 || s[start + 3]) AS h
+      FROM c4_spans0),
+    c4_ranked AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+      FROM c4_spans),
+    c4_kills AS (
+      SELECT doc_id, list(start) AS ks FROM c4_ranked
+      WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+    c4_rebuilt AS (
+      SELECT se.doc_id,
+             CAST(len(se.s) AS BIGINT) AS n_sentences,
+             CASE WHEN k.ks IS NULL THEN se.s
+                  ELSE list_filter(se.s, (x, i) -> NOT len(list_filter(
+                    k.ks, kk -> i - 1 >= kk AND i - 1 <= kk + 2)) > 0)
+             END AS kept
+      FROM c4_sents se LEFT JOIN c4_kills k USING (doc_id))"""
+
+
 @query(
     "q_c4_span_dedup",
-    oracle="""
+    oracle=f"""
     WITH synth AS (
       SELECT doc_id,
              array_to_string(list_transform(
@@ -1743,38 +1779,10 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ELSE (doc_id * 3) % 50 END) + j AS VARCHAR)
                  || ' alpha beta.'), ' ') AS text
       FROM documents),
-    sents AS (
-      SELECT doc_id, list_filter(list_transform(string_split(
-        regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'), chr(30)),
-        s -> trim(s)), s -> s <> '') AS s
-      FROM synth),
-    spans0 AS (
-      SELECT doc_id, s, unnest(range(0, len(s) - 2)) AS start
-      FROM sents WHERE len(s) >= 3),
-    spans AS (
-      SELECT doc_id, start,
-             md5(s[start + 1] || chr(31) || s[start + 2] || chr(31)
-                 || s[start + 3]) AS h
-      FROM spans0),
-    ranked AS (
-      SELECT doc_id, start,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
-             count(*) OVER (PARTITION BY h) AS c
-      FROM spans),
-    kill_lists AS (
-      SELECT doc_id, list(start) AS ks FROM ranked
-      WHERE c > 1 AND rn > 1 GROUP BY doc_id),
-    rebuilt AS (
-      SELECT se.doc_id,
-             CAST(len(se.s) AS BIGINT) AS n_sentences,
-             CASE WHEN k.ks IS NULL THEN se.s
-                  ELSE list_filter(se.s, (x, i) -> NOT len(list_filter(
-                    k.ks, kk -> i - 1 >= kk AND i - 1 <= kk + 2)) > 0)
-             END AS kept
-      FROM sents se LEFT JOIN kill_lists k USING (doc_id))
+    {_c4_span_ctes("synth")}
     SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
            md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_fp
-    FROM rebuilt
+    FROM c4_rebuilt
     """,
 )
 def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2654,9 +2662,10 @@ _JX_GOOD2 = (
 )
 
 
-def _justext_ctes() -> str:
-    """The jusText classification CTE chain (synth -> ... -> kept),
-    shared by q_justext_extract and the composed q_curation_v4."""
+def _justext_classify_ctes(src: str) -> str:
+    """The jusText classification CTE chain (split_p -> cls -> fin ->
+    kept) reading (doc_id, text) from ``src`` — shared by
+    q_justext_extract, q_curation_v4, and the v5 composition."""
     from magicxml_spark.operators.extraction import (
         JUSTEXT_STOPWORDS,
         LENGTH_HIGH,
@@ -2685,20 +2694,9 @@ def _justext_ctes() -> str:
         " 'bad')"
     )
     return f"""
-    WITH synth AS (
-      SELECT doc_id,
-             concat_ws(chr(10) || chr(10),
-               '{_JX_GOOD}',
-               CASE WHEN doc_id % 3 = 0 THEN 'quick stats overview' END,
-               '{_JX_GOOD2}',
-               CASE WHEN doc_id % 5 = 0
-                    THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
-               substr(text, 1, 150),
-               CASE WHEN doc_id % 4 = 0 THEN 'contact us' END) AS text
-      FROM documents),
     split_p AS (SELECT doc_id, text,
                        string_split(text, chr(10) || chr(10)) AS paras
-                FROM synth),
+                FROM {src}),
     cls AS (SELECT doc_id, text, paras,
                    list_transform(paras, p -> {cls}) AS c0
             FROM split_p),
@@ -2718,6 +2716,23 @@ def _justext_ctes() -> str:
                                                          THEN paras[i] END),
                                 x -> x IS NOT NULL) AS keep_p
              FROM fin)"""
+
+
+def _justext_ctes() -> str:
+    """Full chain over the jusText synth corpus (synth -> ... -> kept)."""
+    return f"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+               '{_JX_GOOD}',
+               CASE WHEN doc_id % 3 = 0 THEN 'quick stats overview' END,
+               '{_JX_GOOD2}',
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
+               substr(text, 1, 150),
+               CASE WHEN doc_id % 4 = 0 THEN 'contact us' END) AS text
+      FROM documents),
+    {_justext_classify_ctes("synth")}"""
 
 
 def _justext_oracle() -> str:
@@ -2782,43 +2797,52 @@ def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extraction feeding DSIR-style selection). Both engines run the
 # identical composition; zero-gram documents survive into the keyed
 # pool with weight 0 (only their Gumbel key ranks them).
+def _dsir_select_ctes(src: str) -> str:
+    """The DSIR importance-weight + Gumbel-key chain (target = even
+    doc_ids, hash_chars=3, alpha=0.5) reading (doc_id, text) from
+    ``src``; ends in ``dsir_keyed`` (doc_id, n_grams, lw, sel).
+    Shared by q_curation_v4 and the v5 composition."""
+    return f"""
+    dsw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM {src}),
+    dsg AS (SELECT doc_id, doc_id % 2 = 0 AS is_t,
+                  unnest(w || list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS gram
+           FROM dsw WHERE len(w) > 0),
+    dsb AS (SELECT doc_id, is_t, substr(md5(gram), 1, 3) AS bucket FROM dsg),
+    dscnt AS (SELECT bucket, count(*) AS cr,
+                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+             FROM dsb GROUP BY bucket),
+    dstot AS (SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM dscnt),
+    dsratio AS (SELECT bucket,
+                      CAST(round((ln((ct + 0.5) / (n_tgt + 2048.0))
+                                - ln((cr + 0.5) / (n_raw + 2048.0))) * 1e6,
+                                 0) AS BIGINT) AS m
+               FROM dscnt, dstot),
+    dssc AS (SELECT doc_id, count(*) AS n_grams, sum(m) AS lw
+            FROM dsb JOIN dsratio USING (bucket) GROUP BY doc_id),
+    dsfilled AS (SELECT d.doc_id,
+                       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                       CAST(coalesce(lw, 0) AS BIGINT) AS lw
+                FROM (SELECT doc_id FROM {src}) d LEFT JOIN dssc USING (doc_id)),
+    dsir_keyed AS (SELECT doc_id, n_grams, lw,
+                      lw + CAST(round(-ln(-ln(
+                            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) + 0.5) / 4294967296.0)) * 1e6, 0)
+                                AS BIGINT) AS sel
+               FROM dsfilled)"""
+
+
 def _curation_v4_oracle() -> str:
     return f"""
     {_justext_ctes()},
     main AS (SELECT doc_id,
                     array_to_string(keep_p, chr(10) || chr(10)) AS text
              FROM kept),
-    w2 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM main),
-    g2 AS (SELECT doc_id, doc_id % 2 = 0 AS is_t,
-                  unnest(w || list_transform(range(1, len(w)),
-                                             i -> w[i] || ' ' || w[i + 1])) AS gram
-           FROM w2 WHERE len(w) > 0),
-    b2 AS (SELECT doc_id, is_t, substr(md5(gram), 1, 3) AS bucket FROM g2),
-    cnt2 AS (SELECT bucket, count(*) AS cr,
-                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
-             FROM b2 GROUP BY bucket),
-    tot2 AS (SELECT sum(cr) AS n_raw, sum(ct) AS n_tgt FROM cnt2),
-    ratio2 AS (SELECT bucket,
-                      CAST(round((ln((ct + 0.5) / (n_tgt + 2048.0))
-                                - ln((cr + 0.5) / (n_raw + 2048.0))) * 1e6,
-                                 0) AS BIGINT) AS m
-               FROM cnt2, tot2),
-    sc2 AS (SELECT doc_id, count(*) AS n_grams, sum(m) AS lw
-            FROM b2 JOIN ratio2 USING (bucket) GROUP BY doc_id),
-    filled2 AS (SELECT d.doc_id,
-                       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-                       CAST(coalesce(lw, 0) AS BIGINT) AS lw
-                FROM (SELECT doc_id FROM main) d LEFT JOIN sc2 USING (doc_id)),
-    keyed2 AS (SELECT doc_id, n_grams, lw,
-                      lw + CAST(round(-ln(-ln(
-                            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                                  AS BIGINT) + 0.5) / 4294967296.0)) * 1e6, 0)
-                                AS BIGINT) AS sel
-               FROM filled2)
+    {_dsir_select_ctes("main")}
     SELECT doc_id, n_grams,
            round(lw / 1e6, 6) AS log_w,
            round(sel / 1e6, 6) AS sel_key
-    FROM keyed2 ORDER BY sel DESC, doc_id LIMIT 100
+    FROM dsir_keyed ORDER BY sel DESC, doc_id LIMIT 100
     """
 
 
@@ -3033,3 +3057,231 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return lang_id(docs)
+
+
+# --- Composed curation v5: the full FineWeb-shape pipeline --------------------
+# Every published stage, ONE lazy plan (VERDICT r9 #5): langid gate
+# (COMPUTED from text — the documents.lang column is never read) ->
+# jusText boilerplate removal -> Gopher quality gate -> C4
+# three-sentence-span dedup -> DSIR importance selection ->
+# token-exact sequence packing. Both engines synthesize the identical
+# corpus from pure integer/string arithmetic: per-doc UNIQUE
+# 3-sentence English paragraphs (survive every stage and carry the
+# DSIR signal), a SHARED boilerplate paragraph (its 3-sentence span
+# repeats corpus-wide -> span-dedup keeps one doc's copy), a Gopher
+# repetition bomb on doc%9 (stopword-dense so jusText keeps it; its
+# repeated n-grams trip the dup-5gram cap so Gopher kills the doc),
+# jusText kill material (copyright lines, keyword soup), and full
+# German / Russian documents on doc%10 residues that the COMPUTED
+# langid gate removes before any English-list heuristic runs.
+_V5_BOILER = (
+    "You should know that this is the part of the page that is the "
+    "same on all of the pages. It is here so that we can see that "
+    "the spans that repeat in the data are found and removed. We "
+    "keep only the first of them and the rest of them are gone from "
+    "the set."
+)
+_V5_DE = (
+    "Der Hund und die Katze sind nicht mit dem Mann im Haus und sie "
+    "werden auch nicht mit einem anderen Mann aus dem Dorf gehen."
+)
+_V5_RU = (
+    "Наименование товара и цена не указаны на складе и это остаток "
+    "который мы не можем продать в этом году."
+)
+
+
+def _curation_v5_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="jxmain")
+    uid = "'d' || CAST(doc_id AS VARCHAR)"
+    s1 = (
+        "'It is true that the ' || coalesce(w[1], 'row') || "
+        "' and the ' || coalesce(w[2], 'key') || ' of ' || "
+        f"{uid} || ' are in the set for us to see. '"
+    )
+    s2 = f"""CASE WHEN doc_id % 9 = 0
+               THEN repeat('we do it and ', 12)
+                    || 'so we know it is all done now in ' || {uid} || '.'
+               ELSE 'We can be sure that they are as they should be '
+                    || 'and we know it in ' || {uid} || '.' END"""
+    s3 = (
+        f"' The story of ' || {uid} || "
+        "' is clear to all of us and it is a good one to read.'"
+    )
+    tok_n = (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+    WITH v5w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    synthv5 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN '{_V5_DE}'
+                  WHEN doc_id % 10 = 3 THEN '{_V5_RU}'
+                  ELSE concat_ws(chr(10) || chr(10),
+                    '{_JX_GOOD}.',
+                    CASE WHEN doc_id % 3 = 0 THEN 'quick stats overview' END,
+                    {s1} || {s2} || {s3},
+                    CASE WHEN doc_id % 5 = 0
+                         THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
+                    '{_V5_BOILER}',
+                    substr(text, 1, 150)) END AS text
+      FROM v5w),
+    {langid_duckdb_ctes("synthv5")},
+    endocs AS MATERIALIZED (SELECT s.doc_id, s.text
+               FROM synthv5 s JOIN lid l USING (doc_id)
+               WHERE l.lang = 'en'),
+    {_justext_classify_ctes("endocs")},
+    jxmain AS MATERIALIZED (SELECT doc_id,
+                      array_to_string(keep_p, chr(10) || chr(10)) AS text
+               FROM kept),
+    {gopher_ctes},
+    gq_gate AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
+                WHERE {gopher_keep}),
+    gated AS MATERIALIZED (SELECT j.doc_id, j.text FROM jxmain j JOIN gq_gate USING (doc_id)),
+    {_c4_span_ctes("gated")},
+    cleaned AS MATERIALIZED (SELECT doc_id, array_to_string(kept, ' ') AS text
+                FROM c4_rebuilt),
+    {_dsir_select_ctes("cleaned")},
+    sel AS MATERIALIZED (SELECT doc_id, n_grams, lw, sel FROM dsir_keyed
+            ORDER BY sel DESC, doc_id LIMIT 100),
+    pw AS (SELECT s.doc_id, s.n_grams, s.lw, s.sel,
+                  CAST({tok_n} AS BIGINT) AS n
+           FROM sel s JOIN cleaned c USING (doc_id)),
+    pnz AS (SELECT * FROM pw WHERE n > 0),
+    ppre AS (SELECT doc_id, n_grams, lw, sel, n,
+                    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS p
+             FROM pnz),
+    pseg AS (SELECT doc_id, n_grams, lw, sel, n, p,
+                    unnest(range(p // 128, (p + n - 1) // 128 + 1)) AS seq_id
+             FROM ppre)
+    SELECT doc_id, n_grams,
+           round(lw / 1e6, 6) AS log_w,
+           round(sel / 1e6, 6) AS sel_key,
+           n AS n_tokens, seq_id,
+           greatest(seq_id * 128 - p, 0) AS doc_from,
+           least(n, (seq_id + 1) * 128 - p)
+             - greatest(seq_id * 128 - p, 0) AS seg_len,
+           greatest(p - seq_id * 128, 0) AS seq_off
+    FROM pseg
+    """
+
+
+@query("q_curation_v5", oracle=_curation_v5_oracle())
+def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import c4_span_dedup, gopher_quality
+    from magicxml_spark.operators.dsir import dsir_select
+    from magicxml_spark.operators.extraction import justext_boilerplate
+    from magicxml_spark.operators.langid import with_lang
+    from magicxml_spark.operators.sampling import pack_sequences
+    from magicxml_spark.operators.text import tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", tokens(F.col("text")).alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = F.col("doc_id")
+    uid = F.concat(F.lit("d"), d.cast("string"))
+    s1 = F.concat(
+        F.lit("It is true that the "),
+        F.coalesce(F.element_at("w", 1), F.lit("row")),
+        F.lit(" and the "),
+        F.coalesce(F.element_at("w", 2), F.lit("key")),
+        F.lit(" of "),
+        uid,
+        F.lit(" are in the set for us to see. "),
+    )
+    s2 = F.when(
+        d % 9 == 0,
+        F.concat(
+            F.repeat(F.lit("we do it and "), 12),
+            F.lit("so we know it is all done now in "),
+            uid,
+            F.lit("."),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("We can be sure that they are as they should be "),
+            F.lit("and we know it in "),
+            uid,
+            F.lit("."),
+        )
+    )
+    s3 = F.concat(
+        F.lit(" The story of "),
+        uid,
+        F.lit(" is clear to all of us and it is a good one to read."),
+    )
+    eng = F.concat_ws(
+        "\n\n",
+        F.lit(_JX_GOOD + "."),
+        F.when(d % 3 == 0, "quick stats overview"),
+        F.concat(s1, s2, s3),
+        F.when(d % 5 == 0, "Copyright 2024 Example Corp. All rights reserved."),
+        F.lit(_V5_BOILER),
+        F.substring("text", 1, 150),
+    )
+    synth = docs.select(
+        "doc_id",
+        F.when(d % 10 == 7, _V5_DE)
+        .when(d % 10 == 3, _V5_RU)
+        .otherwise(eng)
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    # Stage boundaries MATERIALIZE (localCheckpoint, not persist — the
+    # CacheManager bench trap). Without this the composition is one
+    # collapsed expression tree: gopher references the extracted text
+    # ~15 times, each reference re-evaluating langid+jusText per row
+    # (the reference-count cost model), and the codegen unit balloons
+    # to a 10 MiB task binary — measured 152 s -> seconds at sf0.001.
+    # The checkpointed frames are the compact (id, text) stage outputs
+    # — exactly what a production pipeline persists between stages.
+    # stage 0: langid COMPUTED from text (shuffle-free column append),
+    # gate like C4 §2.2 gates on en
+    en = (
+        with_lang(synth)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    # stage 1: boilerplate removal
+    main = (
+        justext_boilerplate(en)
+        .select("doc_id", F.col("text_main").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    # stage 2: Gopher quality gate (id-keyed semi join, the v3 shape)
+    gate = gopher_quality(main).filter(F.col("keep")).select("doc_id")
+    gated = main.join(gate, "doc_id")
+    # stage 3: corpus-wide 3-sentence-span dedup
+    clean = c4_span_dedup(gated).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    # the cleaned corpus feeds THREE consumers (DSIR grams, DSIR id
+    # frame, pack token counts)
+    clean = clean.localCheckpoint(eager=True)
+    # stage 4: DSIR importance selection toward the even-id target
+    sel = dsir_select(clean, "doc_id", "text", d % 2 == 0, k=100)
+    # stage 5: token-exact 128-token sequence packing of the selection
+    counts = clean.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sel.join(counts, "doc_id"), "doc_id", "n_tokens", seq_len=128
+    )
+    return packed.select(
+        "doc_id",
+        "n_grams",
+        "log_w",
+        "sel_key",
+        "n_tokens",
+        "seq_id",
+        "doc_from",
+        "seg_len",
+        "seq_off",
+    )

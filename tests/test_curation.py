@@ -1384,3 +1384,20 @@ def test_kn_rejects_empty_train_and_jm_only_knobs(spark, tmp_path):
 
     out = score_with_lm_snapshot(some, str(tmp_path / "kn1")).collect()
     assert len(out) == 1
+
+
+def test_gopher_quality_survives_zero_token_documents(spark):
+    # ANSI regression (found by the v5 composition): a zero-token
+    # document must score 0.0 metrics and keep=False, not raise
+    # DIVIDE_BY_ZERO from the by-word-count fractions
+    from magicxml_spark.operators.curation import gopher_quality
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "the data and the set " * 20)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["n_words"] == 0 and rows[i]["mean_word_len"] == 0.0
+        assert not rows[i]["keep"]
+    assert rows[4]["n_words"] == 100
