@@ -118,6 +118,7 @@ def main() -> None:
         "curation_r10": [
             "q_lang_id",
             "q_curation_v5",
+            "q_bpe_train",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

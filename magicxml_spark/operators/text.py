@@ -635,3 +635,116 @@ def bpe_apply_pandas(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_merges: int = 100,
+    min_count: int = 2,
+    checkpoint_every: int = 16,
+    with_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
+    """Train a BPE merge table (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units", §3.2) — the
+    trainer side of :func:`bpe_apply`, closing the tokenizer
+    lifecycle the way the frozen snapshots closed the LM lifecycle.
+
+    Algorithm, re-expressed Spark-first:
+
+    * ONE corpus pass builds the distinct-WORD frequency table (the
+      classic trainer optimization — fastBPE / HF trainers do the
+      same): every later iteration touches only this vocab frame,
+      never the corpus, so training cost is O(corpus) + merges x
+      O(vocab) regardless of corpus size.
+    * per iteration: adjacent symbol pairs explode from each vocab
+      word weighted by word frequency, ONE groupBy(pair) sum, and the
+      argmax arrives by orderBy + limit(1) (a distributed TakeOrdered
+      with a 1-row collect — the model lives on the driver by
+      definition, one merge per iteration).
+    * the chosen pair rewrites the vocab with a single literal
+      sentinel-anchored replace (the :func:`bpe_apply` correctness
+      trick: begin/end sentinels around every symbol make a plain
+      non-overlapping replace exact whole-symbol BPE).
+    * vocab re-checkpoints every ``checkpoint_every`` merges so plan
+      lineage stays bounded over hundreds of iterations.
+
+    Tie-break (deterministic, matched by the plain-Python reference
+    twin in tests): highest total count first, then lexicographically
+    smallest ``part_a + "\\x01" + part_b`` key (binary collation in
+    both engines). Training stops early when the best pair's count
+    drops below ``min_count`` (count-1 merges generalize to nothing).
+
+    Returns the RANKED merge list — feed it straight to
+    :func:`bpe_apply` / :func:`bpe_apply_pandas` (``with_counts``
+    appends each merge's winning pair count, the oracle-checkable
+    training trace). Word symbols are
+    single characters initially, so any corpus free of the \\x01-\\x03
+    control bytes trains cleanly (whitespace tokens never contain
+    them).
+    """
+    if max_merges <= 0:
+        raise ValueError(f"max_merges must be positive: {max_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    sc = df.sparkSession.sparkContext
+    words = tokens(F.col("_t"))
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("_w"))),
+            lambda i: F.concat(
+                F.lit("\x02"), F.substring(F.col("_w"), i, 1), F.lit("\x03")
+            ),
+        ),
+        "",
+    )
+    # the single corpus pass: word frequencies, then sentinel-wrapped
+    # symbol strings (repartitioned pre-explode per the LM-family
+    # scan-parallelism rule; the explode fans out corpus tokens)
+    vocab = (
+        df.select(F.col(text_col).alias("_t"))
+        .repartition(sc.defaultParallelism)
+        .select(F.explode(words).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .filter(F.length("_w") > 0)
+        .select(wrapped.alias("_s"), "_freq")
+        .localCheckpoint(eager=True)
+    )
+    arr = F.split(
+        F.expr("substring(_s, 2, length(_s) - 2)"), "\x03\x02"
+    )
+    pair_keys = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit("\x01"), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(max_merges):
+        best = (
+            vocab.select(F.explode(pair_keys).alias("_p"), "_freq")
+            .groupBy("_p")
+            .agg(F.sum("_freq").alias("_c"))
+            .orderBy(F.desc("_c"), "_p")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["_c"] < min_count:
+            break
+        a, b = best[0]["_p"].split("\x01", 1)
+        merges.append((a, b, int(best[0]["_c"])) if with_counts else (a, b))
+        vocab = vocab.withColumn(
+            "_s",
+            F.replace(
+                F.col("_s"),
+                F.lit(f"\x02{a}\x03\x02{b}\x03"),
+                F.lit(f"\x02{a}{b}\x03"),
+            ),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges

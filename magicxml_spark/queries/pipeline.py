@@ -3285,3 +3285,66 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_len",
         "seq_off",
     )
+
+
+# --- BPE trainer (Sennrich et al. 2016 §3.2) ----------------------------------
+# The tokenizer-lifecycle trainer: q_bpe_train runs 8 merge
+# iterations over the documents vocabulary; the oracle UNROLLS the
+# same 8 iterations as CTE steps (vocab -> pairs -> argmax -> rewrite,
+# the VERDICT r9 #6 prescription), so merge choice, tie-break
+# ('a\x01b' lexicographic on equal counts), min_count gating, and the
+# winning counts are all value-checked.
+_BPE_TRAIN_STEPS = 8
+
+
+def _bpe_train_oracle(n_steps: int = _BPE_TRAIN_STEPS) -> str:
+    wrap = (
+        "array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> chr(2) || substring(w, i, 1) || chr(3)), '')"
+    )
+    ctes = [
+        f"""v0 AS (
+      SELECT {wrap} AS s, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+      GROUP BY w)"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(
+            f"""p{k} AS (SELECT unnest(list_transform(range(1, len(a)),
+                   i -> a[i] || chr(1) || a[i+1])) AS pr, freq
+           FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+                                     chr(3) || chr(2)) AS a, freq
+                 FROM v{k - 1}))"""
+        )
+        ctes.append(
+            f"""b{k} AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM p{k}
+           GROUP BY pr HAVING sum(freq) >= 2 ORDER BY c DESC, pr LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{k} AS (SELECT replace(s,
+              chr(2) || string_split(pr, chr(1))[1] || chr(3) ||
+              chr(2) || string_split(pr, chr(1))[2] || chr(3),
+              chr(2) || replace(pr, chr(1), '') || chr(3)) AS s, freq
+           FROM v{k - 1}, b{k})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS rank, string_split(pr, chr(1))[1] AS part_a,
+               string_split(pr, chr(1))[2] AS part_b, c AS pair_count
+        FROM b{k}"""
+        for k in range(1, n_steps + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + finals
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import bpe_train
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(
+        docs, max_merges=_BPE_TRAIN_STEPS, with_counts=True
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, part_a string, part_b string, pair_count long",
+    )
