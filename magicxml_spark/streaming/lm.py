@@ -137,3 +137,42 @@ def run_stream_dsir_score(
         max_files_per_trigger=max_files_per_trigger,
         path_glob=path_glob,
     )
+
+
+def run_stream_chunk(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    doc_filter=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.extraction.chunk_documents`
+    (VERDICT r9 #9): chunking is a pure per-document map — no model,
+    no state, no cross-batch artifact at all — so the shared stateless
+    foreachBatch body applies it per micro-batch with the
+    overwrite-by-batch-id exactly-once sink. Completes the chunk/pack
+    lifecycle symmetry (stream == batch pinned in tests; intentionally
+    NOT a registered query — the batch operator already carries the
+    oracle).
+
+    Returns (doc_id, chunk_id, start_tok, n_tokens, chunk_text) read
+    back from ``out_dir``."""
+    from magicxml_spark.operators.extraction import chunk_documents
+
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        lambda batch: chunk_documents(
+            batch, chunk_tokens=chunk_tokens, overlap=overlap
+        ),
+        out_dir,
+        "chunk",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )
