@@ -119,6 +119,7 @@ def main() -> None:
             "q_lang_id",
             "q_curation_v5",
             "q_bpe_train",
+            "q_justext_multilang",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

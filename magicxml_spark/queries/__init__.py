@@ -100,6 +100,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_lang_id",
     "q_curation_v5",
     "q_bpe_train",
+    "q_justext_multilang",
     # --- r8-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_surprisal",
     "q_bigram_surprisal",

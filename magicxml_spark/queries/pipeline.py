@@ -2662,10 +2662,17 @@ _JX_GOOD2 = (
 )
 
 
-def _justext_classify_ctes(src: str) -> str:
+def _justext_classify_ctes(
+    src: str, member_sql: str | None = None, extra_cols: str = ""
+) -> str:
     """The jusText classification CTE chain (split_p -> cls -> fin ->
     kept) reading (doc_id, text) from ``src`` — shared by
-    q_justext_extract, q_curation_v4, and the v5 composition."""
+    q_justext_extract, q_curation_v4, and the v5/multilang
+    compositions. ``member_sql`` overrides the stopword membership
+    test (a boolean over lambda var ``x``, may reference outer
+    columns, e.g. a per-language CASE on ``lang``); ``extra_cols``
+    (e.g. ``", lang"``) rides columns the member test needs through
+    split_p/cls."""
     from magicxml_spark.operators.extraction import (
         JUSTEXT_STOPWORDS,
         LENGTH_HIGH,
@@ -2674,10 +2681,12 @@ def _justext_classify_ctes(src: str) -> str:
         STOPWORDS_LOW,
     )
 
-    stops = ", ".join(f"'{s}'" for s in JUSTEXT_STOPWORDS)
+    if member_sql is None:
+        stops = ", ".join(f"'{s}'" for s in JUSTEXT_STOPWORDS)
+        member_sql = f"x IN ({stops})"
     words = "list_filter(string_split_regex(lower(p), '\\s+'), x -> x <> '')"
     dens = (
-        f"CAST(len(list_filter({words}, x -> x IN ({stops}))) AS DOUBLE)"
+        f"CAST(len(list_filter({words}, x -> {member_sql})) AS DOUBLE)"
         f" / len({words})"
     )
     cls = f"""CASE
@@ -2694,7 +2703,7 @@ def _justext_classify_ctes(src: str) -> str:
         " 'bad')"
     )
     return f"""
-    split_p AS (SELECT doc_id, text,
+    split_p AS (SELECT doc_id, text{extra_cols},
                        string_split(text, chr(10) || chr(10)) AS paras
                 FROM {src}),
     cls AS (SELECT doc_id, text, paras,
@@ -3347,4 +3356,105 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, part_a string, part_b string, pair_count long",
+    )
+
+
+# --- Multilingual jusText: computed langid drives the stopword list -----------
+# The langid -> per-language-extraction stage as an oracle-gated query
+# (VERDICT r9 #7 upgraded beyond the pytest pin): each doc carries a
+# GOOD paragraph in its residue-class language plus English keyword
+# soup; the language is COMPUTED (with_lang), and jusText classifies
+# with THAT language's function-word list — under the wrong list the
+# good paragraph's density is ~0 and nothing survives, so the output
+# value-checks the whole per-language mechanism.
+_JXML_PARAS = {
+    "en": _JX_GOOD,
+    "de": (
+        "der mann und die frau sind mit dem hund in dem haus und sie "
+        "werden auch mit einem kind aus dem dorf zu der alten schule "
+        "gehen wenn es nur noch schon kann und das ist auch schon "
+        "alles was wir von der sache wissen und es ist nicht mehr und "
+        "nicht weniger als das"
+    ),
+    "fr": (
+        "le chat et le chien sont dans la maison avec les enfants et "
+        "ils ne vont pas au marche avec une autre femme du village "
+        "pour voir ce que les gens font sur la place et il est vrai "
+        "que tout cela ne change pas grand chose pour nous ce jour"
+    ),
+    "ru": (
+        "и вот он сказал что это не так и что мы не можем знать как "
+        "это было на самом деле но если у нас есть время то мы будем "
+        "думать о том что было и о том что будет и это всё что можно "
+        "сказать о нашем деле в этом году"
+    ),
+}
+
+
+def _justext_multilang_oracle() -> str:
+    from magicxml_spark.operators.extraction import JUSTEXT_STOPWORDS_BY_LANG
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    member = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN x IN ({', '.join(chr(39) + w + chr(39) for w in words)})"
+        for lang, words in sorted(JUSTEXT_STOPWORDS_BY_LANG.items())
+    ) + " ELSE false END"
+    para_case = " ".join(
+        f"WHEN {i} THEN '{_JXML_PARAS[lang]}'"
+        for i, lang in enumerate(["en", "de", "fr", "ru"])
+    )
+    return f"""
+    WITH synthml AS MATERIALIZED (
+      SELECT doc_id,
+             (CASE CAST(doc_id % 4 AS INT) {para_case} END)
+               || chr(10) || chr(10) || substr(text, 1, 120) AS text
+      FROM documents),
+    {langid_duckdb_ctes("synthml")},
+    langed AS MATERIALIZED (
+      SELECT s.doc_id, s.text, l.lang
+      FROM synthml s JOIN lid l USING (doc_id)),
+    {_justext_classify_ctes("langed", member_sql=member, extra_cols=", lang")}
+    SELECT k.doc_id, l.lang,
+           CAST(len(k.paras) AS BIGINT) AS n_paras,
+           CAST(len(k.keep_p) AS BIGINT) AS n_good,
+           md5(array_to_string(k.keep_p, chr(10) || chr(10))) AS main_fp
+    FROM kept k JOIN langed l USING (doc_id)
+    """
+
+
+@query("q_justext_multilang", oracle=_justext_multilang_oracle())
+def q_justext_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.extraction import justext_boilerplate
+    from magicxml_spark.operators.langid import with_lang
+
+    d = F.col("doc_id")
+    para = None
+    for i, lang in enumerate(["en", "de", "fr", "ru"]):
+        cond = (d % 4).cast("int") == i
+        para = (
+            F.when(cond, _JXML_PARAS[lang])
+            if para is None
+            else para.when(cond, _JXML_PARAS[lang])
+        )
+    synth = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(para, F.lit("\n\n"), F.substring("text", 1, 120)).alias(
+                "text"
+            ),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    langed = with_lang(synth).select("doc_id", "text", "lang").localCheckpoint(
+        eager=True
+    )
+    out = justext_boilerplate(langed, lang_col="lang")
+    return out.join(langed.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.md5("text_main").alias("main_fp"),
     )
