@@ -176,3 +176,34 @@ def run_stream_chunk(
         max_files_per_trigger=max_files_per_trigger,
         path_glob=path_glob,
     )
+
+
+def run_stream_lang_id(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    doc_filter=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.langid.lang_id` — langid is
+    the stage-0 gate of a crawl-ingest stream, and like chunking it is
+    a pure per-document map (embedded profile tables, no model files,
+    no state). Stream == batch pinned in tests; not a registered query
+    (the batch operator carries the oracle). Returns
+    (doc_id, script, lang, hits, n_letters) read back from
+    ``out_dir``."""
+    from magicxml_spark.operators.langid import lang_id
+
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        lambda batch: lang_id(batch),
+        out_dir,
+        "lang_id",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )
