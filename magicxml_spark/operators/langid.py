@@ -130,6 +130,19 @@ def with_lang(
     ``{out_col}_n_letters``. The shuffle-free composition form — a
     pipeline gates on the computed language with a plain filter, no
     join back to a scored side table."""
+    clash = {
+        out_col,
+        f"{out_col}_script",
+        f"{out_col}_hits",
+        f"{out_col}_n_letters",
+    } & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_lang output columns collide with input columns "
+            f"{sorted(clash)} — rename or drop them first (the documents "
+            f"table's stored `lang` label is the usual collision; this "
+            f"operator exists to REPLACE it)"
+        )
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(
         F.split(F.lower(t), _TOKEN_SPLIT), lambda x: x != F.lit("")

@@ -99,3 +99,15 @@ def test_stream_lang_id_equals_batch(spark, tmp_path):
     )
     got = {r["doc_id"]: tuple(r)[1:] for r in streamed.collect()}
     assert got == batch and len(got) > 0
+
+
+def test_with_lang_rejects_colliding_columns(spark):
+    import pytest
+    from magicxml_spark.operators.langid import with_lang
+    from magicxml_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="collide"):
+        with_lang(docs)  # documents carries a stored `lang` label
+    out = with_lang(docs.drop("lang"))
+    assert "lang" in out.columns and "doc_id" in out.columns
