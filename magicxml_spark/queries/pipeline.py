@@ -3180,13 +3180,10 @@ def _curation_v5_oracle() -> str:
     """
 
 
-@query("q_curation_v5", oracle=_curation_v5_oracle())
-def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from magicxml_spark.operators.curation import c4_span_dedup, gopher_quality
-    from magicxml_spark.operators.dsir import dsir_select
-    from magicxml_spark.operators.extraction import justext_boilerplate
-    from magicxml_spark.operators.langid import with_lang
-    from magicxml_spark.operators.sampling import pack_sequences
+def _v5_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v5 synthesis corpus — factored so the stage-effect pins in
+    tests/test_pipeline_v5.py exercise the EXACT frame the registered
+    query runs (a drifted copy would make the pins vacuous)."""
     from magicxml_spark.operators.text import tokens
 
     docs = (
@@ -3235,13 +3232,26 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_V5_BOILER),
         F.substring("text", 1, 150),
     )
-    synth = docs.select(
+    return docs.select(
         "doc_id",
         F.when(d % 10 == 7, _V5_DE)
         .when(d % 10 == 3, _V5_RU)
         .otherwise(eng)
         .alias("text"),
-    ).localCheckpoint(eager=True)
+    )
+
+
+@query("q_curation_v5", oracle=_curation_v5_oracle())
+def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import c4_span_dedup, gopher_quality
+    from magicxml_spark.operators.dsir import dsir_select
+    from magicxml_spark.operators.extraction import justext_boilerplate
+    from magicxml_spark.operators.langid import with_lang
+    from magicxml_spark.operators.sampling import pack_sequences
+    from magicxml_spark.operators.text import tokens
+
+    d = F.col("doc_id")
+    synth = _v5_synth_spark(spark, sf_dir).localCheckpoint(eager=True)
     # Stage boundaries MATERIALIZE (localCheckpoint, not persist — the
     # CacheManager bench trap). Without this the composition is one
     # collapsed expression tree: gopher references the extracted text
