@@ -120,6 +120,7 @@ def main() -> None:
             "q_curation_v5",
             "q_bpe_train",
             "q_justext_multilang",
+            "q_fineweb_quality",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -1841,3 +1841,114 @@ def badwords_filter(
         n_hits.cast("long").alias("n_hits"),
         (n_hits == 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FineWeb custom quality filters (Penedo et al. 2024, arXiv:2406.17557 §3.6)
+# ---------------------------------------------------------------------------
+
+#: Threshold defaults follow the datatrove FineWebQualityFilter that
+#: accompanies the paper (line_punct_thr / short_line_thr+length /
+#: char_duplicates_ratio / new_line_ratio); every deployment retunes
+#: them, so they are parameters here. Boundary directions are
+#: documented on :func:`fineweb_quality` and shared with the oracle.
+FINEWEB_LINE_PUNCT_THR = 0.12
+FINEWEB_SHORT_LINE_THR = 0.67
+FINEWEB_SHORT_LINE_LENGTH = 30
+FINEWEB_CHAR_DUP_THR = 0.01
+FINEWEB_NEW_LINE_THR = 0.3
+#: Line-terminal punctuation (the C4/datatrove stop-char set).
+FINEWEB_STOP_CHARS = (".", "'", '"', "!", "?")
+
+
+def fineweb_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_punct_thr: float = FINEWEB_LINE_PUNCT_THR,
+    short_line_thr: float = FINEWEB_SHORT_LINE_THR,
+    short_line_length: int = FINEWEB_SHORT_LINE_LENGTH,
+    char_dup_thr: float = FINEWEB_CHAR_DUP_THR,
+    new_line_thr: float = FINEWEB_NEW_LINE_THR,
+) -> DataFrame:
+    """The FineWeb paper's three custom line filters plus its
+    new-line-ratio rule — the quality pass FineWeb adds ON TOP of the
+    Gopher/C4 batteries this repo already implements:
+
+    * ``end_punct_frac`` — fraction of (trim-nonempty) lines ending in
+      a stop char; keep requires ``> line_punct_thr`` (a page whose
+      lines rarely end in punctuation is nav/boilerplate).
+    * ``short_line_frac`` — fraction of lines of at most
+      ``short_line_length`` chars; keep requires ``< short_line_thr``
+      (link farms are walls of short lines).
+    * ``dup_line_char_frac`` — character mass of duplicate line
+      occurrences over line char mass (the Gopher element-mass
+      spelling, documented there); keep requires ``< char_dup_thr``.
+    * ``new_line_ratio`` — newline count over word count; keep
+      requires ``< new_line_thr`` (list-like pages).
+
+    Output: (id, n_lines, end_punct_frac, short_line_frac,
+    dup_line_char_frac, new_line_ratio, keep), fractions rounded 6dp
+    (engine-exact). Documents with no nonempty lines fail the
+    punctuation rule (frac 0) and keep=false. Pure per-row array
+    arithmetic — zero shuffles, zero joins, zero UDFs (the
+    gopher_line_cols cost class).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines_all = F.split(t, "\n", -1)
+    s1 = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.transform(lines_all, lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ).alias("_ln"),
+        (F.size(lines_all) - 1).cast("long").alias("_n_nl"),
+        F.size(tokens(t)).cast("long").alias("_n_words"),
+    )
+    n_lines = F.size("_ln")
+    end_punct = F.size(
+        F.filter(
+            F.col("_ln"),
+            lambda l: F.substring(l, F.length(l), 1).isin(
+                list(FINEWEB_STOP_CHARS)
+            ),
+        )
+    )
+    short = F.size(
+        F.filter(F.col("_ln"), _short_line_pred(short_line_length))
+    )
+    _, dup_char = _dup_fracs(F.col("_ln"))
+    frac = lambda c: F.when(  # noqa: E731
+        n_lines > 0, F.round(c / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    nl_ratio = F.when(
+        F.col("_n_words") > 0, F.round(F.col("_n_nl") / F.col("_n_words"), 6)
+    ).otherwise(F.lit(0.0))
+    s2 = s1.select(
+        "_id",
+        n_lines.cast("long").alias("n_lines"),
+        frac(end_punct).alias("end_punct_frac"),
+        frac(short).alias("short_line_frac"),
+        dup_char.alias("dup_line_char_frac"),
+        nl_ratio.alias("new_line_ratio"),
+    )
+    keep = (
+        (F.col("end_punct_frac") > line_punct_thr)
+        & (F.col("short_line_frac") < short_line_thr)
+        & (F.col("dup_line_char_frac") < char_dup_thr)
+        & (F.col("new_line_ratio") < new_line_thr)
+    )
+    return s2.select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        "end_punct_frac",
+        "short_line_frac",
+        "dup_line_char_frac",
+        "new_line_ratio",
+        keep.alias("keep"),
+    )
+
+
+def _short_line_pred(short_line_length: int):
+    """Closure factory (the F.filter lambda-arity rule)."""
+    return lambda l: F.length(l) <= short_line_length

@@ -101,6 +101,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_curation_v5",
     "q_bpe_train",
     "q_justext_multilang",
+    "q_fineweb_quality",
     # --- r8-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_surprisal",
     "q_bigram_surprisal",

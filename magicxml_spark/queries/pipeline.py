@@ -3468,3 +3468,131 @@ def q_justext_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_good").cast("bigint").alias("n_good"),
         F.md5("text_main").alias("main_fp"),
     )
+
+
+# --- FineWeb custom quality filters (Penedo et al. 2024 §3.6) -----------------
+# The quality pass FineWeb adds on top of Gopher/C4. Both engines
+# synthesize the identical line-structured corpus from pure integer
+# arithmetic: 8-word '.'-terminated lines as the passing baseline,
+# doc%7 strips ALL terminal punctuation (end-punct kill), doc%11
+# leaves alternate lines bare (mid-range pass), doc%13 uses 2-word
+# lines (short-line kill), doc%17 injects a repeated literal line
+# every 3rd slot (duplicate-char kill), doc%19 joins lines with a
+# triple newline (new-line-ratio kill).
+_FW_DUP_LINE = "the same line shows up again and again here."
+
+
+def _fineweb_oracle() -> str:
+    from magicxml_spark.operators.curation import (
+        FINEWEB_CHAR_DUP_THR,
+        FINEWEB_LINE_PUNCT_THR,
+        FINEWEB_NEW_LINE_THR,
+        FINEWEB_SHORT_LINE_LENGTH,
+        FINEWEB_SHORT_LINE_THR,
+        FINEWEB_STOP_CHARS,
+    )
+
+    stop = ", ".join("'" + c.replace("'", "''") + "'" for c in FINEWEB_STOP_CHARS)
+    base = "array_to_string(w[(i-1)*wpl+1 : (i-1)*wpl+wpl], ' ')"
+    charsum = "coalesce(list_sum(list_transform({0}, x -> length(x))), 0)"
+    tot, firsts = charsum.format("ln"), charsum.format("list_distinct(ln)")
+    return f"""
+    WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    nz AS (SELECT doc_id, w,
+                  CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 8 END AS wpl
+           FROM w0 WHERE len(w) > 0),
+    synthfw AS (SELECT doc_id,
+      array_to_string(
+        list_transform(range(1, CAST(ceil(len(w) * 1.0 / wpl) AS BIGINT) + 1),
+          i -> CASE
+            WHEN doc_id % 17 = 0 AND (i - 1) % 3 = 2 THEN '{_FW_DUP_LINE}'
+            WHEN doc_id % 7 = 0 THEN {base}
+            WHEN doc_id % 11 = 0 AND (i - 1) % 2 = 1 THEN {base}
+            ELSE {base} || '.' END),
+        chr(10)) AS text0
+      FROM nz),
+    synthfw2 AS (SELECT doc_id,
+      CASE WHEN doc_id % 19 = 0
+           THEN replace(text0, chr(10), chr(10) || chr(10) || chr(10))
+           ELSE text0 END AS text
+      FROM synthfw),
+    met AS (SELECT doc_id,
+      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                  x -> x <> '') AS ln,
+      len(string_split(text, chr(10))) - 1 AS n_nl,
+      len({_WORDS_SQL}) AS n_words
+      FROM synthfw2),
+    fr AS (SELECT doc_id,
+      CAST(len(ln) AS BIGINT) AS n_lines,
+      CASE WHEN len(ln) = 0 THEN 0.0
+           ELSE round(len(list_filter(ln, l -> right(l, 1) IN ({stop})))
+                      * 1.0 / len(ln), 6) END AS end_punct_frac,
+      CASE WHEN len(ln) = 0 THEN 0.0
+           ELSE round(len(list_filter(ln,
+                        l -> length(l) <= {FINEWEB_SHORT_LINE_LENGTH}))
+                      * 1.0 / len(ln), 6) END AS short_line_frac,
+      CASE WHEN {tot} = 0 THEN 0.0
+           ELSE round(({tot} - {firsts}) * 1.0 / {tot}, 6)
+      END AS dup_line_char_frac,
+      CASE WHEN n_words > 0 THEN round(n_nl * 1.0 / n_words, 6)
+           ELSE 0.0 END AS new_line_ratio
+      FROM met)
+    SELECT doc_id, n_lines, end_punct_frac, short_line_frac,
+           dup_line_char_frac, new_line_ratio,
+           CAST(CASE WHEN end_punct_frac > {FINEWEB_LINE_PUNCT_THR}
+                      AND short_line_frac < {FINEWEB_SHORT_LINE_THR}
+                      AND dup_line_char_frac < {FINEWEB_CHAR_DUP_THR}
+                      AND new_line_ratio < {FINEWEB_NEW_LINE_THR}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM fr
+    """
+
+
+def _fineweb_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.text import tokens
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = F.col("doc_id")
+    wpl = F.when(d % 13 == 0, F.lit(2)).otherwise(F.lit(8))
+
+    def mk_line(i):
+        li = i - 1
+        base = F.array_join(F.slice("w", (i - 1) * wpl + 1, wpl), " ")
+        return (
+            F.when((d % 17 == 0) & (li % 3 == 2), F.lit(_FW_DUP_LINE))
+            .when(d % 7 == 0, base)
+            .when((d % 11 == 0) & (li % 2 == 1), base)
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    n_lines = F.ceil(F.size("w") / wpl.cast("double")).cast("int")
+    joined = F.array_join(F.transform(F.sequence(F.lit(1), n_lines), mk_line), "\n")
+    # array_join's delimiter must be a literal; lines never contain a
+    # newline, so the doc%19 triple-newline join is a post-replace
+    return docs.select(
+        "doc_id",
+        F.when(d % 19 == 0, F.replace(joined, F.lit("\n"), F.lit("\n\n\n")))
+        .otherwise(joined)
+        .alias("text"),
+    )
+
+
+@query("q_fineweb_quality", oracle=_fineweb_oracle())
+def q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import fineweb_quality
+
+    out = fineweb_quality(_fineweb_synth_spark(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "end_punct_frac",
+        "short_line_frac",
+        "dup_line_char_frac",
+        "new_line_ratio",
+        F.col("keep").cast("int").alias("keep"),
+    )

@@ -1401,3 +1401,43 @@ def test_gopher_quality_survives_zero_token_documents(spark):
         assert rows[i]["n_words"] == 0 and rows[i]["mean_word_len"] == 0.0
         assert not rows[i]["keep"]
     assert rows[4]["n_words"] == 100
+
+
+def test_fineweb_quality_hand_pins(spark):
+    # Hand-worked verdicts for each FineWeb rule (Penedo 2024 §3.6 /
+    # datatrove defaults: punct > 0.12, short < 0.67 at <=30 chars,
+    # dup-char < 0.01, newline-ratio < 0.3)
+    from magicxml_spark.operators.curation import fineweb_quality
+
+    long1 = "this is a long enough line for the test to pass today."  # 55
+    long2 = "another long enough line that also ends with a stop mark."
+    rows = [
+        (1, f"{long1}\n{long2}"),               # baseline: keep
+        (2, f"{long1[:-1]}\n{long2[:-1]}"),     # no terminal punct -> kill
+        (3, "a b.\nc d.\ne f."),                # all short lines -> kill
+        (4, f"{long1}\n{long1}\n{long2}"),      # duplicate line -> kill
+        (5, long1 + "\n" * 8 + long2),          # newline ratio -> kill
+        (6, ""),                                # empty -> kill, fracs 0
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in fineweb_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1]["keep"] and got[1]["end_punct_frac"] == 1.0
+    assert got[1]["short_line_frac"] == 0.0 == got[1]["dup_line_char_frac"]
+    # doc1 newline ratio: 1 newline / 23 words (12 + 11)
+    assert got[1]["new_line_ratio"] == round(1 / 23, 6)
+    assert not got[2]["keep"] and got[2]["end_punct_frac"] == 0.0
+    assert not got[3]["keep"] and got[3]["short_line_frac"] == 1.0
+    # doc4 dup chars: one repeat of long1 over 2*len(long1)+len(long2)
+    exp = round(len(long1) / (2 * len(long1) + len(long2)), 6)
+    assert not got[4]["keep"] and got[4]["dup_line_char_frac"] == exp
+    # doc5: 8 newlines (blank lines count toward structure, not
+    # lines) / 23 words = 0.347826 > 0.3 -> killed by the newline rule
+    # ALONE (its line metrics all pass)
+    assert got[5]["new_line_ratio"] == round(8 / 23, 6)
+    assert not got[5]["keep"] and got[5]["end_punct_frac"] == 1.0
+    assert not got[6]["keep"] and got[6]["n_lines"] == 0
+    assert got[6]["end_punct_frac"] == 0.0 == got[6]["new_line_ratio"]
