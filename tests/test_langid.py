@@ -111,3 +111,57 @@ def test_with_lang_rejects_colliding_columns(spark):
         with_lang(docs)  # documents carries a stored `lang` label
     out = with_lang(docs.drop("lang"))
     assert "lang" in out.columns and "doc_id" in out.columns
+
+
+def test_lang_id_cross_engine_fuzz_adversarial_unicode(spark):
+    # Seeded fuzz over codepoints the fixed fixtures never reach —
+    # emoji, Hebrew (an untracked script), Unicode Lm modifier
+    # letters, Latin Extended Additional, general punctuation — the
+    # surface where Java-regex and RE2 \\p{L} / char-range semantics
+    # could drift. Both engines must agree on every row.
+    import random
+
+    import duckdb
+
+    from magicxml_spark.operators.langid import lang_id, langid_duckdb_ctes
+
+    rng = random.Random(2024)
+    pools = [
+        (0x0041, 0x007A), (0x00C0, 0x00FF), (0x0100, 0x017F),
+        (0x0400, 0x04FF), (0x0370, 0x03FF), (0x0600, 0x06FF),
+        (0x0900, 0x097F), (0x4E00, 0x4FFF), (0x3041, 0x309F),
+        (0x30A1, 0x30FF), (0xAC00, 0xAD00), (0x1F600, 0x1F64F),
+        (0x2000, 0x206F), (0x0030, 0x0039), (0x0020, 0x0020),
+        (0x02B0, 0x02FF), (0x1E00, 0x1EFF), (0x05D0, 0x05EA),
+    ]
+
+    def rand_text():
+        out = []
+        for _ in range(rng.randint(0, 60)):
+            lo, hi = rng.choice(pools)
+            out.append(chr(rng.randint(lo, hi)))
+            if rng.random() < 0.2:
+                out.append(" ")
+        return "".join(out)
+
+    rows = [(i, rand_text()) for i in range(200)]
+    words = ["the", "und", "le", "el", "и", "що", "van", "não", "più"]
+    for i in range(200, 260):
+        rows.append(
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 10)))
+             + " " + rand_text())
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["script"], r["lang"], r["hits"], r["n_letters"])
+        for r in lang_id(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = (
+        f"WITH {langid_duckdb_ctes('docs')} "
+        "SELECT doc_id, script, lang, hits, n_letters FROM lid"
+    )
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(sql).fetchall()}
+    assert got == exp
