@@ -12,7 +12,8 @@ Method (two stages, both engine-exact integer arithmetic):
    character classes (literal ``[а-я]``-style ranges so the same
    pattern text runs under both Java regex and RE2). The dominant
    script decides directly for single-language scripts (hangul -> ko,
-   arabic -> ar, greek -> el, devanagari -> hi) and for CJK (kana
+   arabic -> ar, hebrew -> he, greek -> el, devanagari -> hi,
+   thai -> th) and for CJK (kana
    present -> ja, else zh — Japanese text always carries kana among
    its Han characters; Chinese never does).
 2. **Function-word vote** for the multi-language scripts (Latin,
@@ -31,7 +32,7 @@ Method (two stages, both engine-exact integer arithmetic):
 Output is all-integer (hits, letter counts) plus two bounded strings,
 so Spark/DuckDB parity is exact with no float-rounding caveats.
 
-Scale shape: one projection computing 9 ``regexp_replace`` counts and
+Scale shape: one projection computing 11 ``regexp_replace`` counts and
 one tokenize, a second projection doing array votes over the
 materialized token column (each profile filter scans the in-row array;
 the tokenize itself runs ONCE — the jusText reference-count lesson),
@@ -53,7 +54,9 @@ SCRIPT_RANGES: list[tuple[str, str]] = [
     ("cyrillic", "Ѐ-ӿ"),  # U+0400-U+04FF
     ("greek", "Ͱ-Ͽ"),  # U+0370-U+03FF
     ("arabic", "؀-ۿ"),  # U+0600-U+06FF
+    ("hebrew", "֐-׿"),  # U+0590-U+05FF
     ("devanagari", "ऀ-ॿ"),  # U+0900-U+097F
+    ("thai", "฀-๿"),  # U+0E00-U+0E7F
     ("han", "一-鿿"),  # U+4E00-U+9FFF
     ("hiragana", "ぁ-ゟ"),  # U+3041-U+309F
     ("katakana", "ァ-ヿ"),  # U+30A1-U+30FF
@@ -136,7 +139,7 @@ def with_lang(
 
     ``max_chars`` classifies on the document PREFIX only — the
     standard deployment knob (language is a document-global property;
-    production langid gates truncate before scoring). The 9 script
+    production langid gates truncate before scoring). The script
     scans + tokenize then cost O(max_chars) per doc instead of
     O(document): in the v5 composition this took the langid stage
     from 102 s to ~25 s at sf1 with identical gate decisions on every
@@ -219,8 +222,10 @@ def with_lang(
         F.when(script == "none", "und")
         .when(script == "hangul", "ko")
         .when(script == "arabic", "ar")
+        .when(script == "hebrew", "he")
         .when(script == "greek", "el")
         .when(script == "devanagari", "hi")
+        .when(script == "thai", "th")
         .when(is_cjk, F.when(kana > 0, "ja").otherwise("zh"))
         .when(
             script == "cyrillic",
@@ -232,8 +237,10 @@ def with_lang(
         F.when(script == "none", F.lit(0))
         .when(script == "hangul", F.col("_lid_c_hangul"))
         .when(script == "arabic", F.col("_lid_c_arabic"))
+        .when(script == "hebrew", F.col("_lid_c_hebrew"))
         .when(script == "greek", F.col("_lid_c_greek"))
         .when(script == "devanagari", F.col("_lid_c_devanagari"))
+        .when(script == "thai", F.col("_lid_c_thai"))
         .when(is_cjk, cjk)
         .when(script == "cyrillic", cyr_hits)
         .otherwise(lat_hits)
@@ -338,8 +345,10 @@ def langid_duckdb_ctes(
                WHEN n_letters = 0 THEN 'und'
                WHEN script0 = 'hangul' THEN 'ko'
                WHEN script0 = 'arabic' THEN 'ar'
+               WHEN script0 = 'hebrew' THEN 'he'
                WHEN script0 = 'greek' THEN 'el'
                WHEN script0 = 'devanagari' THEN 'hi'
+               WHEN script0 = 'thai' THEN 'th'
                WHEN script0 IN ('han', 'hiragana', 'katakana')
                  THEN CASE WHEN c_hiragana + c_katakana > 0
                            THEN 'ja' ELSE 'zh' END
@@ -351,8 +360,10 @@ def langid_duckdb_ctes(
                WHEN n_letters = 0 THEN 0
                WHEN script0 = 'hangul' THEN c_hangul
                WHEN script0 = 'arabic' THEN c_arabic
+               WHEN script0 = 'hebrew' THEN c_hebrew
                WHEN script0 = 'greek' THEN c_greek
                WHEN script0 = 'devanagari' THEN c_devanagari
+               WHEN script0 = 'thai' THEN c_thai
                WHEN script0 IN ('han', 'hiragana', 'katakana')
                  THEN c_han + c_hiragana + c_katakana
                WHEN script0 = 'cyrillic' THEN -cyr.n

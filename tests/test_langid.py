@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from magicxml_spark.operators.langid import lang_id
 
-# (text, expected script, expected lang) — one per supported language.
+# (text, expected script, expected lang) — one per supported language
+# (17 languages across 11 script classes).
 # The Russian fixture uses the 1C/YML product-feed vocabulary the
 # reference engine parses (/root/reference/main.py:328-455 — its
 # Cyrillic dialect is the anchor VERDICT r9 prescribes).
@@ -29,6 +30,8 @@ PINS = [
     ("これは日本語の文です漢字も含みます", "hiragana", "ja"),
     ("이것은 한국어 문장입니다", "hangul", "ko"),
     ("هذه جملة عربية قصيرة", "arabic", "ar"),
+    ("זהו משפט בעברית לבדיקה", "hebrew", "he"),
+    ("นี่คือประโยคภาษาไทย", "thai", "th"),
     ("αυτή είναι μια ελληνική πρόταση", "greek", "el"),
     ("यह एक हिंदी वाक्य है", "devanagari", "hi"),
     ("12345 !!! ???", "none", "und"),
@@ -55,9 +58,14 @@ def test_lang_id_hand_labeled_fixtures(spark):
         )
     # evidence counters are consistent: voted scripts report hits,
     # script-determined ones report the script letter count
-    assert got[0]["hits"] > 0 and got[0]["n_letters"] > got[0]["hits"]
-    assert got[11]["hits"] == got[11]["n_letters"]  # hangul: all letters
-    assert got[15]["hits"] == 0 and got[15]["n_letters"] == 0
+    # (index-free lookups: the PINS list grows)
+    by_text = {PINS[i][0]: got[i] for i in range(len(PINS))}
+    en = by_text[PINS[0][0]]
+    assert en["hits"] > 0 and en["n_letters"] > en["hits"]
+    ko = by_text["이것은 한국어 문장입니다"]
+    assert ko["hits"] == ko["n_letters"]  # hangul: all letters
+    digits = by_text["12345 !!! ???"]
+    assert digits["hits"] == 0 and digits["n_letters"] == 0
 
 
 def test_lang_id_tie_breaks_are_deterministic(spark):
