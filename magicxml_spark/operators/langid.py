@@ -157,6 +157,19 @@ def with_lang(
             f"table's stored `lang` label is the usual collision; this "
             f"operator exists to REPLACE it)"
         )
+    # internal temp columns (stage-1/2 projections) clash just as hard:
+    # a same-named input column makes stage 2's reference ambiguous
+    temp_clash = {
+        c
+        for c in df.columns
+        if c.startswith("_lid_")
+    }
+    if temp_clash:
+        raise ValueError(
+            f"with_lang internal temp columns collide with input columns "
+            f"{sorted(temp_clash)} — the _lid_* prefix is reserved; "
+            f"rename them first"
+        )
     t = F.coalesce(F.col(text_col), F.lit(""))
     if max_chars is not None:
         if max_chars <= 0:

@@ -639,7 +639,6 @@ def bpe_apply_pandas(
 
 def bpe_train(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     max_merges: int = 100,
     min_count: int = 2,

@@ -49,70 +49,19 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-10 rotation
-# (VERDICT r9 "Next #4"): the THIRTY-FIVE queries whose latest rows
-# are r7 lead (computed from CORRECTNESS_r01..r09), then the queries
-# new this round, then the r8-fresh block (the ~50 window tail reaches
-# into it), and the r9-fresh rows close the list. After this round no
-# latest row should be older than r8. Names missing from the list
+# get a driver-recorded correctness row each round. Round-11 rotation
+# (VERDICT r10 "Next #8"): the FORTY queries whose latest rows are r8
+# lead (computed from CORRECTNESS_r01..r10), then the queries new this
+# round, then the r9-fresh block (the ~50 window tail reaches into
+# it), and the r10-fresh rows close the list. After this round no
+# latest row should be older than r9. Names missing from the list
 # (future additions) append in registration order; the assertion keeps
 # the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    # --- r7-stale head (round-10 rotation: every latest-r7 row, computed from CORRECTNESS_r01..r09) ---
-    "q_contamination",
-    "q_corpus_shuffle",
-    "q_cosine_topk",
-    "q_cosine_topk_auto",
-    "q_cosine_topk_int8",
-    "q_cosine_topk_ivf",
-    "q_cosine_topk_lsh",
-    "q_csv_normalize",
-    "q_curation_pipeline",
-    "q_decimal_comma",
-    "q_decontaminate",
-    "q_dedup_delimited",
-    "q_defaults",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_exact_dedup",
-    "q_image_near_dup",
-    "q_incremental_dedup",
-    "q_ivf_snapshot_search",
-    "q_lsh_pairs_capped",
-    "q_lsh_xxhash64_recall",
-    "q_minhash_lsh_pairs",
-    "q_paragraph_dedup",
-    "q_repetition_profile",
-    "q_simhash",
-    "q_simhash_near_dup",
-    "q_simhash_wide",
-    "q_simhash_wide_near_dup",
-    "q_size_strip",
-    "q_snapshot_dedup",
-    "q_stock_aggregate",
-    "q_stream_paragraph_dedup",
-    "q_text_profile",
-    "q_video_near_dup",
-    "q_winnow_pairs_capped",
-    # --- new this round: fresh rows required ---
-    "q_lang_id",
-    "q_curation_v5",
-    "q_bpe_train",
-    "q_justext_multilang",
-    "q_fineweb_quality",
-    # --- r8-fresh block (next-oldest; the ~50 window tail reaches here) ---
-    "q_5gram_surprisal",
-    "q_bigram_surprisal",
-    "q_bloom_prefilter",
-    "q_c4_clean",
-    "q_chunk_text",
-    "q_chunks_to_shards",
-    "q_cm_heavy_hitters",
-    "q_cm_union",
-    "q_corpus_filter",
-    "q_curation_v2",
+    # --- r8-stale head (round-11 rotation, VERDICT r10 "Next #8": every
+    # latest-r8 row, computed from CORRECTNESS_r01..r10) ---
     "q_curation_v3",
     "q_embedding_cluster_dedup",
     "q_events_stream_windowed",
@@ -153,7 +102,9 @@ _DRIVER_SAMPLE_ORDER = [
     "q_url_dedup",
     "q_winnow_fingerprint",
     "q_winnow_pairs",
-    # --- r9-fresh tail (newest rows; sampled last) ---
+    # --- new this round: fresh rows required ---
+    "q_normalize_text",
+    # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_kn",
     "q_ann_recall",
     "q_anti_join",
@@ -204,6 +155,57 @@ _DRIVER_SAMPLE_ORDER = [
     "q_topk_per_group",
     "q_union_lineage",
     "q_zorder_key",
+    # --- r10-fresh tail (newest rows; sampled last) ---
+    "q_5gram_surprisal",
+    "q_bigram_surprisal",
+    "q_bloom_prefilter",
+    "q_bpe_train",
+    "q_c4_clean",
+    "q_chunk_text",
+    "q_chunks_to_shards",
+    "q_cm_heavy_hitters",
+    "q_cm_union",
+    "q_contamination",
+    "q_corpus_filter",
+    "q_corpus_shuffle",
+    "q_cosine_topk",
+    "q_cosine_topk_auto",
+    "q_cosine_topk_int8",
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_lsh",
+    "q_csv_normalize",
+    "q_curation_pipeline",
+    "q_curation_v2",
+    "q_curation_v5",
+    "q_decimal_comma",
+    "q_decontaminate",
+    "q_dedup_delimited",
+    "q_defaults",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_exact_dedup",
+    "q_fineweb_quality",
+    "q_image_near_dup",
+    "q_incremental_dedup",
+    "q_ivf_snapshot_search",
+    "q_justext_multilang",
+    "q_lang_id",
+    "q_lsh_pairs_capped",
+    "q_lsh_xxhash64_recall",
+    "q_minhash_lsh_pairs",
+    "q_paragraph_dedup",
+    "q_repetition_profile",
+    "q_simhash",
+    "q_simhash_near_dup",
+    "q_simhash_wide",
+    "q_simhash_wide_near_dup",
+    "q_size_strip",
+    "q_snapshot_dedup",
+    "q_stock_aggregate",
+    "q_stream_paragraph_dedup",
+    "q_text_profile",
+    "q_video_near_dup",
+    "q_winnow_pairs_capped",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

@@ -119,14 +119,23 @@ def test_with_lang_rejects_colliding_columns(spark):
         with_lang(docs)  # documents carries a stored `lang` label
     out = with_lang(docs.drop("lang"))
     assert "lang" in out.columns and "doc_id" in out.columns
+    # internal temps are reserved too: an input named _lid_toks would
+    # make stage 2's column reference ambiguous (ADVICE r10)
+    import pyspark.sql.functions as F
+
+    poisoned = docs.drop("lang").withColumn("_lid_toks", F.lit(1))
+    with pytest.raises(ValueError, match="_lid_"):
+        with_lang(poisoned)
 
 
 def test_lang_id_cross_engine_fuzz_adversarial_unicode(spark):
     # Seeded fuzz over codepoints the fixed fixtures never reach —
-    # emoji, Hebrew (an untracked script), Unicode Lm modifier
-    # letters, Latin Extended Additional, general punctuation — the
-    # surface where Java-regex and RE2 \\p{L} / char-range semantics
-    # could drift. Both engines must agree on every row.
+    # emoji, Hebrew (tracked since the he/th commit; the 0x05D0 pool
+    # now exercises a tracked block), Armenian (genuinely untracked),
+    # Unicode Lm modifier letters, Latin Extended Additional, general
+    # punctuation — the surface where Java-regex and RE2 \\p{L} /
+    # char-range semantics could drift. Both engines must agree on
+    # every row.
     import random
 
     import duckdb
@@ -141,6 +150,7 @@ def test_lang_id_cross_engine_fuzz_adversarial_unicode(spark):
         (0x30A1, 0x30FF), (0xAC00, 0xAD00), (0x1F600, 0x1F64F),
         (0x2000, 0x206F), (0x0030, 0x0039), (0x0020, 0x0020),
         (0x02B0, 0x02FF), (0x1E00, 0x1EFF), (0x05D0, 0x05EA),
+        (0x0531, 0x0556),  # Armenian uppercase — untracked script
     ]
 
     def rand_text():
