@@ -3056,7 +3056,7 @@ def _lang_id_oracle() -> str:
 
     return f"""
     WITH {langid_duckdb_ctes("documents")}
-    SELECT doc_id, script, lang, hits, n_letters FROM lid
+    SELECT doc_id, script, lang, hits, margin, score, n_letters FROM lid
     """
 
 
