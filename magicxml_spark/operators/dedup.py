@@ -976,21 +976,24 @@ def append_dedup_snapshot(
     )
 
 
-def compact_dedup_snapshot(spark, path: str) -> None:
-    """Rewrite an appended-to snapshot to its distinct minimum. Writes
-    each table to a sibling temp dir then swaps directories — parquet
-    cannot overwrite a path it is lazily reading. Local-FS rename here;
-    on HDFS/S3 the same shape is FileSystem.rename / a manifest swap.
-    Run out-of-band (compaction job), not on the ingest path.
+def compact_snapshot_tables(spark, path: str, subs: tuple[str, ...]) -> None:
+    """Rewrite appended-to snapshot tables to their distinct minimum.
+    Writes each table to a sibling temp dir then swaps directories —
+    parquet cannot overwrite a path it is lazily reading. Local-FS
+    rename here; on HDFS/S3 the same shape is FileSystem.rename / a
+    manifest swap. Run out-of-band (compaction job), not on the ingest
+    path.
 
     Swap order keeps the live table recoverable at every step: the old
     directory is moved aside BEFORE the compacted one takes its place
     (rmtree-then-rename would lose the snapshot entirely if the process
-    died in the window) and deleted only after the swap lands."""
+    died in the window) and deleted only after the swap lands. Shared
+    by the minhash/fingerprint lifecycle here and the paragraph/span
+    snapshot lifecycle in operators/curation.py."""
     import os
     import shutil
 
-    for sub in ("fingerprints", "signatures"):
+    for sub in subs:
         src = os.path.join(path, sub)
         tmp = src + ".compact"
         old = src + ".old"
@@ -999,6 +1002,12 @@ def compact_dedup_snapshot(spark, path: str) -> None:
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)
+
+
+def compact_dedup_snapshot(spark, path: str) -> None:
+    """``compact_snapshot_tables`` over the ``write_dedup_snapshot``
+    layout (fingerprints + band signatures)."""
+    compact_snapshot_tables(spark, path, ("fingerprints", "signatures"))
 
 
 def simhash_near_dup_pairs(

@@ -104,6 +104,8 @@ _DRIVER_SAMPLE_ORDER = [
     "q_winnow_pairs",
     # --- new this round: fresh rows required ---
     "q_normalize_text",
+    "q_snapshot_paragraph_dedup",
+    "q_snapshot_span_dedup",
     # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_kn",
     "q_ann_recall",

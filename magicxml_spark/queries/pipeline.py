@@ -3672,3 +3672,160 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw") != F.col("norm")).cast("int").alias("changed"),
         F.md5("norm").alias("norm_fp"),
     )
+
+
+# --- Frozen paragraph/span dedup snapshots (VERDICT r10 Next #2) --------------
+# The cross-crawl production shape on the correctness gate: the Spark
+# side runs the REAL file lifecycle — write the prior crawl's hash
+# snapshot to parquet (first 6 residues), APPEND two more residues,
+# then dedup the delta (%10 >= 8) against the files. The oracle
+# derives the same prior hash set inline (write ∪ append is exactly
+# the distinct hash set of doc_id % 10 < 8 — the append==rebuild set
+# identity the pytest lifecycle pins prove).
+@query(
+    "q_snapshot_paragraph_dedup",
+    oracle="""
+    WITH src AS (SELECT doc_id AS src_id, text AS para FROM documents
+                 WHERE doc_id < 100),
+    expl AS (SELECT d.doc_id, t.p, (d.doc_id * 3 + t.p) % 100 AS src_id
+             FROM documents d, (SELECT unnest([0, 1, 2]) AS p) t),
+    paras AS (SELECT e.doc_id, e.p AS pos, s.para, md5(s.para) AS ph
+              FROM expl e JOIN src s USING (src_id)),
+    prior AS (SELECT DISTINCT ph FROM paras WHERE doc_id % 10 < 8),
+    delta AS (SELECT * FROM paras WHERE doc_id % 10 >= 8),
+    ranked AS (SELECT doc_id, pos, para, ph,
+                      row_number() OVER (PARTITION BY ph
+                                         ORDER BY doc_id, pos) AS rn
+               FROM delta),
+    kept AS (SELECT r.doc_id, r.pos, r.para
+             FROM ranked r LEFT JOIN prior p USING (ph)
+             WHERE r.rn = 1 AND p.ph IS NULL),
+    totals AS (SELECT doc_id, count(*) AS n_paras FROM delta
+               GROUP BY doc_id),
+    rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(para, chr(10) || chr(10)
+                           ORDER BY pos)) AS dedup_fp
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.dedup_fp, md5('')) AS dedup_fp
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import (
+        append_paragraph_snapshot,
+        paragraph_dedup_against_snapshot,
+        write_paragraph_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("para")
+    )
+    synth = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("p"),
+        )
+        .withColumn("src_id", (F.col("doc_id") * 3 + F.col("p")) % 100)
+        .join(F.broadcast(src), "src_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    snap = _snapshot_scratch("para_dedup")
+    write_paragraph_snapshot(synth.filter(F.col("doc_id") % 10 < 6), snap)
+    append_paragraph_snapshot(
+        synth.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8)),
+        snap,
+    )
+    out = paragraph_dedup_against_snapshot(
+        synth.filter(F.col("doc_id") % 10 >= 8), snap
+    )
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text_dedup").alias("dedup_fp")
+    )
+
+
+@query(
+    "q_snapshot_span_dedup",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, CAST(doc_id % 5 + 1 AS INT)),
+               j -> 'S' || CAST((CASE WHEN doc_id % 4 = 0 THEN doc_id * 900
+                                      ELSE (doc_id * 3) % 50 END) + j AS VARCHAR)
+                 || ' alpha beta.'), ' ') AS text
+      FROM documents),
+    {_c4_span_ctes("synth")},
+    sp_prior AS (SELECT DISTINCT h FROM c4_spans WHERE doc_id % 10 < 8),
+    sp_delta AS (SELECT * FROM c4_spans WHERE doc_id % 10 >= 8),
+    sp_fresh AS (SELECT d.* FROM sp_delta d LEFT JOIN sp_prior p USING (h)
+                 WHERE p.h IS NULL),
+    sp_ranked AS (SELECT doc_id, start,
+                         row_number() OVER (PARTITION BY h
+                                            ORDER BY doc_id, start) AS rn,
+                         count(*) OVER (PARTITION BY h) AS c
+                  FROM sp_fresh),
+    sp_kills AS (
+      SELECT doc_id, list(start) AS ks FROM (
+        SELECT d.doc_id, d.start FROM sp_delta d JOIN sp_prior p USING (h)
+        UNION ALL
+        SELECT doc_id, start FROM sp_ranked WHERE c > 1 AND rn > 1)
+      GROUP BY doc_id),
+    sp_rebuilt AS (
+      SELECT se.doc_id,
+             CAST(len(se.s) AS BIGINT) AS n_sentences,
+             CASE WHEN k.ks IS NULL THEN se.s
+                  ELSE list_filter(se.s, (x, i) -> NOT len(list_filter(
+                    k.ks, kk -> i - 1 >= kk AND i - 1 <= kk + 2)) > 0)
+             END AS kept
+      FROM c4_sents se LEFT JOIN sp_kills k USING (doc_id)
+      WHERE se.doc_id % 10 >= 8)
+    SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_fp
+    FROM sp_rebuilt
+    """,
+)
+def q_snapshot_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import (
+        append_span_snapshot,
+        span_dedup_against_snapshot,
+        write_span_snapshot,
+    )
+
+    d = F.col("doc_id")
+    base = F.when(d % 4 == 0, d * 900).otherwise((d * 3) % 50)
+    synth = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (d % 5).cast("int")),
+                lambda j: F.concat(
+                    F.lit("S"),
+                    (base + j).cast("string"),
+                    F.lit(" alpha beta."),
+                ),
+            ),
+        ).alias("text"),
+    )
+    snap = _snapshot_scratch("span_dedup")
+    write_span_snapshot(synth.filter(d % 10 < 6), snap)
+    append_span_snapshot(synth.filter((d % 10 >= 6) & (d % 10 < 8)), snap)
+    out = span_dedup_against_snapshot(synth.filter(d % 10 >= 8), snap)
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_fp"),
+    )
