@@ -106,6 +106,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_normalize_text",
     "q_snapshot_paragraph_dedup",
     "q_snapshot_span_dedup",
+    "q_curation_v6",
     # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_kn",
     "q_ann_recall",

@@ -3488,7 +3488,13 @@ def q_justext_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FW_DUP_LINE = "the same line shows up again and again here."
 
 
-def _fineweb_oracle() -> str:
+def _fineweb_fr_ctes(src: str) -> tuple[str, str]:
+    """(CTE text, keep condition) for the FineWeb custom-filter
+    battery reading (doc_id, text) from ``src``; ends in ``fwfr``
+    (doc_id, n_lines, end_punct_frac, short_line_frac,
+    dup_line_char_frac, new_line_ratio). Shared by q_fineweb_quality
+    and the v6 composition — generated from the operator's own
+    threshold constants so the rule set cannot drift."""
     from magicxml_spark.operators.curation import (
         FINEWEB_CHAR_DUP_THR,
         FINEWEB_LINE_PUNCT_THR,
@@ -3499,9 +3505,42 @@ def _fineweb_oracle() -> str:
     )
 
     stop = ", ".join("'" + c.replace("'", "''") + "'" for c in FINEWEB_STOP_CHARS)
-    base = "array_to_string(w[(i-1)*wpl+1 : (i-1)*wpl+wpl], ' ')"
     charsum = "coalesce(list_sum(list_transform({0}, x -> length(x))), 0)"
     tot, firsts = charsum.format("ln"), charsum.format("list_distinct(ln)")
+    keep = (
+        f"end_punct_frac > {FINEWEB_LINE_PUNCT_THR}"
+        f" AND short_line_frac < {FINEWEB_SHORT_LINE_THR}"
+        f" AND dup_line_char_frac < {FINEWEB_CHAR_DUP_THR}"
+        f" AND new_line_ratio < {FINEWEB_NEW_LINE_THR}"
+    )
+    ctes = f"""
+    fwmet AS (SELECT doc_id,
+      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                  x -> x <> '') AS ln,
+      len(string_split(text, chr(10))) - 1 AS n_nl,
+      len({_WORDS_SQL}) AS n_words
+      FROM {src}),
+    fwfr AS (SELECT doc_id,
+      CAST(len(ln) AS BIGINT) AS n_lines,
+      CASE WHEN len(ln) = 0 THEN 0.0
+           ELSE round(len(list_filter(ln, l -> right(l, 1) IN ({stop})))
+                      * 1.0 / len(ln), 6) END AS end_punct_frac,
+      CASE WHEN len(ln) = 0 THEN 0.0
+           ELSE round(len(list_filter(ln,
+                        l -> length(l) <= {FINEWEB_SHORT_LINE_LENGTH}))
+                      * 1.0 / len(ln), 6) END AS short_line_frac,
+      CASE WHEN {tot} = 0 THEN 0.0
+           ELSE round(({tot} - {firsts}) * 1.0 / {tot}, 6)
+      END AS dup_line_char_frac,
+      CASE WHEN n_words > 0 THEN round(n_nl * 1.0 / n_words, 6)
+           ELSE 0.0 END AS new_line_ratio
+      FROM fwmet)"""
+    return ctes, keep
+
+
+def _fineweb_oracle() -> str:
+    base = "array_to_string(w[(i-1)*wpl+1 : (i-1)*wpl+wpl], ' ')"
+    fw_ctes, fw_keep = _fineweb_fr_ctes("synthfw2")
     return f"""
     WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     nz AS (SELECT doc_id, w,
@@ -3522,35 +3561,11 @@ def _fineweb_oracle() -> str:
            THEN replace(text0, chr(10), chr(10) || chr(10) || chr(10))
            ELSE text0 END AS text
       FROM synthfw),
-    met AS (SELECT doc_id,
-      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                  x -> x <> '') AS ln,
-      len(string_split(text, chr(10))) - 1 AS n_nl,
-      len({_WORDS_SQL}) AS n_words
-      FROM synthfw2),
-    fr AS (SELECT doc_id,
-      CAST(len(ln) AS BIGINT) AS n_lines,
-      CASE WHEN len(ln) = 0 THEN 0.0
-           ELSE round(len(list_filter(ln, l -> right(l, 1) IN ({stop})))
-                      * 1.0 / len(ln), 6) END AS end_punct_frac,
-      CASE WHEN len(ln) = 0 THEN 0.0
-           ELSE round(len(list_filter(ln,
-                        l -> length(l) <= {FINEWEB_SHORT_LINE_LENGTH}))
-                      * 1.0 / len(ln), 6) END AS short_line_frac,
-      CASE WHEN {tot} = 0 THEN 0.0
-           ELSE round(({tot} - {firsts}) * 1.0 / {tot}, 6)
-      END AS dup_line_char_frac,
-      CASE WHEN n_words > 0 THEN round(n_nl * 1.0 / n_words, 6)
-           ELSE 0.0 END AS new_line_ratio
-      FROM met)
+    {fw_ctes}
     SELECT doc_id, n_lines, end_punct_frac, short_line_frac,
            dup_line_char_frac, new_line_ratio,
-           CAST(CASE WHEN end_punct_frac > {FINEWEB_LINE_PUNCT_THR}
-                      AND short_line_frac < {FINEWEB_SHORT_LINE_THR}
-                      AND dup_line_char_frac < {FINEWEB_CHAR_DUP_THR}
-                      AND new_line_ratio < {FINEWEB_NEW_LINE_THR}
-                THEN 1 ELSE 0 END AS INTEGER) AS keep
-    FROM fr
+           CAST(CASE WHEN {fw_keep} THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM fwfr
     """
 
 
@@ -3828,4 +3843,319 @@ def q_snapshot_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_kept",
         F.md5("text_dedup").alias("dedup_fp"),
+    )
+
+
+# --- Composed curation v6: the ACTUAL FineWeb recipe (Penedo 2024) ------------
+# VERDICT r10 Next #3. Stage order follows the PAPER, not v5: langid
+# gate WITH the score threshold (§3.2's fastText >= 0.65 analog,
+# expressed through the r11 margin/score semantics) -> jusText
+# extraction -> Gopher quality -> FineWeb custom filters (§3.6) ->
+# MinHash fuzzy dedup (§3.4: per-snapshot MinHash, one survivor per
+# near-dup cluster) -> DSIR selection -> 128-token packing. v5's C4
+# span dedup is deliberately ABSENT: it belongs to the C4 recipe, not
+# FineWeb's, and running it before MinHash would shred the cross-doc
+# near-dup structure the MinHash stage exists to catch.
+#
+# The synthesis corpus is built for the full recipe (unlike v5's
+# template-heavy corpus, which would make every doc a near-dup of
+# every other): each doc's kept paragraphs interleave stopwords with
+# doc-UNIQUE u-words ('u' || (doc_id*1009 + i*131) — coprime strides,
+# provably collision-free across docs), so cross-doc Jaccard is ~0
+# except where engineered. Residue classes:
+#   d%10==3 / 7   -> full RU / DE docs (langid gate kills)
+#   d%10==1       -> jusText-stopword-dense body with exactly 2+2
+#                    langid-profile hits ('the'/'with') -> en WITHOUT
+#                    the threshold, 'und' WITH it (the load-bearing
+#                    score gate; margin/n_letters ~0.016 < 0.05)
+#   d%9==0        -> Gopher repetition bomb appended to para 2
+#   d%10==6       -> 36 short 'we uNNN' lines (FineWeb short-line +
+#                    newline-ratio kill; survives jusText and Gopher)
+#   d%10==5       -> near-duplicate of doc d-1 (same u-words except
+#                    i==7) -> MinHash clusters {d-1, d}, keeps d-1
+#   d%3==0 / 5==0 -> jusText kill material (uid'd keyword soup /
+#                    copyright line), removed before MinHash
+_V6_CYC1 = ["the", "of", "and", "is", "in", "to", "for", "on", "it", "at"]
+_V6_CYC2 = ["that", "was", "are", "with", "this", "be", "have", "not",
+            "from", "by"]
+_V6_CYC3 = ["the", "to", "on", "it", "is", "of", "and", "in", "at", "for"]
+_V6_JCYC1 = ["the", "we", "you", "their", "there", "can", "will", "would",
+             "so", "if"]
+_V6_JCYC2 = ["with", "they", "these", "those", "were", "has", "had",
+             "been", "but", "or"]
+_V6_JCYC3 = ["a", "an", "i", "he", "she", "no", "did", "does", "then",
+             "its"]
+_V6_MIN_SCORE = 0.05
+_V6_BOMB_REPS = 24
+
+
+def _v6_sql_para(cyc: list[str], jcyc: list[str], i0: int) -> str:
+    """One 20-pair body paragraph: cycle word (class-1 docs use the
+    jusText-only cycle) + the doc-unique u-word."""
+    c = "[" + ", ".join(f"'{w}'" for w in cyc) + "]"
+    j = "[" + ", ".join(f"'{w}'" for w in jcyc) + "]"
+    bid = (
+        "CASE WHEN doc_id % 10 = 5 AND i = 7 THEN doc_id"
+        " WHEN doc_id % 10 = 5 THEN doc_id - 1 ELSE doc_id END"
+    )
+    return (
+        f"array_to_string(list_transform(range({i0}, {i0 + 20}), i -> "
+        f"(CASE WHEN doc_id % 10 = 1 THEN ({j})[(i % 10) + 1] "
+        f"ELSE ({c})[(i % 10) + 1] END)"
+        f" || ' u' || CAST(({bid}) * 1009 + i * 131 AS VARCHAR)), ' ')"
+    )
+
+
+def _curation_v6_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="jx6main")
+    fw_ctes, fw_keep = _fineweb_fr_ctes("gated6")
+    p1 = _v6_sql_para(_V6_CYC1, _V6_JCYC1, 0)
+    p2 = _v6_sql_para(_V6_CYC2, _V6_JCYC2, 20)
+    p3 = _v6_sql_para(_V6_CYC3, _V6_JCYC3, 40)
+    bomb = (
+        f"' ' || repeat('we do it and ', {_V6_BOMB_REPS})"
+        " || 'so it is done now.'"
+    )
+    listy = (
+        "array_to_string(list_transform(range(60, 96), i -> "
+        "'we u' || CAST(doc_id * 1009 + i * 131 AS VARCHAR)), chr(10))"
+    )
+    tok_n = (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+    WITH RECURSIVE synthv6 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN '{_V5_DE}'
+                  WHEN doc_id % 10 = 3 THEN '{_V5_RU}'
+                  ELSE concat_ws(chr(10) || chr(10),
+                    {p1} || '.',
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'quick stats d' || CAST(doc_id AS VARCHAR)
+                              || ' overview now' END,
+                    {p2} || CASE WHEN doc_id % 9 = 0 THEN {bomb}
+                                 ELSE '.' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
+                    {p3} || '.',
+                    CASE WHEN doc_id % 10 = 6 THEN {listy} END) END AS text
+      FROM documents),
+    {langid_duckdb_ctes("synthv6", max_chars=1000,
+                        min_score=_V6_MIN_SCORE)},
+    endocs6 AS MATERIALIZED (SELECT s.doc_id, s.text
+               FROM synthv6 s JOIN lid l USING (doc_id)
+               WHERE l.lang = 'en'),
+    {_justext_classify_ctes("endocs6")},
+    jx6main AS MATERIALIZED (SELECT doc_id,
+                      array_to_string(keep_p, chr(10) || chr(10)) AS text
+               FROM kept),
+    {gopher_ctes},
+    gq6_gate AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
+                 WHERE {gopher_keep}),
+    gated6 AS MATERIALIZED (SELECT j.doc_id, j.text
+                FROM jx6main j JOIN gq6_gate USING (doc_id)),
+    {fw_ctes},
+    fwgated AS MATERIALIZED (SELECT g.doc_id, g.text
+               FROM gated6 g JOIN fwfr f USING (doc_id)
+               WHERE {fw_keep}),
+    mh_w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM fwgated),
+    mh_sh AS (SELECT doc_id,
+                     list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                    i -> array_to_string(w[i:i+2], ' ')) AS sh
+              FROM mh_w WHERE len(w) > 0),
+    mh_sig AS (SELECT doc_id, b.band,
+                      list_aggregate(list_transform(sh,
+                        s -> substr(md5(s), 1 + b.band * 8, 8)),
+                        'min') AS signature
+               FROM mh_sh, (SELECT unnest(range(0, 4)) AS band) b),
+    mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                 FROM mh_sig a JOIN mh_sig b2
+                   ON a.band = b2.band AND a.signature = b2.signature
+                  AND a.doc_id < b2.doc_id),
+    mh_edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                 UNION SELECT id_b, id_a FROM mh_pairs),
+    mh_reach(id, r) AS (
+      SELECT doc_id, doc_id FROM fwgated
+      UNION
+      SELECT e.dst, rr.r FROM mh_reach rr JOIN mh_edges e ON e.src = rr.id),
+    mh_keep AS (SELECT id AS doc_id FROM mh_reach
+                GROUP BY id HAVING min(r) = id),
+    deduped AS MATERIALIZED (SELECT g.doc_id, g.text
+               FROM fwgated g JOIN mh_keep USING (doc_id)),
+    {_dsir_select_ctes("deduped")},
+    sel AS MATERIALIZED (SELECT doc_id, n_grams, lw, sel FROM dsir_keyed
+            ORDER BY sel DESC, doc_id LIMIT 100),
+    pw AS (SELECT s.doc_id, s.n_grams, s.lw, s.sel,
+                  CAST({tok_n} AS BIGINT) AS n
+           FROM sel s JOIN deduped c USING (doc_id)),
+    pnz AS (SELECT * FROM pw WHERE n > 0),
+    ppre AS (SELECT doc_id, n_grams, lw, sel, n,
+                    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS p
+             FROM pnz),
+    pseg AS (SELECT doc_id, n_grams, lw, sel, n, p,
+                    unnest(range(p // 128, (p + n - 1) // 128 + 1)) AS seq_id
+             FROM ppre)
+    SELECT doc_id, n_grams,
+           round(lw / 1e6, 6) AS log_w,
+           round(sel / 1e6, 6) AS sel_key,
+           n AS n_tokens, seq_id,
+           greatest(seq_id * 128 - p, 0) AS doc_from,
+           least(n, (seq_id + 1) * 128 - p)
+             - greatest(seq_id * 128 - p, 0) AS seg_len,
+           greatest(p - seq_id * 128, 0) AS seq_off
+    FROM pseg
+    """
+
+
+def _v6_sp_para(cyc: list[str], jcyc: list[str], i0: int):
+    d = F.col("doc_id")
+    carr = F.array(*[F.lit(w) for w in cyc])
+    jarr = F.array(*[F.lit(w) for w in jcyc])
+
+    def word(i):
+        bid = (
+            F.when((d % 10 == 5) & (i == 7), d)
+            .when(d % 10 == 5, d - 1)
+            .otherwise(d)
+        )
+        cyc_w = F.when(d % 10 == 1, F.element_at(jarr, (i % 10) + 1)).otherwise(
+            F.element_at(carr, (i % 10) + 1)
+        )
+        return F.concat(
+            cyc_w, F.lit(" u"), (bid * 1009 + i * 131).cast("string")
+        )
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(i0), F.lit(i0 + 19)), word), " "
+    )
+
+
+def _v6_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 synthesis corpus — factored so the stage-effect pins in
+    tests/test_pipeline_v6.py exercise the EXACT frame the registered
+    query runs."""
+    d = F.col("doc_id")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bomb = F.concat(
+        F.lit(" "),
+        F.repeat(F.lit("we do it and "), _V6_BOMB_REPS),
+        F.lit("so it is done now."),
+    )
+    listy = F.array_join(
+        F.transform(
+            F.sequence(F.lit(60), F.lit(95)),
+            lambda i: F.concat(
+                F.lit("we u"), (d * 1009 + i * 131).cast("string")
+            ),
+        ),
+        "\n",
+    )
+    eng = F.concat_ws(
+        "\n\n",
+        F.concat(_v6_sp_para(_V6_CYC1, _V6_JCYC1, 0), F.lit(".")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("quick stats d"),
+                d.cast("string"),
+                F.lit(" overview now"),
+            ),
+        ),
+        F.concat(
+            _v6_sp_para(_V6_CYC2, _V6_JCYC2, 20),
+            F.when(d % 9 == 0, bomb).otherwise(F.lit(".")),
+        ),
+        F.when(
+            d % 5 == 0,
+            F.lit("Copyright 2024 Example Corp. All rights reserved."),
+        ),
+        F.concat(_v6_sp_para(_V6_CYC3, _V6_JCYC3, 40), F.lit(".")),
+        F.when(d % 10 == 6, listy),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(d % 10 == 7, _V5_DE)
+        .when(d % 10 == 3, _V5_RU)
+        .otherwise(eng)
+        .alias("text"),
+    )
+
+
+@query("q_curation_v6", oracle=_curation_v6_oracle())
+def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.analytics.clusters import dedup_clusters
+    from magicxml_spark.operators.curation import fineweb_quality, gopher_quality
+    from magicxml_spark.operators.dedup import lsh_candidate_pairs
+    from magicxml_spark.operators.dsir import dsir_select
+    from magicxml_spark.operators.extraction import justext_boilerplate
+    from magicxml_spark.operators.langid import with_lang
+    from magicxml_spark.operators.sampling import pack_sequences
+    from magicxml_spark.operators.text import tokens
+
+    d = F.col("doc_id")
+    synth = _v6_synth_spark(spark, sf_dir).localCheckpoint(eager=True)
+    # stage boundaries are compact (id, text) localCheckpoints — the
+    # v5 rationale (collapsed-tree re-evaluation, CacheManager trap)
+    # stage 0: langid gate with the SCORE THRESHOLD (CCNet/C4 gate
+    # semantics via r11's margin/score columns)
+    en = (
+        with_lang(synth, max_chars=1000, min_score=_V6_MIN_SCORE)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    # stage 1: jusText extraction
+    main = (
+        justext_boilerplate(en)
+        .select("doc_id", F.col("text_main").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    # stage 2: Gopher gate
+    gate = gopher_quality(main).filter(F.col("keep")).select("doc_id")
+    gated = main.join(gate, "doc_id")
+    # stage 3: FineWeb custom quality gate (Penedo 2024 §3.6)
+    fwgate = fineweb_quality(gated).filter(F.col("keep")).select("doc_id")
+    # feeds signatures + the post-dedup rebuild: materialize once
+    fwgated = gated.join(fwgate, "doc_id").localCheckpoint(eager=True)
+    # stage 4: MinHash fuzzy dedup (§3.4) — banded candidate pairs
+    # (capped star emission is the production default; cluster
+    # membership is identical to uncapped, the documented
+    # q_lsh_pairs_capped property) -> connected components -> keep the
+    # min-id doc per cluster
+    pairs = lsh_candidate_pairs(fwgated, "doc_id", "text")
+    clusters = dedup_clusters(
+        fwgated.select(F.col("doc_id").alias("id")), pairs
+    )
+    keep_ids = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = fwgated.join(keep_ids, "doc_id").localCheckpoint(eager=True)
+    # stage 5: DSIR selection toward the even-id target
+    sel = dsir_select(deduped, "doc_id", "text", d % 2 == 0, k=100)
+    # stage 6: token-exact 128-token packing
+    counts = deduped.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sel.join(counts, "doc_id"), "doc_id", "n_tokens", seq_len=128
+    )
+    return packed.select(
+        "doc_id",
+        "n_grams",
+        "log_w",
+        "sel_key",
+        "n_tokens",
+        "seq_id",
+        "doc_from",
+        "seg_len",
+        "seq_off",
     )
