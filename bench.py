@@ -122,6 +122,14 @@ def main() -> None:
             "q_justext_multilang",
             "q_fineweb_quality",
         ],
+        # round-11 additions (unicode normalization, frozen
+        # paragraph/span snapshot lifecycles, the FineWeb-recipe v6)
+        "curation_r11": [
+            "q_normalize_text",
+            "q_snapshot_paragraph_dedup",
+            "q_snapshot_span_dedup",
+            "q_curation_v6",
+        ],
     }
     # Per-query accounting footnotes, emitted verbatim so the
     # BENCH_r*.json trail reads true WITHOUT BASELINE.md exegesis

@@ -3676,8 +3676,14 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
         F.lit("  end "),
     )
-    synth = table(spark, sf_dir, "documents").select(
-        "doc_id", raw.alias("raw")
+    # pre-UDF repartition (the pre-explode scan-parallelism rule): the
+    # Arrow NFC stage otherwise runs at the scan's split count (2 files
+    # at sf1 caps it at 2 cores); the shuffled payload is the compact
+    # (id, raw) frame. Measured sf1 forced: 1.99 s -> see BASELINE r11.
+    synth = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("raw"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = synth.withColumn("norm", norm_text_col(F.col("raw")))
     return out.select(
