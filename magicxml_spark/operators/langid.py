@@ -157,7 +157,17 @@ def with_lang(
     keeps fastText score >= 0.5 (Wenzek 2020 §4.1), C4 keeps
     langdetect en >= 0.99 (Raffel 2020 §2.2). ``min_score`` maps
     sub-threshold rows to 'und' (script/hits/margin columns keep
-    their evidence values so the gate decision stays auditable)."""
+    their evidence values so the gate decision stays auditable).
+
+    **Gate-consumer spelling (scale-critical)**: do NOT filter
+    directly on this function's output — Catalyst pushes the
+    predicate below the langid projections and the substituted
+    expression re-evaluates the vote/score chains with no
+    subexpression reuse (measured at sf1: 140 s plain / 350 s with
+    min_score vs 17-22 s). Materialize the compact
+    ``(id, text, lang)`` frame first (localCheckpoint — the v5/v6
+    and q_justext_multilang shape), then filter the materialized
+    column."""
     clash = {
         out_col,
         f"{out_col}_script",
@@ -228,21 +238,40 @@ def with_lang(
     cyr_sorted = F.array_sort(
         _vote_entries(F.col("_lid_toks"), CYRILLIC_PROFILES)
     )
-    # runner-up entries ([1]) ride the same in-row sorts as the
-    # winners — tiny fixed-size arrays, still zero shuffles/joins
-    s2 = s1.select(
+    # Runner-up entries ride the SAME in-row sorts as the winners —
+    # each sort is emitted ONCE as a 2-element slice column and the
+    # [0]/[1] extractions happen in the NEXT projection
+    # (multi-referenced non-cheap aliases block CollapseProject, so
+    # the split pins single evaluation by construction; the r11 sf1
+    # A/B read the sibling-extraction spelling at parity on a same-
+    # session box, so this is defense-in-depth, not a measured win).
+    # The measured hazard lives at the CONSUMER: a filter placed
+    # directly on with_lang's output gets pushed below these
+    # projections and the substituted predicate re-evaluates the
+    # chains — gate shapes must materialize (id, text, lang) first
+    # (see the docstring; 140-350 s vs 17-22 s at sf1, BASELINE r11).
+    s2a = s1.select(
         *keep,
         *[F.col(f"_lid_c_{name}") for name in script_names],
         n_letters.alias("_lid_nl"),
+        F.slice(tops, 1, 2).alias("_lid_top2"),
+        F.slice(lat_sorted, 1, 2).alias("_lid_lat2a"),
+        F.slice(cyr_sorted, 1, 2).alias("_lid_cyr2a"),
+    )
+    s2 = s2a.select(
+        *keep,
+        *[F.col(f"_lid_c_{name}") for name in script_names],
+        "_lid_nl",
         F.element_at(
-            F.array(*[F.lit(n) for n in script_names]), tops[0]["i"] + 1
+            F.array(*[F.lit(n) for n in script_names]),
+            F.col("_lid_top2")[0]["i"] + 1,
         ).alias("_lid_script0"),
-        (-tops[0]["n"]).cast("long").alias("_lid_c0"),
-        (-tops[1]["n"]).cast("long").alias("_lid_c1"),
-        lat_sorted[0].alias("_lid_lat"),
-        lat_sorted[1].alias("_lid_lat2"),
-        cyr_sorted[0].alias("_lid_cyr"),
-        cyr_sorted[1].alias("_lid_cyr2"),
+        (-F.col("_lid_top2")[0]["n"]).cast("long").alias("_lid_c0"),
+        (-F.col("_lid_top2")[1]["n"]).cast("long").alias("_lid_c1"),
+        F.col("_lid_lat2a")[0].alias("_lid_lat"),
+        F.col("_lid_lat2a")[1].alias("_lid_lat2"),
+        F.col("_lid_cyr2a")[0].alias("_lid_cyr"),
+        F.col("_lid_cyr2a")[1].alias("_lid_cyr2"),
     )
     # stage 3: the branch table (identical CASE tree in the oracle)
     script = F.when(F.col("_lid_nl") == 0, "none").otherwise(

@@ -3268,12 +3268,18 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~25 s, with identical gate decisions on this corpus by
     # construction: the injected foreign docs are short and every
     # English doc's first kilobyte is English prose)
-    en = (
+    # materialize (id, text, lang) BEFORE the gate filter: a filter
+    # placed directly on with_lang's output is pushed below the langid
+    # projections and the substituted predicate re-evaluates the
+    # vote/score chains with no subexpression reuse — measured r11 at
+    # sf1: filter-then-checkpoint 140-350 s vs this shape 17-22 s
+    # (BASELINE r11, the q_justext_multilang spelling generalized)
+    lid5 = (
         with_lang(synth, max_chars=1000)
-        .filter(F.col("lang") == "en")
-        .select("doc_id", "text")
+        .select("doc_id", "text", "lang")
         .localCheckpoint(eager=True)
     )
+    en = lid5.filter(F.col("lang") == "en").select("doc_id", "text")
     # stage 1: boilerplate removal
     main = (
         justext_boilerplate(en)
@@ -4113,12 +4119,16 @@ def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v5 rationale (collapsed-tree re-evaluation, CacheManager trap)
     # stage 0: langid gate with the SCORE THRESHOLD (CCNet/C4 gate
     # semantics via r11's margin/score columns)
-    en = (
+    # materialize (id, text, lang) BEFORE the gate filter — the
+    # pushed-down predicate otherwise re-evaluates the vote/score
+    # chains (350 s -> 17-22 s at sf1, BASELINE r11); with min_score
+    # the blowup is worst because score+lang0 each embed the chains
+    lid6 = (
         with_lang(synth, max_chars=1000, min_score=_V6_MIN_SCORE)
-        .filter(F.col("lang") == "en")
-        .select("doc_id", "text")
+        .select("doc_id", "text", "lang")
         .localCheckpoint(eager=True)
     )
+    en = lid6.filter(F.col("lang") == "en").select("doc_id", "text")
     # stage 1: jusText extraction
     main = (
         justext_boilerplate(en)
