@@ -3286,9 +3286,16 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("text_main").alias("text"))
         .localCheckpoint(eager=True)
     )
-    # stage 2: Gopher quality gate (id-keyed semi join, the v3 shape)
-    gate = gopher_quality(main).filter(F.col("keep")).select("doc_id")
-    gated = main.join(gate, "doc_id")
+    # stage 2: Gopher quality gate — the keep frame materializes
+    # before the filter (the langid gate-shape rule applied to every
+    # expensive column-append gate; r11 probe: 40-48 -> 28-29 s for
+    # the gopher+fineweb pair at sf1)
+    gq5 = (
+        gopher_quality(main)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+    )
+    gated = main.join(gq5.filter(F.col("keep")).select("doc_id"), "doc_id")
     # stage 3: corpus-wide 3-sentence-span dedup
     clean = c4_span_dedup(gated).select(
         "doc_id", F.col("text_dedup").alias("text")
@@ -4135,13 +4142,25 @@ def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("text_main").alias("text"))
         .localCheckpoint(eager=True)
     )
-    # stage 2: Gopher gate
-    gate = gopher_quality(main).filter(F.col("keep")).select("doc_id")
-    gated = main.join(gate, "doc_id")
+    # stage 2: Gopher gate — keep frames materialize before their
+    # filters (the langid gate-shape rule; r11 probe 40-48 -> 28-29 s
+    # for this stage pair at sf1)
+    gq6 = (
+        gopher_quality(main)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+    )
+    gated = main.join(gq6.filter(F.col("keep")).select("doc_id"), "doc_id")
     # stage 3: FineWeb custom quality gate (Penedo 2024 §3.6)
-    fwgate = fineweb_quality(gated).filter(F.col("keep")).select("doc_id")
+    fw6 = (
+        fineweb_quality(gated)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+    )
     # feeds signatures + the post-dedup rebuild: materialize once
-    fwgated = gated.join(fwgate, "doc_id").localCheckpoint(eager=True)
+    fwgated = gated.join(
+        fw6.filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
     # stage 4: MinHash fuzzy dedup (§3.4) — banded candidate pairs
     # (capped star emission is the production default; cluster
     # membership is identical to uncapped, the documented
