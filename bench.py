@@ -126,6 +126,7 @@ def main() -> None:
         # paragraph/span snapshot lifecycles, the FineWeb-recipe v6)
         "curation_r11": [
             "q_normalize_text",
+            "q_normalize_dedup",
             "q_snapshot_paragraph_dedup",
             "q_snapshot_span_dedup",
             "q_curation_v6",

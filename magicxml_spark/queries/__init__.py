@@ -107,6 +107,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_snapshot_paragraph_dedup",
     "q_snapshot_span_dedup",
     "q_curation_v6",
+    "q_normalize_dedup",
     # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_kn",
     "q_ann_recall",

@@ -4194,3 +4194,72 @@ def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_len",
         "seq_off",
     )
+
+
+# --- Normalize -> exact dedup composition -------------------------------------
+# The loop-closer for VERDICT r10 #1: normalization registered IN
+# FRONT of a hash-keyed dedup on the driver gate (the pytest
+# composition pin's oracle-checked twin). Four encoding variants of
+# the same logical text — NFC, NFD (e + U+0301), zero-width-injected,
+# NBSP-spaced — are synthesized per 4-doc group; exact_dedup's own
+# whitespace normalization handles NONE of them (its \s is ASCII), so
+# raw-side dedup sees four distinct fingerprints and the normalized
+# side collapses each group to one keeper (pinned in
+# tests/test_normalize.py).
+def _normalize_dedup_oracle() -> str:
+    from magicxml_spark.operators.normalize import normalize_duckdb_expr
+
+    norm = normalize_duckdb_expr("raw")
+    return f"""
+    WITH src AS (SELECT doc_id AS src_id,
+                        substr(coalesce(text, ''), 1, 100) AS base
+                 FROM documents WHERE doc_id % 4 = 0),
+    synthn AS (SELECT d.doc_id,
+      CASE CAST(d.doc_id % 4 AS INTEGER)
+        WHEN 0 THEN 'café ' || s.base
+        WHEN 1 THEN 'cafe' || chr(769) || ' ' || s.base
+        WHEN 2 THEN 'café' || chr(8203) || ' ' || s.base
+        ELSE 'café' || chr(160) || s.base END AS raw
+      FROM documents d JOIN src s ON s.src_id = d.doc_id - (d.doc_id % 4)),
+    normedn AS (SELECT doc_id, {norm} AS norm FROM synthn)
+    SELECT md5(trim(regexp_replace(lower(norm), '\\s+', ' ', 'g')))
+             AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dupes
+    FROM normedn GROUP BY 1
+    """
+
+
+@query("q_normalize_dedup", oracle=_normalize_dedup_oracle())
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.dedup import exact_dedup
+    from magicxml_spark.operators.normalize import normalize_text
+
+    d = F.col("doc_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.filter(d % 4 == 0).select(
+        F.col("doc_id").alias("src_id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100).alias(
+            "base"
+        ),
+    )
+    raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("caf\u00e9 "), F.col("base")))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("cafe\u0301 "), F.col("base")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("caf\u00e9\u200b "), F.col("base")),
+        )
+        .otherwise(F.concat(F.lit("caf\u00e9\u00a0"), F.col("base")))
+    )
+    synth = (
+        docs.withColumn("src_id", d - (d % 4))
+        .join(F.broadcast(src), "src_id")
+        .select("doc_id", raw.alias("raw"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    normed = normalize_text(synth, "raw")
+    return exact_dedup(normed, "doc_id", "raw")

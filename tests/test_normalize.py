@@ -170,3 +170,56 @@ def test_cross_engine_fuzz(spark):
         for r in con.sql(f"SELECT doc_id, {expr} FROM docs").fetchall()
     }
     assert got == exp
+
+
+def test_normalize_dedup_registered_composition(spark):
+    # the driver-gate twin of the composition pin: the q_normalize_dedup
+    # synth's four encoding variants are four DISTINCT fingerprints on
+    # raw bytes and ONE fingerprint after normalization
+    from magicxml_spark.operators.dedup import exact_dedup
+    from magicxml_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["q_normalize_dedup"](spark, sf).collect()
+    assert len(out) > 0
+    full_groups = [r for r in out if r["n_dupes"] >= 4]
+    assert len(full_groups) > 0  # twins collapse post-normalization
+    for r in full_groups:
+        assert r["keeper_id"] % 4 == 0  # min id = a v0 doc
+    # raw-side control: without normalization every variant is distinct
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.tables import table
+
+    d = F.col("doc_id")
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    src = docs.filter(d % 4 == 0).select(
+        F.col("doc_id").alias("src_id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100).alias(
+            "base"
+        ),
+    )
+    raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("caf\u00e9 "), F.col("base")))
+        .when(d % 4 == 1, F.concat(F.lit("cafe\u0301 "), F.col("base")))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("caf\u00e9\u200b "), F.col("base")),
+        )
+        .otherwise(F.concat(F.lit("caf\u00e9\u00a0"), F.col("base")))
+    )
+    synth = (
+        docs.withColumn("src_id", d - (d % 4))
+        .join(F.broadcast(src), "src_id")
+        .select("doc_id", raw.alias("raw"))
+    )
+    raw_side = exact_dedup(synth, "doc_id", "raw").collect()
+    # exact invariant: a raw fingerprint class is (base-class, variant)
+    # while a normalized class is (base-class) alone — duplicate BASE
+    # texts across groups merge identically on both sides, so the raw
+    # side always holds exactly 4x the classes (every variant escapes
+    # raw dedup, every variant collapses after normalization)
+    assert len(raw_side) == 4 * len(out)
+    assert sum(r["n_dupes"] for r in raw_side) == sum(
+        r["n_dupes"] for r in out
+    )
