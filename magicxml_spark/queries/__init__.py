@@ -108,6 +108,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_snapshot_span_dedup",
     "q_curation_v6",
     "q_normalize_dedup",
+    "q_lang_id_paragraphs",
     # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
     "q_5gram_kn",
     "q_ann_recall",

@@ -4263,3 +4263,78 @@ def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     normed = normalize_text(synth, "raw")
     return exact_dedup(normed, "doc_id", "raw")
+
+
+# --- Per-paragraph langid (mixed-document classification) ---------------------
+# The doc-level argmax hides embedded foreign paragraphs; curation
+# gates that drop or extract BY language need paragraph labels. Both
+# engines synthesize mixed documents (en body + ru para on doc%3,
+# de para on doc%5, a digits-only para on doc%7) and classify each
+# paragraph with the same generated langid CTEs (id = a composite
+# pid = doc_id * 64 + pos; paragraph counts are < 64 by
+# construction).
+_LIDP_EN = (
+    "The cat sat on the mat and it was happy to be at home with the "
+    "others of the house."
+)
+
+
+def _lang_id_paragraphs_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    return f"""
+    WITH lidp_docs AS (
+      SELECT doc_id,
+             '{_LIDP_EN}'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || chr(10) || '{_V5_RU}' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || chr(10) || '{_V5_DE}' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || chr(10) || '12345 67890' ELSE '' END
+               AS text
+      FROM documents),
+    lidp0 AS (SELECT doc_id,
+                     string_split(text, chr(10) || chr(10)) AS ps
+              FROM lidp_docs),
+    lidp1 AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+              FROM lidp0),
+    lidp_src AS (SELECT doc_id * 64 + (i - 1) AS pid, ps[i] AS para
+                 FROM lidp1),
+    {langid_duckdb_ctes("lidp_src", id_col="pid", text_col="para")}
+    SELECT CAST(pid // 64 AS BIGINT) AS doc_id,
+           CAST(pid % 64 AS INTEGER) AS pos,
+           script, lang, hits, margin, score, n_letters
+    FROM lid
+    """
+
+
+@query("q_lang_id_paragraphs", oracle=_lang_id_paragraphs_oracle())
+def q_lang_id_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.langid import lang_id_paragraphs
+
+    d = F.col("doc_id")
+    synth = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_LIDP_EN),
+            F.when(d % 3 == 0, F.concat(F.lit("\n\n"), F.lit(_V5_RU))).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 5 == 0, F.concat(F.lit("\n\n"), F.lit(_V5_DE))).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 7 == 0, F.lit("\n\n12345 67890")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = lang_id_paragraphs(synth)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "script",
+        "lang",
+        "hits",
+        "margin",
+        "score",
+        "n_letters",
+    )

@@ -274,3 +274,34 @@ def test_min_score_cross_engine(spark):
     )
     exp = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sql).fetchall()}
     assert got == exp
+
+
+def test_lang_id_paragraphs_mixed_document(spark):
+    # the mixed-document motivation: a Russian paragraph inside an
+    # English page reads per-paragraph what the doc-level argmax hides
+    from magicxml_spark.operators.langid import lang_id, lang_id_paragraphs
+
+    mixed = (
+        "The cat sat on the mat and it was the best of the days for "
+        "all of the cats in the house and the garden and the yard "
+        "where they like to sit in the sun for most of the day.\n\n"
+        "Наименование товара и цена не указаны на складе это остаток\n\n"
+        "And then the story of the house was told to all of them and "
+        "they were happy to hear it from the start to the end."
+    )
+    df = spark.createDataFrame([(1, mixed)], "doc_id long, text string")
+    doc = lang_id(df).first()
+    assert doc["lang"] == "en"  # doc-level majority hides the quote
+    paras = {
+        r["pos"]: (r["lang"], r["script"])
+        for r in lang_id_paragraphs(df).collect()
+    }
+    assert paras[0] == ("en", "latin")
+    assert paras[1] == ("ru", "cyrillic")
+    assert paras[2] == ("en", "latin")
+    # threshold knob passes through
+    gated = {
+        r["pos"]: r["lang"]
+        for r in lang_id_paragraphs(df, min_score=0.99).collect()
+    }
+    assert set(gated.values()) == {"und"}  # nothing is 99%-margin pure
