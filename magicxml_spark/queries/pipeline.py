@@ -2467,8 +2467,14 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.sampling import pack_shards, seeded_shuffle
 
     docs = table(spark, sf_dir, "documents")
-    gate = gopher_quality(docs).filter(F.col("keep")).select("doc_id")
-    kept = docs.join(gate, "doc_id")
+    # keep frame materializes before the filter (the r11 gate-shape
+    # rule — see q_curation_v5/v6 and BASELINE r11)
+    gq3 = (
+        gopher_quality(docs)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+    )
+    kept = docs.join(gq3.filter(F.col("keep")).select("doc_id"), "doc_id")
     buckets = perplexity_buckets(kept)
     sel = buckets.filter(F.col("bucket") <= 2).select("doc_id", "n_tokens")
     shuffled = seeded_shuffle(sel, "doc_id", 42)
