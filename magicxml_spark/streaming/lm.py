@@ -207,3 +207,45 @@ def run_stream_lang_id(
         max_files_per_trigger=max_files_per_trigger,
         path_glob=path_glob,
     )
+
+
+def run_stream_normalize(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    doc_filter=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.normalize.normalize_text` —
+    pre-hash normalization is the stage-0 map of a crawl-ingest
+    stream, stateless per document (the Arrow NFC stage included: a
+    pandas UDF is a plain per-batch map under Structured Streaming).
+    Stream == batch pinned in tests; not a registered query (the
+    batch operator carries the oracle). Returns (doc_id, norm_fp,
+    n_norm) read back from ``out_dir``."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.normalize import norm_text_col
+
+    def score(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "doc_id",
+            F.md5(norm_text_col(F.col("text"))).alias("norm_fp"),
+            F.length(norm_text_col(F.col("text"), form=None)).cast(
+                "long"
+            ).alias("n_strip_len"),
+        )
+
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        score,
+        out_dir,
+        "normalize",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )
