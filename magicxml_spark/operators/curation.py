@@ -2217,3 +2217,162 @@ def fineweb_quality(
 def _short_line_pred(short_line_length: int):
     """Closure factory (the F.filter lambda-arity rule)."""
     return lambda l: F.length(l) <= short_line_length
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity curation (CCNet's actual filtering shape)
+# ---------------------------------------------------------------------------
+# Wenzek et al. 2020 score and filter PER PARAGRAPH — langid plus LM
+# perplexity against a frozen target-domain model — keeping the clean
+# paragraphs of mixed documents instead of killing or keeping whole
+# docs (§4.3's head/middle/tail operates on paragraph-level scores).
+# Document-level gates (v5/v6's with_lang + gopher stack) cannot
+# express this: an English page with an embedded Russian quote either
+# survives with the quote or dies entirely. VERDICT r11 "What's
+# missing #1" / "Next #1".
+
+
+def paragraph_signals(
+    df: DataFrame,
+    lm_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_chars: int | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Per-paragraph curation signals: split each document on ``sep``
+    and label every paragraph with its COMPUTED language
+    (:func:`~magicxml_spark.operators.langid.with_lang` semantics,
+    including the ``min_score`` confidence gate) and its LM surprisal
+    against the FROZEN snapshot at ``lm_path``
+    (:func:`score_with_lm_snapshot`'s ladder — CCNet scores crawl
+    paragraphs against a Wikipedia-domain model, never the corpus's
+    own statistics). Output: one row per paragraph —
+    ``(id, pos, para, lang, lang_score, n_tokens, surprisal)`` where
+    ``surprisal`` is NULL for token-free paragraphs (they score
+    nothing; their ``lang`` is 'und' already).
+
+    Scale shape: ONE posexplode (the exploded paragraph frame
+    localCheckpoints — it feeds the langid projection chain and the
+    LM scoring join, and Catalyst would re-run the split per
+    consumer); langid is the pure-Column zero-shuffle append; LM
+    scoring is the frozen-snapshot join chain (hint-free — AQE
+    broadcasts count tables while they measure small); one (id, pos)
+    equi-join stitches the two signal frames. The paragraph key is a
+    ``struct(id, pos)`` — typed, never a string concat."""
+    import re
+
+    from magicxml_spark.operators.langid import with_lang
+
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1
+                )
+            ).alias("_pos", "_para"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lid = with_lang(
+        paras, "_para", out_col="_plang", max_chars=max_chars,
+        min_score=min_score,
+    ).select(
+        "_id",
+        "_pos",
+        "_para",
+        F.col("_plang").alias("_lang"),
+        F.col("_plang_score").alias("_lang_score"),
+    )
+    scored = score_with_lm_snapshot(
+        paras.select(
+            F.struct("_id", "_pos").alias("_pid"),
+            F.col("_para").alias("_ptext"),
+        ),
+        lm_path,
+        id_col="_pid",
+        text_col="_ptext",
+    ).select(
+        F.col("_pid._id").alias("_id"),
+        F.col("_pid._pos").alias("_pos"),
+        "n_tokens",
+        "surprisal",
+    )
+    return lid.join(scored, ["_id", "_pos"], "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_pos").alias("pos"),
+        F.col("_para").alias("para"),
+        F.col("_lang").alias("lang"),
+        F.col("_lang_score").alias("lang_score"),
+        "n_tokens",
+        "surprisal",
+    )
+
+
+def paragraph_curation(
+    df: DataFrame,
+    lm_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    keep_lang: str = "en",
+    max_surprisal: float | None = None,
+    max_chars: int | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Paragraph-granularity curation: drop foreign and high-surprisal
+    paragraphs, keep the rest, and reassemble documents — the CCNet
+    per-paragraph filter (Wenzek et al. 2020 §4.3) the document-level
+    v5/v6 gates cannot express. A paragraph survives iff its computed
+    language equals ``keep_lang`` AND (when ``max_surprisal`` is set)
+    its frozen-LM surprisal is non-NULL and at most ``max_surprisal``
+    — both signals from :func:`paragraph_signals`, so the decision
+    frame is oracle-expressible end to end.
+
+    Output: one row per input document —
+    ``(id, n_paras, n_kept, text_kept)`` with ``text_kept`` the
+    surviving paragraphs re-joined with ``sep`` in original order
+    (empty string when every paragraph was dropped) — the
+    :func:`paragraph_dedup` rebuild shape, so downstream doc-level
+    stages (Gopher, FineWeb, dedup, packing) compose unchanged.
+
+    Scale shape: :func:`paragraph_signals`' cost (one posexplode, one
+    zero-shuffle langid append, the snapshot scoring joins, one
+    (id, pos) join) plus ONE groupBy on the doc id for the rebuild;
+    keep/drop rides as a marker column through the aggregate, so
+    there is no kept-vs-totals join and no filter ever touches the
+    computed-column projections (the gate-shape contract holds by
+    construction — the decision is a projection marker, not a pushed
+    predicate)."""
+    sig = paragraph_signals(
+        df, lm_path, id_col, text_col, sep,
+        max_chars=max_chars, min_score=min_score,
+    )
+    keep = F.col("lang") == keep_lang
+    if max_surprisal is not None:
+        keep = keep & F.coalesce(
+            F.col("surprisal") <= max_surprisal, F.lit(False)
+        )
+    marked = sig.withColumn("_keep", keep)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "_keep", "para"))
+                        ),
+                        lambda s: s["_keep"],
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_kept"),
+        )
+        .select(id_col, "n_paras", "n_kept", "text_kept")
+    )

@@ -19,6 +19,7 @@ from magicxml_spark.operators.asof import asof_join_backward
 from magicxml_spark.operators.dedup import contamination_check
 from magicxml_spark.operators.sampling import hash_split, stratified_sample
 from magicxml_spark.operators.text import pii_counts, redact_pii, repetition_profile
+from magicxml_spark.plans.gating import gate_on_computed
 from magicxml_spark.queries import query
 from magicxml_spark.queries.analytics import _WORDS_SQL
 from magicxml_spark.tables import table
@@ -2468,13 +2469,11 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     # keep frame materializes before the filter (the r11 gate-shape
-    # rule — see q_curation_v5/v6 and BASELINE r11)
-    gq3 = (
-        gopher_quality(docs)
-        .select("doc_id", "keep")
-        .localCheckpoint(eager=True)
-    )
-    kept = docs.join(gq3.filter(F.col("keep")).select("doc_id"), "doc_id")
+    # rule, r12's gate_on_computed API — see BASELINE r11)
+    keep3 = gate_on_computed(
+        gopher_quality(docs), ["doc_id", "keep"], F.col("keep")
+    ).select("doc_id")
+    kept = docs.join(keep3, "doc_id")
     buckets = perplexity_buckets(kept)
     sel = buckets.filter(F.col("bucket") <= 2).select("doc_id", "n_tokens")
     shuffled = seeded_shuffle(sel, "doc_id", 42)
@@ -3274,18 +3273,18 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~25 s, with identical gate decisions on this corpus by
     # construction: the injected foreign docs are short and every
     # English doc's first kilobyte is English prose)
-    # materialize (id, text, lang) BEFORE the gate filter: a filter
-    # placed directly on with_lang's output is pushed below the langid
-    # projections and the substituted predicate re-evaluates the
-    # vote/score chains with no subexpression reuse — measured r11 at
-    # sf1: filter-then-checkpoint 140-350 s vs this shape 17-22 s
-    # (BASELINE r11, the q_justext_multilang spelling generalized)
-    lid5 = (
-        with_lang(synth, max_chars=1000)
-        .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=True)
-    )
-    en = lid5.filter(F.col("lang") == "en").select("doc_id", "text")
+    # gate_on_computed materializes (id, text, lang) BEFORE the gate
+    # filter: a filter placed directly on with_lang's output is pushed
+    # below the langid projections and the substituted predicate
+    # re-evaluates the vote/score chains with no subexpression reuse —
+    # measured r11 at sf1: filter-then-checkpoint 140-350 s vs this
+    # shape 17-22 s (BASELINE r11; the API is r12's conversion of that
+    # convention into a guarantee, linted by tests/test_gate_shape.py)
+    en = gate_on_computed(
+        with_lang(synth, max_chars=1000),
+        ["doc_id", "text", "lang"],
+        F.col("lang") == "en",
+    ).select("doc_id", "text")
     # stage 1: boilerplate removal
     main = (
         justext_boilerplate(en)
@@ -3296,12 +3295,12 @@ def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the filter (the langid gate-shape rule applied to every
     # expensive column-append gate; r11 probe: 40-48 -> 28-29 s for
     # the gopher+fineweb pair at sf1)
-    gq5 = (
-        gopher_quality(main)
-        .select("doc_id", "keep")
-        .localCheckpoint(eager=True)
+    gated = main.join(
+        gate_on_computed(
+            gopher_quality(main), ["doc_id", "keep"], F.col("keep")
+        ).select("doc_id"),
+        "doc_id",
     )
-    gated = main.join(gq5.filter(F.col("keep")).select("doc_id"), "doc_id")
     # stage 3: corpus-wide 3-sentence-span dedup
     clean = c4_span_dedup(gated).select(
         "doc_id", F.col("text_dedup").alias("text")
@@ -4132,16 +4131,16 @@ def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v5 rationale (collapsed-tree re-evaluation, CacheManager trap)
     # stage 0: langid gate with the SCORE THRESHOLD (CCNet/C4 gate
     # semantics via r11's margin/score columns)
-    # materialize (id, text, lang) BEFORE the gate filter — the
-    # pushed-down predicate otherwise re-evaluates the vote/score
-    # chains (350 s -> 17-22 s at sf1, BASELINE r11); with min_score
-    # the blowup is worst because score+lang0 each embed the chains
-    lid6 = (
-        with_lang(synth, max_chars=1000, min_score=_V6_MIN_SCORE)
-        .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=True)
-    )
-    en = lid6.filter(F.col("lang") == "en").select("doc_id", "text")
+    # gate_on_computed materializes (id, text, lang) BEFORE the gate
+    # filter — the pushed-down predicate otherwise re-evaluates the
+    # vote/score chains (350 s -> 17-22 s at sf1, BASELINE r11); with
+    # min_score the blowup is worst because score+lang0 each embed the
+    # chains
+    en = gate_on_computed(
+        with_lang(synth, max_chars=1000, min_score=_V6_MIN_SCORE),
+        ["doc_id", "text", "lang"],
+        F.col("lang") == "en",
+    ).select("doc_id", "text")
     # stage 1: jusText extraction
     main = (
         justext_boilerplate(en)
@@ -4151,21 +4150,19 @@ def q_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2: Gopher gate — keep frames materialize before their
     # filters (the langid gate-shape rule; r11 probe 40-48 -> 28-29 s
     # for this stage pair at sf1)
-    gq6 = (
-        gopher_quality(main)
-        .select("doc_id", "keep")
-        .localCheckpoint(eager=True)
+    gated = main.join(
+        gate_on_computed(
+            gopher_quality(main), ["doc_id", "keep"], F.col("keep")
+        ).select("doc_id"),
+        "doc_id",
     )
-    gated = main.join(gq6.filter(F.col("keep")).select("doc_id"), "doc_id")
     # stage 3: FineWeb custom quality gate (Penedo 2024 §3.6)
-    fw6 = (
-        fineweb_quality(gated)
-        .select("doc_id", "keep")
-        .localCheckpoint(eager=True)
-    )
     # feeds signatures + the post-dedup rebuild: materialize once
     fwgated = gated.join(
-        fw6.filter(F.col("keep")).select("doc_id"), "doc_id"
+        gate_on_computed(
+            fineweb_quality(gated), ["doc_id", "keep"], F.col("keep")
+        ).select("doc_id"),
+        "doc_id",
     ).localCheckpoint(eager=True)
     # stage 4: MinHash fuzzy dedup (§3.4) — banded candidate pairs
     # (capped star emission is the production default; cluster
