@@ -4312,6 +4312,242 @@ def _lang_id_paragraphs_oracle() -> str:
     """
 
 
+# --- Composed curation v7: paragraph-granularity curation (CCNet) -------------
+# VERDICT r11 Next #1 — the last published-pipeline shape not yet
+# composed: CCNet (Wenzek et al. 2020 §4.3) scores and filters PER
+# PARAGRAPH (langid + frozen-LM surprisal), keeping the clean
+# paragraphs of mixed documents where v5/v6's document-level gate
+# would kill or keep them whole. Stage order: train a frozen bigram
+# LM on the clean target corpus -> paragraph_curation (drop foreign +
+# high-surprisal paragraphs, reassemble) -> the v6 gate stack's head
+# (Gopher quality on the REASSEMBLED documents).
+#
+# Synthesis (both engines, pure integer/string arithmetic): every doc
+# carries the four pool sentences (rotated by doc_id — 64 words, all
+# Gopher scalars pass); residue classes inject the per-paragraph
+# targets:
+#   d%3==0 -> a full RU paragraph   (langid drops the PARAGRAPH; the
+#             doc-level argmax still reads 'en' — the v6-contrast pin)
+#   d%4==0 -> an OOV-dense but English-looking paragraph (5 function
+#             words + 10 doc-unique 'zq' tokens): langid says 'en',
+#             only the frozen-LM surprisal gate can drop it — a
+#             single OOV token costs ln(4N) > 10 nats vs < 3 for
+#             clean pool text, so the 4.0-nat gate separates at any
+#             tested SF
+#   d%9==0 -> a Gopher repetition bomb (pool sentence x10 in ONE
+#             paragraph): clean language, seen bigrams -> SURVIVES
+#             both paragraph gates, then the dup-ngram battery kills
+#             the reassembled DOC — proving the doc-level stack still
+#             bites after paragraph curation
+_V7_POOL = [
+    "the black cat walked slowly over the soft green mat and it was very glad indeed",
+    "we could see that the story about the old stone house was truly good to read",
+    "it seems true that the brown dog often ran toward the park and the happy man",
+    "the bright sun was high and the long day was warm but the hard work ended",
+]
+_V7_MAX_SURPRISAL = 4.0
+_V7_BOMB_REPS = 10
+#: the noisy paragraph interleaves trained function words with OOV
+#: slots: words[i] for i in 0..14, OOV at the non-multiple-of-3 slots
+_V7_NOISY_KNOWN = ["the", "and", "was", "it", "that"]
+
+
+def _v7_pool_case_sql(shift: int) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_V7_POOL)
+    )
+    return f"CASE CAST((doc_id + {shift}) % 4 AS INTEGER) {arms} END"
+
+
+def _v7_noisy_sql() -> str:
+    parts = []
+    k = 0
+    for i, w in enumerate(_V7_NOISY_KNOWN):
+        parts.append(f"'{w}'")
+        parts.append(f"'zq' || CAST(doc_id * 13 + {k} AS VARCHAR)")
+        k += 1
+        parts.append(f"'zq' || CAST(doc_id * 13 + {k} AS VARCHAR)")
+        k += 1
+    return "concat_ws(' ', " + ", ".join(parts) + ")"
+
+
+def _curation_v7_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="v7re")
+    p0, p2, p4, p6 = (_v7_pool_case_sql(s) for s in (0, 1, 2, 3))
+    bomb = f"rtrim(repeat({_v7_pool_case_sql(0)} || ' ', {_V7_BOMB_REPS}))"
+    words_para = _WORDS_SQL.replace("text", "para")
+    # the frozen-JM bigram ladder over paragraph keys — the
+    # _lm_snapshot_oracle expressions with (train=docs, score=paras)
+    pos_list = (
+        "unnest(list_transform(range(1, len(w) + 1),"
+        " i -> CASE WHEN i > 1 THEN w[i - 1] END)) AS prev1,"
+        " unnest(list_transform(range(1, len(w) + 1), i -> w[i])) AS cur,"
+        " unnest(list_transform(range(1, len(w) + 1),"
+        " i -> least(i, 2))) AS pos"
+    )
+    p1 = "CAST(coalesce(u.c1, 1) AS DOUBLE) / t.n_total"
+    ladder2 = (
+        f"0.75 * coalesce(CAST(b2.c2 AS DOUBLE) / g2.x2,"
+        f" CAST(0.0 AS DOUBLE)) + 0.25 * ({p1})"
+    )
+    return f"""
+    WITH v7tr AS (SELECT doc_id, {_v7_pool_case_sql(0)} AS text
+                  FROM documents),
+    v7docs AS MATERIALIZED (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+               {p0},
+               CASE WHEN doc_id % 3 = 0 THEN '{_V5_RU}' END,
+               {p2},
+               CASE WHEN doc_id % 4 = 0 THEN {_v7_noisy_sql()} END,
+               {p4},
+               CASE WHEN doc_id % 9 = 0 THEN {bomb} END,
+               {p6}) AS text
+      FROM documents),
+    v7ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+             FROM v7docs),
+    v7pi AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+             FROM v7ps),
+    v7paras AS MATERIALIZED (
+      SELECT doc_id * 64 + (i - 1) AS pid, doc_id,
+             CAST(i - 1 AS INTEGER) AS pos, ps[i] AS para
+      FROM v7pi),
+    {langid_duckdb_ctes("v7paras", id_col="pid", text_col="para")},
+    v7tw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM v7tr),
+    v7tp AS (SELECT doc_id, {pos_list}
+             FROM v7tw WHERE len(w) > 0),
+    v7t1 AS (SELECT cur, count(*) AS c1 FROM v7tp GROUP BY cur),
+    v7tot AS (SELECT count(*) AS n_total FROM v7tp),
+    v7t2 AS (SELECT prev1, cur, count(*) AS c2 FROM v7tp
+             WHERE pos >= 2 GROUP BY prev1, cur),
+    v7x2 AS (SELECT cur AS prev1, c1 AS x2 FROM v7t1),
+    v7sw AS (SELECT pid, {words_para} AS w FROM v7paras),
+    v7sp AS (SELECT pid, {pos_list}
+             FROM v7sw WHERE len(w) > 0),
+    v7mic AS (
+      SELECT p.pid,
+             CAST(round(-ln(CASE WHEN p.pos = 1 THEN {p1}
+                            ELSE {ladder2} END) * 1e6, 0) AS BIGINT) AS m
+      FROM v7sp p
+      LEFT JOIN v7t1 u ON p.cur = u.cur
+      LEFT JOIN v7t2 b2 ON p.prev1 = b2.prev1 AND p.cur = b2.cur
+      LEFT JOIN v7x2 g2 ON p.prev1 = g2.prev1, v7tot t),
+    v7sur AS (SELECT pid, round(sum(m) / count(*) / 1e6, 6) AS surprisal
+              FROM v7mic GROUP BY pid),
+    v7keep AS (
+      SELECT pp.doc_id, pp.pos, pp.para,
+             (l.lang = 'en'
+              AND coalesce(s.surprisal <= {_V7_MAX_SURPRISAL}, FALSE))
+               AS keep
+      FROM v7paras pp
+      JOIN lid l ON l.pid = pp.pid
+      LEFT JOIN v7sur s ON s.pid = pp.pid),
+    v7re AS MATERIALIZED (
+      SELECT doc_id,
+             count(*) AS n_paras,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             coalesce(array_to_string(
+               list_filter(list(CASE WHEN keep THEN para END ORDER BY pos),
+                           x -> x IS NOT NULL),
+               chr(10) || chr(10)), '') AS text
+      FROM v7keep GROUP BY doc_id),
+    {gopher_ctes},
+    v7g AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
+            WHERE {gopher_keep})
+    SELECT v.doc_id,
+           CAST(v.n_paras AS BIGINT) AS n_paras,
+           CAST(v.n_kept AS BIGINT) AS n_kept,
+           md5(v.text) AS text_fp
+    FROM v7re v JOIN v7g USING (doc_id)
+    """
+
+
+def _v7_pool_col(shift: int) -> F.Column:
+    d = F.col("doc_id")
+    arr = F.array(*[F.lit(s) for s in _V7_POOL])
+    return F.element_at(arr, ((d + shift) % 4 + 1).cast("int"))
+
+
+def _v7_train_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean target-domain corpus the frozen LM trains on: one
+    pool sentence per document (every pool bigram seen ~SF/4 times)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _v7_pool_col(0).alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _v7_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-document corpus — factored so the stage-effect pins
+    in tests/test_pipeline_v7.py exercise the EXACT frame the
+    registered query runs."""
+    d = F.col("doc_id")
+    noisy_parts = []
+    k = 0
+    for w in _V7_NOISY_KNOWN:
+        noisy_parts.append(F.lit(w))
+        for _ in range(2):
+            noisy_parts.append(
+                F.concat(F.lit("zq"), (d * 13 + k).cast("string"))
+            )
+            k += 1
+    noisy = F.concat_ws(" ", *noisy_parts)
+    bomb = F.array_join(
+        F.array_repeat(_v7_pool_col(0), _V7_BOMB_REPS), " "
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                _v7_pool_col(0),
+                F.when(d % 3 == 0, F.lit(_V5_RU)),
+                _v7_pool_col(1),
+                F.when(d % 4 == 0, noisy),
+                _v7_pool_col(2),
+                F.when(d % 9 == 0, bomb),
+                _v7_pool_col(3),
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+@query("q_curation_v7", oracle=_curation_v7_oracle())
+def q_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.operators.curation import (
+        gopher_quality,
+        paragraph_curation,
+        write_lm_snapshot,
+    )
+
+    snap = _snapshot_scratch("v7lm2")
+    write_lm_snapshot(_v7_train_spark(spark, sf_dir), snap, order=2)
+    synth = _v7_synth_spark(spark, sf_dir).localCheckpoint(eager=True)
+    # paragraph-granularity curation: drop foreign + high-surprisal
+    # paragraphs, reassemble; the output feeds TWO consumers (the
+    # Gopher gate and the final join) — materialize once
+    cur = paragraph_curation(
+        synth, snap, keep_lang="en", max_surprisal=_V7_MAX_SURPRISAL
+    ).localCheckpoint(eager=True)
+    # the v6 gate stack's head over the REASSEMBLED documents
+    kept = gate_on_computed(
+        gopher_quality(cur, text_col="text_kept"),
+        ["doc_id", "keep"],
+        F.col("keep"),
+    ).select("doc_id")
+    return cur.join(kept, "doc_id").select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5("text_kept").alias("text_fp"),
+    )
+
+
 @query("q_lang_id_paragraphs", oracle=_lang_id_paragraphs_oracle())
 def q_lang_id_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magicxml_spark.operators.langid import lang_id_paragraphs
