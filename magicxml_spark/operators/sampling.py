@@ -153,21 +153,33 @@ def pack_shards(
     # partitioning, so per-partition count vs distinct-count catches
     # every global duplicate — and it rides the totals action, no
     # extra corpus pass
+    # NULL keys count as duplicates of each other (ADVICE r11):
+    # count(key)/count_distinct(key) both skip NULLs, so the non-null
+    # dup count is rows - nulls - distinct, and >1 NULL-keyed rows are
+    # their own duplicate class (their relative order under the range
+    # sort is undefined). NULLs sort first under repartitionByRange,
+    # so they co-locate and the per-partition counts see every global
+    # duplicate.
+    nulls = F.sum(F.col(key).isNull().cast("long"))
     totals = (
         local.groupBy("_pid")
         .agg(
             F.max("_cum_in").alias("_total"),
-            (F.count(key) - F.count_distinct(F.col(key))).alias("_dups"),
+            (F.count(F.lit(1)) - nulls - F.count_distinct(F.col(key))).alias(
+                "_dups"
+            ),
+            F.greatest(nulls - 1, F.lit(0)).alias("_null_dups"),
         )
         .orderBy("_pid")
         .collect()
     )
-    n_dups = sum(int(r["_dups"]) for r in totals)
+    n_dups = sum(int(r["_dups"]) + int(r["_null_dups"]) for r in totals)
     if n_dups:
         raise ValueError(
             f"pack_shards key column {key!r} is not unique ({n_dups} "
-            f"duplicate rows): shard assignment would be "
-            f"nondeterministic — pack on a composed unique key"
+            f"duplicate rows, NULL keys counted as duplicates of each "
+            f"other): shard assignment would be nondeterministic — "
+            f"pack on a composed unique key"
         )
     offsets = {}
     acc = 0.0
@@ -335,21 +347,28 @@ def pack_sequences(
     )
     local = ranged.withColumn("_cum_in", F.sum(tokens_col).over(w))
     # unique-key contract enforced in the same totals action (see
-    # pack_shards): duplicates co-locate under range partitioning
+    # pack_shards): duplicates co-locate under range partitioning,
+    # and NULL keys count as duplicates of each other (ADVICE r11 —
+    # count/count_distinct skip NULLs, so they need their own term)
+    nulls = F.sum(F.col(key).isNull().cast("long"))
     totals = (
         local.groupBy("_pid")
         .agg(
             F.max("_cum_in").alias("_total"),
-            (F.count(key) - F.count_distinct(F.col(key))).alias("_dups"),
+            (F.count(F.lit(1)) - nulls - F.count_distinct(F.col(key))).alias(
+                "_dups"
+            ),
+            F.greatest(nulls - 1, F.lit(0)).alias("_null_dups"),
         )
         .orderBy("_pid")
         .collect()
     )
-    n_dups = sum(int(r["_dups"]) for r in totals)
+    n_dups = sum(int(r["_dups"]) + int(r["_null_dups"]) for r in totals)
     if n_dups:
         raise ValueError(
             f"pack_sequences key column {key!r} is not unique ({n_dups} "
-            f"duplicate rows): token offsets would be nondeterministic "
+            f"duplicate rows, NULL keys counted as duplicates of each "
+            f"other): token offsets would be nondeterministic "
             f"run-to-run — pack on a composed unique key"
         )
     offsets, acc = {}, 0

@@ -639,6 +639,7 @@ def bpe_apply_pandas(
 
 def bpe_train(
     df: DataFrame,
+    *,
     text_col: str = "text",
     max_merges: int = 100,
     min_count: int = 2,
@@ -906,6 +907,7 @@ def byte_words(text: str, b2u: dict[int, str]) -> list[str]:
 
 def bpe_train_bytes(
     df: DataFrame,
+    *,
     text_col: str = "text",
     max_merges: int = 100,
     min_count: int = 2,

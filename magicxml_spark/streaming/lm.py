@@ -224,7 +224,13 @@ def run_stream_normalize(
     pandas UDF is a plain per-batch map under Structured Streaming).
     Stream == batch pinned in tests; not a registered query (the
     batch operator carries the oracle). Returns (doc_id, norm_fp,
-    n_norm) read back from ``out_dir``."""
+    n_strip_len) read back from ``out_dir``: ``norm_fp`` fingerprints
+    the FULLY normalized text (all stages including the Arrow NFC
+    pass), while ``n_strip_len`` is deliberately the ``form=None``
+    strip-only length — a pure-Column signal that keeps the second
+    output entirely JVM-side instead of running the Arrow stage
+    twice per batch (NFC is length-changing only on decomposed
+    input, which the fp already catches)."""
     from pyspark.sql import functions as F
 
     from magicxml_spark.operators.normalize import norm_text_col

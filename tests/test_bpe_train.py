@@ -111,3 +111,15 @@ def test_bpe_train_min_count_and_validation(spark):
         bpe_train(_docs(spark, texts), max_merges=0)
     with pytest.raises(ValueError):
         bpe_train(_docs(spark, texts), max_merges=5, min_count=0)
+
+
+def test_bpe_train_rejects_positional_params(spark):
+    # ADVICE r11: the old bpe_train(df, id_col, text_col) positional
+    # form would silently bind text_col='doc_id' and train on id
+    # strings — keyword-only params make the stale call fail loudly
+    from magicxml_spark.operators.text import bpe_train_bytes
+
+    with pytest.raises(TypeError):
+        bpe_train(_docs(spark, ["ab ab"]), "doc_id", "text")
+    with pytest.raises(TypeError):
+        bpe_train_bytes(_docs(spark, ["ab ab"]), "doc_id", "text")

@@ -752,3 +752,30 @@ def test_pack_unique_key_contract_enforced(spark):
         [(1, 5), (2, 3), (3, 2)], "doc_id long, n_tokens long"
     )
     assert pack_sequences(ok, "doc_id", "n_tokens", seq_len=4).count() > 0
+
+
+def test_pack_null_keys_count_as_duplicates(spark):
+    # ADVICE r11: count/count_distinct skip NULLs, so two NULL-keyed
+    # rows used to slip the uniqueness check while still producing
+    # nondeterministic offsets — they must raise like any duplicate
+    import pytest
+
+    from magicxml_spark.operators.sampling import pack_sequences, pack_shards
+
+    two_nulls = spark.createDataFrame(
+        [(1, 5), (None, 3), (None, 4), (3, 2)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        pack_sequences(two_nulls, "doc_id", "n_tokens", seq_len=4)
+    with pytest.raises(ValueError, match="not unique"):
+        pack_shards(
+            two_nulls.withColumn("w", two_nulls.n_tokens.cast("double")),
+            "doc_id",
+            "w",
+            budget=5.0,
+        )
+    # a SINGLE null key is still a total order (nulls-first) — allowed
+    one_null = spark.createDataFrame(
+        [(1, 5), (None, 3), (3, 2)], "doc_id long, n_tokens long"
+    )
+    assert pack_sequences(one_null, "doc_id", "n_tokens", seq_len=4).count() > 0
