@@ -4577,3 +4577,183 @@ def q_lang_id_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "n_letters",
     )
+
+
+# --- Frozen tokenizer lifecycle (VERDICT r11 Next #3/#4) ----------------------
+# q_bpe_model_apply: train -> write_bpe_model -> bpe_apply_from_model,
+# the tokenizer twin of the LM-snapshot lifecycle. The oracle UNROLLS
+# the same training steps as q_bpe_train (carrying each vocab word
+# through the rewrite chain) and then APPLIES the final vocab
+# segmentation back to every document — so the frozen-table plumbing
+# (write, rank-ordered read, dispatch) is value-checked end to end:
+# any drift lands in seg_fp.
+
+
+def _bpe_model_apply_oracle(n_steps: int = _BPE_TRAIN_STEPS) -> str:
+    wrap = (
+        "array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> chr(2) || substring(word, i, 1) || chr(3)), '')"
+    )
+    ctes = [
+        f"""v0 AS (
+      SELECT w AS word, {wrap.replace("word", "w")} AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+      GROUP BY w)"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(
+            f"""p{k} AS (SELECT unnest(list_transform(range(1, len(a)),
+                   i -> a[i] || chr(1) || a[i+1])) AS pr, freq
+           FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+                                     chr(3) || chr(2)) AS a, freq
+                 FROM v{k - 1}))"""
+        )
+        ctes.append(
+            f"""b{k} AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM p{k}
+           GROUP BY pr HAVING sum(freq) >= 2 ORDER BY c DESC, pr LIMIT 1)"""
+        )
+        # LEFT JOIN ON TRUE: an empty b{k} (early stop) must leave the
+        # vocab unchanged, not annihilate it via an empty cross join
+        ctes.append(
+            f"""v{k} AS (SELECT word,
+              CASE WHEN pr IS NULL THEN s ELSE replace(s,
+                chr(2) || string_split(pr, chr(1))[1] || chr(3) ||
+                chr(2) || string_split(pr, chr(1))[2] || chr(3),
+                chr(2) || replace(pr, chr(1), '') || chr(3)) END AS s, freq
+           FROM v{k - 1} LEFT JOIN b{k} ON TRUE)"""
+        )
+    ctes_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {ctes_sql},
+    vmap AS (SELECT word,
+                    replace(replace(replace(s, chr(3) || chr(2), ' '),
+                                    chr(2), ''), chr(3), '') AS seg
+             FROM v{n_steps}),
+    dw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    dpos AS (SELECT doc_id, i, w[i] AS wd
+             FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                   FROM dw)),
+    dseg AS (SELECT d.doc_id, d.i, m.seg
+             FROM dpos d JOIN vmap m ON m.word = d.wd),
+    agg AS (SELECT doc_id, list(seg ORDER BY i) AS segs
+            FROM dseg GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(length(array_to_string(w.w, '')) AS BIGINT) AS n_chars,
+           CAST(coalesce(list_sum(list_transform(a.segs,
+                                                 s -> len(string_split(s, ' ')))),
+                         0) AS BIGINT) AS n_subwords,
+           md5(coalesce(array_to_string(a.segs, ' | '), '')) AS seg_fp
+    FROM dw w LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("q_bpe_model_apply", oracle=_bpe_model_apply_oracle())
+def q_bpe_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle: train the same 8-step table as
+    q_bpe_train, FREEZE it (write_bpe_model), and segment the corpus
+    through the frozen artifact (bpe_apply_from_model) — the artifact
+    round-trip is in the plan, so a rank-ordering or dispatch bug in
+    the model store is a value mismatch, not a silent drift. No
+    append lifecycle exists by design: merges are order-sensitive
+    (rank k conditions on merges < k), so frozen tables retrain like
+    the KN snapshots."""
+    from magicxml_spark.operators.text import (
+        bpe_apply_from_model,
+        bpe_train,
+        write_bpe_model,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, max_merges=_BPE_TRAIN_STEPS)
+    path = _snapshot_scratch("bpe_model")
+    write_bpe_model(spark, merges, path, level="char")
+    return bpe_apply_from_model(docs, path)
+
+
+# q_bpe_bytes: the byte-level (GPT-2-class) tokenizer under the
+# driver gate (VERDICT r11 Next #4). The GPT-2 pre-tokenizer has no
+# RE2 spelling, so the synthesis corpus is built from single-space
+# ASCII words + one Cyrillic word + one digit run whose
+# pre-tokenization is known BY CONSTRUCTION, and the oracle constructs
+# the byte-symbol words directly (the mapped literals come from the
+# SAME bytes_to_unicode table the operator uses) then replays the
+# frozen 40-merge table as a sentinel-anchored replace chain — the
+# pre-tokenizer runs Spark-side only, but its OUTPUT is pinned
+# cross-engine via n_pretokens/n_bytes/seg_fp.
+_BPE_BYTES_SENT = "the quick brown fox jumps over the lazy dog привет 2024 u"
+
+
+def _bpe_bytes_oracle() -> str:
+    from magicxml_spark.operators.text import (
+        BPE_BYTES_FROZEN_MERGES,
+        byte_words,
+        bytes_to_unicode,
+    )
+
+    b2u = bytes_to_unicode()
+    fixed = byte_words(_BPE_BYTES_SENT[:-2], b2u)  # strip ' u'
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in fixed)
+    uword = (
+        "'Ġu' || translate(CAST(doc_id AS VARCHAR),"
+        " '0123456789', 'abcdefghij')"
+    )
+    inner = (
+        "array_to_string(list_transform(range(1, length(wd) + 1),"
+        " i -> chr(2) || substr(wd, i, 1) || chr(3)), '')"
+    )
+    for a, b in BPE_BYTES_FROZEN_MERGES:
+        pat = f"chr(2) || '{a}' || chr(3) || chr(2) || '{b}' || chr(3)"
+        rep = f"chr(2) || '{a}{b}' || chr(3)"
+        inner = f"replace({inner}, {pat}, {rep})"
+    inner = (
+        f"replace(replace(replace({inner}, chr(3) || chr(2), ' '),"
+        f" chr(2), ''), chr(3), '')"
+    )
+    return f"""
+    WITH bw AS (SELECT doc_id, [{lits}, {uword}] AS w FROM documents),
+    seg AS (SELECT doc_id, len(w) AS n_pretokens,
+                   CAST(coalesce(list_sum(list_transform(w, x -> length(x))),
+                                 0) AS BIGINT) AS n_bytes,
+                   list_transform(w, wd -> {inner}) AS segs
+            FROM bw)
+    SELECT doc_id,
+           CAST(n_pretokens AS BIGINT) AS n_pretokens,
+           n_bytes,
+           CAST(coalesce(list_sum(list_transform(segs,
+                                                 s -> len(string_split(s, ' ')))),
+                         0) AS BIGINT) AS n_subwords,
+           md5(array_to_string(segs, ' | ')) AS seg_fp
+    FROM seg
+    """
+
+
+@query("q_bpe_bytes", oracle=_bpe_bytes_oracle())
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE over a pre-tokenization-known corpus: every doc
+    is one sentence of single-space words (11 shared pre-tokens
+    including a multi-byte Cyrillic word and a digit run, plus one
+    doc-unique letters-only word), segmented with the FROZEN
+    fixture-trained 40-merge table
+    (text.py BPE_BYTES_FROZEN_MERGES, provenance-pinned). The Arrow
+    apply loop and the oracle's rank-order replace chain coincide by
+    the documented training-order equivalence."""
+    from magicxml_spark.operators.text import (
+        BPE_BYTES_FROZEN_MERGES,
+        bpe_apply_bytes_pandas,
+    )
+
+    d = F.col("doc_id")
+    synth = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(_BPE_BYTES_SENT),
+                F.translate(d.cast("string"), "0123456789", "abcdefghij"),
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return bpe_apply_bytes_pandas(synth, merges=BPE_BYTES_FROZEN_MERGES)

@@ -173,3 +173,29 @@ def test_train_then_apply_compresses(spark):
     merges = bpe_train_bytes(df, max_merges=25)
     out = bpe_apply_bytes_pandas(df, merges=merges).collect()
     assert all(r["n_subwords"] < r["n_bytes"] for r in out)
+
+
+def test_frozen_fixture_merges_provenance(spark):
+    """The in-repo frozen table (the driver-gated q_bpe_bytes
+    tokenizer) is EXACTLY what training on its recorded fixture
+    corpus produces — pinned against both the independent Python twin
+    and the Spark trainer, so the constant cannot rot."""
+    from magicxml_spark.operators.text import (
+        BPE_BYTES_FIXTURE_CORPUS,
+        BPE_BYTES_FROZEN_MERGES,
+    )
+
+    assert (
+        _py_byte_bpe_train(BPE_BYTES_FIXTURE_CORPUS, max_merges=40)
+        == BPE_BYTES_FROZEN_MERGES
+    )
+    df = spark.createDataFrame(
+        [(t,) for t in BPE_BYTES_FIXTURE_CORPUS], "text string"
+    )
+    assert bpe_train_bytes(df, max_merges=40) == BPE_BYTES_FROZEN_MERGES
+    # the tail is the multi-byte re-join chain: the final merge emits
+    # the full 'привет' byte string as ONE symbol
+    b2u = bytes_to_unicode()
+    ru = "".join(b2u[b] for b in "привет".encode("utf-8"))
+    a, b = BPE_BYTES_FROZEN_MERGES[-1]
+    assert a + b == ru
