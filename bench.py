@@ -131,6 +131,17 @@ def main() -> None:
             "q_snapshot_span_dedup",
             "q_curation_v6",
         ],
+        # round-12 additions (paragraph-granularity curation v7, the
+        # frozen-tokenizer lifecycle, byte-level BPE, probe-only
+        # snapshot twins — the steady-state cost the lifecycle rows'
+        # write penalty hides)
+        "curation_r12": [
+            "q_curation_v7",
+            "q_bpe_model_apply",
+            "q_bpe_bytes",
+            "q_snapshot_paragraph_probe",
+            "q_snapshot_span_probe",
+        ],
     }
     # Per-query accounting footnotes, emitted verbatim so the
     # BENCH_r*.json trail reads true WITHOUT BASELINE.md exegesis

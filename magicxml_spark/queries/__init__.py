@@ -49,71 +49,18 @@ from magicxml_spark.queries import multimodal  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The verification driver samples a prefix of
 # the registry (~50 entries), so iteration order decides which queries
-# get a driver-recorded correctness row each round. Round-11 rotation
-# (VERDICT r10 "Next #8"): the FORTY queries whose latest rows are r8
-# lead (computed from CORRECTNESS_r01..r10), then the queries new this
-# round, then the r9-fresh block (the ~50 window tail reaches into
-# it), and the r10-fresh rows close the list. After this round no
-# latest row should be older than r9. Names missing from the list
-# (future additions) append in registration order; the assertion keeps
-# the list honest.
+# get a driver-recorded correctness row each round. Round-12 rotation
+# (VERDICT r11 "Next #5"): the FORTY-SIX queries whose latest rows are
+# r9 lead (computed from CORRECTNESS_r01..r11), then the queries new
+# this round, then the r10-fresh block and the r11-fresh tail. After
+# this round no latest row should be older than r10. Names missing
+# from the list (future additions) append in registration order; the
+# assertion keeps the list honest.
 # ---------------------------------------------------------------------------
 
 _DRIVER_SAMPLE_ORDER = [
-    # --- r8-stale head (round-11 rotation, VERDICT r10 "Next #8": every
-    # latest-r8 row, computed from CORRECTNESS_r01..r10) ---
-    "q_curation_v3",
-    "q_embedding_cluster_dedup",
-    "q_events_stream_windowed",
-    "q_flagship_revenue",
-    "q_gopher_quality",
-    "q_hash_split",
-    "q_hll_distinct",
-    "q_hll_union",
-    "q_html_clean",
-    "q_ivf_refit_plan",
-    "q_jaccard_pairs",
-    "q_json_props",
-    "q_key_skew",
-    "q_line_dedup",
-    "q_lm_snapshot_score",
-    "q_md5_user_hash",
-    "q_mixture_weights",
-    "q_moving_sum",
-    "q_perplexity_buckets",
-    "q_pii_luhn",
-    "q_pii_scrub",
-    "q_quality_classifier",
-    "q_quota_sample",
-    "q_range_join",
-    "q_salted_agg",
-    "q_session_window",
-    "q_stratified_sample",
-    "q_stream_hll_users",
-    "q_stream_interval_join",
-    "q_stream_interval_outer",
-    "q_stream_interval_semi",
-    "q_stream_simhash_wide_pairs",
-    "q_substring_dedup",
-    "q_tfidf_top_terms",
-    "q_token_shards",
-    "q_trigram_surprisal",
-    "q_unigram_surprisal",
-    "q_url_dedup",
-    "q_winnow_fingerprint",
-    "q_winnow_pairs",
-    # --- new this round: fresh rows required ---
-    "q_normalize_text",
-    "q_snapshot_paragraph_dedup",
-    "q_snapshot_span_dedup",
-    "q_curation_v6",
-    "q_normalize_dedup",
-    "q_lang_id_paragraphs",
-    # --- r9-fresh block (next-oldest; the ~50 window tail reaches here) ---
-    "q_5gram_kn",
-    "q_ann_recall",
-    "q_anti_join",
-    "q_asof_join",
+    # --- r9-stale head (round-12 rotation: every latest-r9 row,
+    # computed from CORRECTNESS_r01..r11) ---
     "q_asof_prev_purchase",
     "q_audio_near_dup",
     "q_badwords_filter",
@@ -160,7 +107,16 @@ _DRIVER_SAMPLE_ORDER = [
     "q_topk_per_group",
     "q_union_lineage",
     "q_zorder_key",
-    # --- r10-fresh tail (newest rows; sampled last) ---
+    # --- new this round: fresh rows required (span probe last: its
+    # sibling para probe + the in-suite gate cover the mechanism if
+    # the ~50 window cuts before it) ---
+    "q_curation_v7",
+    "q_bpe_model_apply",
+    "q_bpe_bytes",
+    "q_snapshot_paragraph_probe",
+    "q_snapshot_span_probe",
+    # --- r10-fresh block (next-oldest; the ~50 window tail may reach
+    # here) ---
     "q_5gram_surprisal",
     "q_bigram_surprisal",
     "q_bloom_prefilter",
@@ -211,6 +167,57 @@ _DRIVER_SAMPLE_ORDER = [
     "q_text_profile",
     "q_video_near_dup",
     "q_winnow_pairs_capped",
+    # --- r11-fresh tail (newest rows; sampled last) ---
+    "q_curation_v3",
+    "q_embedding_cluster_dedup",
+    "q_events_stream_windowed",
+    "q_flagship_revenue",
+    "q_gopher_quality",
+    "q_hash_split",
+    "q_hll_distinct",
+    "q_hll_union",
+    "q_html_clean",
+    "q_ivf_refit_plan",
+    "q_jaccard_pairs",
+    "q_json_props",
+    "q_key_skew",
+    "q_line_dedup",
+    "q_lm_snapshot_score",
+    "q_md5_user_hash",
+    "q_mixture_weights",
+    "q_moving_sum",
+    "q_perplexity_buckets",
+    "q_pii_luhn",
+    "q_pii_scrub",
+    "q_quality_classifier",
+    "q_quota_sample",
+    "q_range_join",
+    "q_salted_agg",
+    "q_session_window",
+    "q_stratified_sample",
+    "q_stream_hll_users",
+    "q_stream_interval_join",
+    "q_stream_interval_outer",
+    "q_stream_interval_semi",
+    "q_stream_simhash_wide_pairs",
+    "q_substring_dedup",
+    "q_tfidf_top_terms",
+    "q_token_shards",
+    "q_trigram_surprisal",
+    "q_unigram_surprisal",
+    "q_url_dedup",
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
+    "q_normalize_text",
+    "q_snapshot_paragraph_dedup",
+    "q_snapshot_span_dedup",
+    "q_curation_v6",
+    "q_normalize_dedup",
+    "q_lang_id_paragraphs",
+    "q_5gram_kn",
+    "q_ann_recall",
+    "q_anti_join",
+    "q_asof_join",
 ]
 
 _missing = [n for n in _DRIVER_SAMPLE_ORDER if n not in QUERIES]

@@ -3721,9 +3721,32 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives the same prior hash set inline (write ∪ append is exactly
 # the distinct hash set of doc_id % 10 < 8 — the append==rebuild set
 # identity the pytest lifecycle pins prove).
-@query(
-    "q_snapshot_paragraph_dedup",
-    oracle="""
+#
+# Each lifecycle query has a *_probe twin (VERDICT r11 Next #7): same
+# result, same oracle, but the snapshot builds ONCE per process per
+# sf_dir so the driver/bench row records the STEADY-STATE probe cost
+# (a production pipeline writes the snapshot once per crawl and probes
+# every batch; the lifecycle queries keep the full write+append+probe
+# cost in their own rows for the real-work record).
+_PROBE_SNAPSHOTS: dict[tuple[str, str], str] = {}
+
+
+def _probe_snapshot(name: str, sf_dir: str, build) -> str:
+    """Build-once memo for probe-only snapshot twins: ``build(path)``
+    runs on first use per (name, sf_dir) in this process; later calls
+    reuse the files — the steady-state shape, measured honestly
+    because bench's min-of-2 makes run 2 pure probe and the warm-up
+    builds at the warm SF only."""
+    key = (name, sf_dir)
+    path = _PROBE_SNAPSHOTS.get(key)
+    if path is None:
+        path = _snapshot_scratch(name)
+        build(path)
+        _PROBE_SNAPSHOTS[key] = path
+    return path
+
+
+_SNAP_PARA_ORACLE = """
     WITH src AS (SELECT doc_id AS src_id, text AS para FROM documents
                  WHERE doc_id < 100),
     expl AS (SELECT d.doc_id, t.p, (d.doc_id * 3 + t.p) % 100 AS src_id
@@ -3749,20 +3772,15 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(r.n_kept, 0) AS n_kept,
            coalesce(r.dedup_fp, md5('')) AS dedup_fp
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
-    """,
-)
-def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from magicxml_spark.operators.curation import (
-        append_paragraph_snapshot,
-        paragraph_dedup_against_snapshot,
-        write_paragraph_snapshot,
-    )
+    """
 
+
+def _snap_para_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     src = docs.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("src_id"), F.col("text").alias("para")
     )
-    synth = (
+    return (
         docs.select(
             "doc_id",
             F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("p"),
@@ -3780,12 +3798,13 @@ def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text")
         )
     )
-    snap = _snapshot_scratch("para_dedup")
-    write_paragraph_snapshot(synth.filter(F.col("doc_id") % 10 < 6), snap)
-    append_paragraph_snapshot(
-        synth.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8)),
-        snap,
+
+
+def _snap_para_out(synth: DataFrame, snap: str) -> DataFrame:
+    from magicxml_spark.operators.curation import (
+        paragraph_dedup_against_snapshot,
     )
+
     out = paragraph_dedup_against_snapshot(
         synth.filter(F.col("doc_id") % 10 >= 8), snap
     )
@@ -3794,9 +3813,43 @@ def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_snapshot_span_dedup",
-    oracle=f"""
+def _snap_para_build(synth: DataFrame):
+    from magicxml_spark.operators.curation import (
+        append_paragraph_snapshot,
+        write_paragraph_snapshot,
+    )
+
+    def build(path: str) -> None:
+        write_paragraph_snapshot(synth.filter(F.col("doc_id") % 10 < 6), path)
+        append_paragraph_snapshot(
+            synth.filter(
+                (F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8)
+            ),
+            path,
+        )
+
+    return build
+
+
+@query("q_snapshot_paragraph_dedup", oracle=_SNAP_PARA_ORACLE)
+def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = _snap_para_synth(spark, sf_dir)
+    snap = _snapshot_scratch("para_dedup")
+    _snap_para_build(synth)(snap)
+    return _snap_para_out(synth, snap)
+
+
+@query("q_snapshot_paragraph_probe", oracle=_SNAP_PARA_ORACLE)
+def q_snapshot_paragraph_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin: snapshot built once per process (see
+    _probe_snapshot) — the row measures the O(delta) steady-state
+    probe a production re-crawl pays per batch."""
+    synth = _snap_para_synth(spark, sf_dir)
+    snap = _probe_snapshot("para_probe", sf_dir, _snap_para_build(synth))
+    return _snap_para_out(synth, snap)
+
+
+_SNAP_SPAN_ORACLE = f"""
     WITH synth AS (
       SELECT doc_id,
              array_to_string(list_transform(
@@ -3833,18 +3886,13 @@ def q_snapshot_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
            md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_fp
     FROM sp_rebuilt
-    """,
-)
-def q_snapshot_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from magicxml_spark.operators.curation import (
-        append_span_snapshot,
-        span_dedup_against_snapshot,
-        write_span_snapshot,
-    )
+    """
 
+
+def _snap_span_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     base = F.when(d % 4 == 0, d * 900).otherwise((d * 3) % 50)
-    synth = table(spark, sf_dir, "documents").select(
+    return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat_ws(
             " ",
@@ -3858,16 +3906,52 @@ def q_snapshot_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    snap = _snapshot_scratch("span_dedup")
-    write_span_snapshot(synth.filter(d % 10 < 6), snap)
-    append_span_snapshot(synth.filter((d % 10 >= 6) & (d % 10 < 8)), snap)
-    out = span_dedup_against_snapshot(synth.filter(d % 10 >= 8), snap)
+
+
+def _snap_span_out(synth: DataFrame, snap: str) -> DataFrame:
+    from magicxml_spark.operators.curation import span_dedup_against_snapshot
+
+    out = span_dedup_against_snapshot(
+        synth.filter(F.col("doc_id") % 10 >= 8), snap
+    )
     return out.select(
         "doc_id",
         "n_sentences",
         "n_kept",
         F.md5("text_dedup").alias("dedup_fp"),
     )
+
+
+def _snap_span_build(synth: DataFrame):
+    from magicxml_spark.operators.curation import (
+        append_span_snapshot,
+        write_span_snapshot,
+    )
+
+    d = F.col("doc_id")
+
+    def build(path: str) -> None:
+        write_span_snapshot(synth.filter(d % 10 < 6), path)
+        append_span_snapshot(synth.filter((d % 10 >= 6) & (d % 10 < 8)), path)
+
+    return build
+
+
+@query("q_snapshot_span_dedup", oracle=_SNAP_SPAN_ORACLE)
+def q_snapshot_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = _snap_span_synth(spark, sf_dir)
+    snap = _snapshot_scratch("span_dedup")
+    _snap_span_build(synth)(snap)
+    return _snap_span_out(synth, snap)
+
+
+@query("q_snapshot_span_probe", oracle=_SNAP_SPAN_ORACLE)
+def q_snapshot_span_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of q_snapshot_span_dedup (see
+    _probe_snapshot)."""
+    synth = _snap_span_synth(spark, sf_dir)
+    snap = _probe_snapshot("span_probe", sf_dir, _snap_span_build(synth))
+    return _snap_span_out(synth, snap)
 
 
 # --- Composed curation v6: the ACTUAL FineWeb recipe (Penedo 2024) ------------
