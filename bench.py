@@ -141,6 +141,9 @@ def main() -> None:
             "q_bpe_bytes",
             "q_snapshot_paragraph_probe",
             "q_snapshot_span_probe",
+            "q_lm_snapshot_probe",
+            "q_bm25_index_probe",
+            "q_stream_paragraph_curation",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

@@ -115,6 +115,9 @@ _DRIVER_SAMPLE_ORDER = [
     "q_bpe_bytes",
     "q_snapshot_paragraph_probe",
     "q_snapshot_span_probe",
+    "q_lm_snapshot_probe",
+    "q_bm25_index_probe",
+    "q_stream_paragraph_curation",
     # --- r10-fresh block (next-oldest; the ~50 window tail may reach
     # here) ---
     "q_5gram_surprisal",

@@ -1515,3 +1515,22 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(
         spark, idx, ["spark", "customer", "vector"], k=50
     )
+
+
+@query("q_bm25_index_probe", oracle=_ORACLE["q_bm25_topk"])
+def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of q_bm25_index_query (the write-penalty
+    ledger's steady-state arm): the inverted index builds once per
+    process (pipeline._probe_snapshot), the row is pure postings-probe
+    retrieval — the cost a serving deployment pays per query batch."""
+    from magicxml_spark.operators.retrieval import (
+        query_bm25_index,
+        write_bm25_index,
+    )
+    from magicxml_spark.queries.pipeline import _probe_snapshot
+
+    docs = table(spark, sf_dir, "documents")
+    idx = _probe_snapshot(
+        "bm25idx_probe", sf_dir, lambda p: write_bm25_index(docs, p)
+    )
+    return query_bm25_index(spark, idx, ["spark", "customer", "vector"], k=50)

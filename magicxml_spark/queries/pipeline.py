@@ -4455,10 +4455,13 @@ def _v7_noisy_sql() -> str:
     return "concat_ws(' ', " + ", ".join(parts) + ")"
 
 
-def _curation_v7_oracle() -> str:
+def _v7_core_ctes() -> str:
+    """The WITH-body shared by q_curation_v7 and its streaming twin:
+    synthesis -> paragraph split -> per-paragraph langid + frozen-JM
+    bigram ladder -> keep decision -> reassembled docs (ends in
+    ``v7re``: doc_id, n_paras, n_kept, text)."""
     from magicxml_spark.operators.langid import langid_duckdb_ctes
 
-    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="v7re")
     p0, p2, p4, p6 = (_v7_pool_case_sql(s) for s in (0, 1, 2, 3))
     bomb = f"rtrim(repeat({_v7_pool_case_sql(0)} || ' ', {_V7_BOMB_REPS}))"
     words_para = _WORDS_SQL.replace("text", "para")
@@ -4476,8 +4479,7 @@ def _curation_v7_oracle() -> str:
         f"0.75 * coalesce(CAST(b2.c2 AS DOUBLE) / g2.x2,"
         f" CAST(0.0 AS DOUBLE)) + 0.25 * ({p1})"
     )
-    return f"""
-    WITH v7tr AS (SELECT doc_id, {_v7_pool_case_sql(0)} AS text
+    return f"""v7tr AS (SELECT doc_id, {_v7_pool_case_sql(0)} AS text
                   FROM documents),
     v7docs AS MATERIALIZED (
       SELECT doc_id,
@@ -4536,7 +4538,13 @@ def _curation_v7_oracle() -> str:
                list_filter(list(CASE WHEN keep THEN para END ORDER BY pos),
                            x -> x IS NOT NULL),
                chr(10) || chr(10)), '') AS text
-      FROM v7keep GROUP BY doc_id),
+      FROM v7keep GROUP BY doc_id)"""
+
+
+def _curation_v7_oracle() -> str:
+    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="v7re")
+    return f"""
+    WITH {_v7_core_ctes()},
     {gopher_ctes},
     v7g AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
             WHERE {gopher_keep})
@@ -4564,10 +4572,10 @@ def _v7_train_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v7_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mixed-document corpus — factored so the stage-effect pins
-    in tests/test_pipeline_v7.py exercise the EXACT frame the
-    registered query runs."""
+def _v7_synth_cols(docs: DataFrame) -> DataFrame:
+    """The mixed-document synthesis as a column transform over any
+    (doc_id, ...) frame — shared by the batch query (over the table)
+    and the streaming twin (per micro-batch)."""
     d = F.col("doc_id")
     noisy_parts = []
     k = 0
@@ -4582,22 +4590,29 @@ def _v7_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bomb = F.array_join(
         F.array_repeat(_v7_pool_col(0), _V7_BOMB_REPS), " "
     )
-    return (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "\n\n",
-                _v7_pool_col(0),
-                F.when(d % 3 == 0, F.lit(_V5_RU)),
-                _v7_pool_col(1),
-                F.when(d % 4 == 0, noisy),
-                _v7_pool_col(2),
-                F.when(d % 9 == 0, bomb),
-                _v7_pool_col(3),
-            ).alias("text"),
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            _v7_pool_col(0),
+            F.when(d % 3 == 0, F.lit(_V5_RU)),
+            _v7_pool_col(1),
+            F.when(d % 4 == 0, noisy),
+            _v7_pool_col(2),
+            F.when(d % 9 == 0, bomb),
+            _v7_pool_col(3),
+        ).alias("text"),
+    )
+
+
+def _v7_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-document corpus — factored so the stage-effect pins
+    in tests/test_pipeline_v7.py exercise the EXACT frame the
+    registered query runs."""
+    return _v7_synth_cols(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
         )
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -4841,3 +4856,69 @@ def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return bpe_apply_bytes_pandas(synth, merges=BPE_BYTES_FROZEN_MERGES)
+
+
+# --- Probe-only twins for the remaining write-penalty ledger entries ----------
+# Same pattern as q_snapshot_*_probe: the frozen artifact builds once
+# per process (outside the repeated-measure path), the row records the
+# steady-state scoring cost — the number a production pipeline pays
+# per batch against an already-frozen model.
+
+
+@query("q_lm_snapshot_probe", oracle=_lm_snapshot_oracle(order=3, floor=2))
+def q_lm_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of q_lm_snapshot_score: the trigram snapshot
+    trains once per process; the row is pure frozen-LM scoring."""
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    snap = _probe_snapshot(
+        "lm3_probe",
+        sf_dir,
+        lambda p: write_lm_snapshot(train, p, order=3, count_floor=2),
+    )
+    return score_with_lm_snapshot(docs.filter(F.col("doc_id") % 2 == 1), snap)
+
+
+def _stream_para_cur_oracle() -> str:
+    return f"""
+    WITH {_v7_core_ctes()}
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           md5(text) AS text_fp
+    FROM v7re
+    """
+
+
+@query("q_stream_paragraph_curation", oracle=_stream_para_cur_oracle())
+def q_stream_paragraph_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the v7 paragraph stage: the same synthesis
+    corpus arrives as a document STREAM and each micro-batch runs the
+    full paragraph decision statelessly against the frozen bigram LM
+    (document-local math — no cross-batch state). The oracle is the
+    v7 core WITHOUT the doc-level Gopher gate, so stream == batch ==
+    DuckDB pins the per-paragraph semantics on their own."""
+    from magicxml_spark.operators.curation import write_lm_snapshot
+    from magicxml_spark.streaming.lm import run_stream_paragraph_curation
+
+    snap = _probe_snapshot(
+        "v7lm2_stream",
+        sf_dir,
+        lambda p: write_lm_snapshot(
+            _v7_train_spark(spark, sf_dir), p, order=2
+        ),
+    )
+    return run_stream_paragraph_curation(
+        spark,
+        sf_dir,
+        snap,
+        out_dir=_snapshot_scratch("para_cur_out"),
+        keep_lang="en",
+        max_surprisal=_V7_MAX_SURPRISAL,
+        synth=lambda batch: _v7_synth_cols(batch.select("doc_id")),
+    )

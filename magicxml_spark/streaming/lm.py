@@ -255,3 +255,60 @@ def run_stream_normalize(
         max_files_per_trigger=max_files_per_trigger,
         path_glob=path_glob,
     )
+
+
+def run_stream_paragraph_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    out_dir: str,
+    doc_filter=None,
+    keep_lang: str = "en",
+    max_surprisal: float | None = None,
+    synth=None,
+    state_partitions: int = 2,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`operators.curation.paragraph_curation` — once the LM is
+    frozen, the whole paragraph decision (split -> langid ->
+    frozen-LM surprisal -> keep -> rebuild) is DOCUMENT-LOCAL: every
+    paragraph of a doc arrives inside the doc's own row, every
+    aggregate keys on the doc id, and no state crosses batch
+    boundaries — curation is a stateless map per micro-batch, the
+    :func:`run_stream_lm_score` shape. ``synth`` optionally rewrites
+    each batch before curation (the registered query injects its
+    synthesis corpus there). Returns
+    (doc_id, n_paras, n_kept, text_fp) read back from ``out_dir``."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.operators.curation import paragraph_curation
+
+    def score(batch: DataFrame) -> DataFrame:
+        if synth is not None:
+            batch = synth(batch)
+        out = paragraph_curation(
+            batch,
+            snapshot_path,
+            keep_lang=keep_lang,
+            max_surprisal=max_surprisal,
+        )
+        return out.select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.md5("text_kept").alias("text_fp"),
+        )
+
+    return _run_frozen_score(
+        spark,
+        sf_dir,
+        score,
+        out_dir,
+        "para_cur",
+        doc_filter=doc_filter,
+        state_partitions=state_partitions,
+        max_files_per_trigger=max_files_per_trigger,
+        path_glob=path_glob,
+    )

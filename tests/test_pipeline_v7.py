@@ -137,3 +137,42 @@ def test_registered_query_counts(spark):
     assert len(rows) == 444
     assert all(r.n_kept == 4 for r in rows)
     assert all(r.doc_id % 9 != 0 for r in rows)
+
+
+def test_stream_paragraph_curation_equals_batch(spark, v7):
+    """Stream == batch for the paragraph decision: the stateless
+    per-micro-batch map must reproduce the batch operator row for row
+    (fp included)."""
+    from magicxml_spark.operators.curation import paragraph_curation
+    from magicxml_spark.queries.pipeline import (
+        _V7_MAX_SURPRISAL,
+        _snapshot_scratch,
+        _v7_synth_cols,
+    )
+    from magicxml_spark.streaming.lm import run_stream_paragraph_curation
+
+    synth, snap = v7
+    batch = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_kept)
+        for r in paragraph_curation(
+            synth, snap, keep_lang="en", max_surprisal=_V7_MAX_SURPRISAL
+        ).collect()
+    }
+    import hashlib
+
+    streamed = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_fp)
+        for r in run_stream_paragraph_curation(
+            spark,
+            SF,
+            snap,
+            out_dir=_snapshot_scratch("para_cur_test"),
+            keep_lang="en",
+            max_surprisal=_V7_MAX_SURPRISAL,
+            synth=lambda b: _v7_synth_cols(b.select("doc_id")),
+        ).collect()
+    }
+    assert set(batch) == set(streamed)
+    for d, (np_, nk, text) in batch.items():
+        fp = hashlib.md5(text.encode("utf-8")).hexdigest()
+        assert streamed[d] == (np_, nk, fp), f"doc {d}"
