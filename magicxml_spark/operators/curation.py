@@ -2234,7 +2234,7 @@ def _short_line_pred(short_line_length: int):
 
 def paragraph_signals(
     df: DataFrame,
-    lm_path: str,
+    lm_path: str | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
@@ -2248,7 +2248,10 @@ def paragraph_signals(
     against the FROZEN snapshot at ``lm_path``
     (:func:`score_with_lm_snapshot`'s ladder — CCNet scores crawl
     paragraphs against a Wikipedia-domain model, never the corpus's
-    own statistics). Output: one row per paragraph —
+    own statistics). ``lm_path=None`` skips the LM arm entirely
+    (langid-only paragraph curation — the v8 composition's stage 0):
+    ``n_tokens``/``surprisal`` come back NULL and the plan contains
+    no scoring join. Output: one row per paragraph —
     ``(id, pos, para, lang, lang_score, n_tokens, surprisal)`` where
     ``surprisal`` is NULL for token-free paragraphs (they score
     nothing; their ``lang`` is 'und' already).
@@ -2265,17 +2268,19 @@ def paragraph_signals(
 
     from magicxml_spark.operators.langid import with_lang
 
-    paras = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(
-                F.split(
-                    F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1
-                )
-            ).alias("_pos", "_para"),
-        )
-        .localCheckpoint(eager=True)
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1
+            )
+        ).alias("_pos", "_para"),
     )
+    if lm_path is not None:
+        # two consumers (langid chain + LM scoring): materialize the
+        # exploded frame once; langid-only plans have one consumer and
+        # stay lazy
+        paras = paras.localCheckpoint(eager=True)
     lid = with_lang(
         paras, "_para", out_col="_plang", max_chars=max_chars,
         min_score=min_score,
@@ -2286,6 +2291,16 @@ def paragraph_signals(
         F.col("_plang").alias("_lang"),
         F.col("_plang_score").alias("_lang_score"),
     )
+    if lm_path is None:
+        return lid.select(
+            F.col("_id").alias(id_col),
+            F.col("_pos").alias("pos"),
+            F.col("_para").alias("para"),
+            F.col("_lang").alias("lang"),
+            F.col("_lang_score").alias("lang_score"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("surprisal"),
+        )
     scored = score_with_lm_snapshot(
         paras.select(
             F.struct("_id", "_pos").alias("_pid"),
@@ -2313,7 +2328,7 @@ def paragraph_signals(
 
 def paragraph_curation(
     df: DataFrame,
-    lm_path: str,
+    lm_path: str | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
@@ -2346,6 +2361,11 @@ def paragraph_curation(
     computed-column projections (the gate-shape contract holds by
     construction — the decision is a projection marker, not a pushed
     predicate)."""
+    if max_surprisal is not None and lm_path is None:
+        raise ValueError(
+            "max_surprisal requires a frozen LM snapshot (lm_path is "
+            "None — the langid-only mode has no surprisal signal)"
+        )
     sig = paragraph_signals(
         df, lm_path, id_col, text_col, sep,
         max_chars=max_chars, min_score=min_score,

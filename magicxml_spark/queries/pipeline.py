@@ -4922,3 +4922,267 @@ def q_stream_paragraph_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_surprisal=_V7_MAX_SURPRISAL,
         synth=lambda batch: _v7_synth_cols(batch.select("doc_id")),
     )
+
+
+# --- Composed curation v8: the FineWeb stack at paragraph granularity ---------
+# v6's document-level langid gate replaced by the r12 paragraph stage:
+# per-paragraph score-gated langid -> drop foreign/low-confidence
+# paragraphs -> reassemble -> Gopher -> FineWeb -> MinHash cluster
+# dedup -> DSIR -> 128-token packing. The corpus is v6's with two
+# deltas that make the granularity LOAD-BEARING:
+#   d%10==3 -> an en doc with an EMBEDDED RU paragraph (v6's full-RU
+#              class): the paragraph stage drops the quote and the doc
+#              SURVIVES to the output — v6's doc-level gate killed it
+#              whole, so these doc_ids appearing in the result IS the
+#              non-vacuity proof
+#   d%10==6 -> the listy para spells 'of uNNN' (en-profile hit) so it
+#              PASSES the paragraph gate and FineWeb's short-line rule
+#              still gets its kill class
+# jusText is deliberately absent: on this corpus the paragraph-langid
+# stage subsumes its boilerplate kills (the soup/copyright paras score
+# 'und' and drop — measured verdicts in the r12 probe), and extraction
+# belongs UPSTREAM of language gating in the published recipes; v5/v6
+# keep the jusText arm under the gate.
+
+
+def _v8_listy_sql() -> str:
+    return (
+        "array_to_string(list_transform(range(60, 96), i -> "
+        "'of u' || CAST(doc_id * 1009 + i * 131 AS VARCHAR)), chr(10))"
+    )
+
+
+def _curation_v8_oracle() -> str:
+    from magicxml_spark.operators.langid import langid_duckdb_ctes
+
+    gopher_ctes, _, _, gopher_keep = _gopher_parts(source="v8re")
+    fw_ctes, fw_keep = _fineweb_fr_ctes("g8")
+    p1 = _v6_sql_para(_V6_CYC1, _V6_JCYC1, 0)
+    p2 = _v6_sql_para(_V6_CYC2, _V6_JCYC2, 20)
+    p3 = _v6_sql_para(_V6_CYC3, _V6_JCYC3, 40)
+    bomb = (
+        f"' ' || repeat('we do it and ', {_V6_BOMB_REPS})"
+        " || 'so it is done now.'"
+    )
+    tok_n = (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+    WITH RECURSIVE synthv8 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN '{_V5_DE}'
+                  ELSE concat_ws(chr(10) || chr(10),
+                    {p1} || '.',
+                    CASE WHEN doc_id % 10 = 3 THEN '{_V5_RU}' END,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'quick stats d' || CAST(doc_id AS VARCHAR)
+                              || ' overview now' END,
+                    {p2} || CASE WHEN doc_id % 9 = 0 THEN {bomb}
+                                 ELSE '.' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN 'Copyright 2024 Example Corp. All rights reserved.' END,
+                    {p3} || '.',
+                    CASE WHEN doc_id % 10 = 6 THEN {_v8_listy_sql()} END) END
+               AS text
+      FROM documents),
+    v8ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+             FROM synthv8),
+    v8pi AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+             FROM v8ps),
+    v8paras AS MATERIALIZED (
+      SELECT doc_id * 64 + (i - 1) AS pid, doc_id,
+             CAST(i - 1 AS INTEGER) AS pos, ps[i] AS para
+      FROM v8pi),
+    {langid_duckdb_ctes("v8paras", id_col="pid", text_col="para",
+                        max_chars=1000, min_score=_V6_MIN_SCORE)},
+    v8keep AS (SELECT pp.doc_id, pp.pos, pp.para, l.lang = 'en' AS keep
+               FROM v8paras pp JOIN lid l ON l.pid = pp.pid),
+    v8re AS MATERIALIZED (
+      SELECT doc_id,
+             coalesce(array_to_string(
+               list_filter(list(CASE WHEN keep THEN para END ORDER BY pos),
+                           x -> x IS NOT NULL),
+               chr(10) || chr(10)), '') AS text
+      FROM v8keep GROUP BY doc_id),
+    {gopher_ctes},
+    gq8_gate AS (SELECT s.doc_id FROM scal s LEFT JOIN rep r USING (doc_id)
+                 WHERE {gopher_keep}),
+    g8 AS MATERIALIZED (SELECT r8.doc_id, r8.text
+              FROM v8re r8 JOIN gq8_gate USING (doc_id)),
+    {fw_ctes},
+    fwgated8 AS MATERIALIZED (SELECT g.doc_id, g.text
+               FROM g8 g JOIN fwfr f USING (doc_id)
+               WHERE {fw_keep}),
+    mh_w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM fwgated8),
+    mh_sh AS (SELECT doc_id,
+                     list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                    i -> array_to_string(w[i:i+2], ' ')) AS sh
+              FROM mh_w WHERE len(w) > 0),
+    mh_sig AS (SELECT doc_id, b.band,
+                      list_aggregate(list_transform(sh,
+                        s -> substr(md5(s), 1 + b.band * 8, 8)),
+                        'min') AS signature
+               FROM mh_sh, (SELECT unnest(range(0, 4)) AS band) b),
+    mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                 FROM mh_sig a JOIN mh_sig b2
+                   ON a.band = b2.band AND a.signature = b2.signature
+                  AND a.doc_id < b2.doc_id),
+    mh_edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                 UNION SELECT id_b, id_a FROM mh_pairs),
+    mh_reach(id, r) AS (
+      SELECT doc_id, doc_id FROM fwgated8
+      UNION
+      SELECT e.dst, rr.r FROM mh_reach rr JOIN mh_edges e ON e.src = rr.id),
+    mh_keep AS (SELECT id AS doc_id FROM mh_reach
+                GROUP BY id HAVING min(r) = id),
+    deduped8 AS MATERIALIZED (SELECT g.doc_id, g.text
+               FROM fwgated8 g JOIN mh_keep USING (doc_id)),
+    {_dsir_select_ctes("deduped8")},
+    sel AS MATERIALIZED (SELECT doc_id, n_grams, lw, sel FROM dsir_keyed
+            ORDER BY sel DESC, doc_id LIMIT 100),
+    pw AS (SELECT s.doc_id, s.n_grams, s.lw, s.sel,
+                  CAST({tok_n} AS BIGINT) AS n
+           FROM sel s JOIN deduped8 c USING (doc_id)),
+    pnz AS (SELECT * FROM pw WHERE n > 0),
+    ppre AS (SELECT doc_id, n_grams, lw, sel, n,
+                    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS p
+             FROM pnz),
+    pseg AS (SELECT doc_id, n_grams, lw, sel, n, p,
+                    unnest(range(p // 128, (p + n - 1) // 128 + 1)) AS seq_id
+             FROM ppre)
+    SELECT doc_id, n_grams,
+           round(lw / 1e6, 6) AS log_w,
+           round(sel / 1e6, 6) AS sel_key,
+           n AS n_tokens, seq_id,
+           greatest(seq_id * 128 - p, 0) AS doc_from,
+           least(n, (seq_id + 1) * 128 - p)
+             - greatest(seq_id * 128 - p, 0) AS seg_len,
+           greatest(p - seq_id * 128, 0) AS seq_off
+    FROM pseg
+    """
+
+
+def _v8_synth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v8 synthesis corpus — v6's with the embedded-RU and
+    'of'-listy deltas; factored for the test pins."""
+    d = F.col("doc_id")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bomb = F.concat(
+        F.lit(" "),
+        F.repeat(F.lit("we do it and "), _V6_BOMB_REPS),
+        F.lit("so it is done now."),
+    )
+    listy = F.array_join(
+        F.transform(
+            F.sequence(F.lit(60), F.lit(95)),
+            lambda i: F.concat(
+                F.lit("of u"), (d * 1009 + i * 131).cast("string")
+            ),
+        ),
+        "\n",
+    )
+    eng = F.concat_ws(
+        "\n\n",
+        F.concat(_v6_sp_para(_V6_CYC1, _V6_JCYC1, 0), F.lit(".")),
+        F.when(d % 10 == 3, F.lit(_V5_RU)),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("quick stats d"),
+                d.cast("string"),
+                F.lit(" overview now"),
+            ),
+        ),
+        F.concat(
+            _v6_sp_para(_V6_CYC2, _V6_JCYC2, 20),
+            F.when(d % 9 == 0, bomb).otherwise(F.lit(".")),
+        ),
+        F.when(
+            d % 5 == 0,
+            F.lit("Copyright 2024 Example Corp. All rights reserved."),
+        ),
+        F.concat(_v6_sp_para(_V6_CYC3, _V6_JCYC3, 40), F.lit(".")),
+        F.when(d % 10 == 6, listy),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(d % 10 == 7, F.lit(_V5_DE)).otherwise(eng).alias("text"),
+    )
+
+
+@query("q_curation_v8", oracle=_curation_v8_oracle())
+def q_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magicxml_spark.analytics.clusters import dedup_clusters
+    from magicxml_spark.operators.curation import (
+        fineweb_quality,
+        gopher_quality,
+        paragraph_curation,
+    )
+    from magicxml_spark.operators.dedup import lsh_candidate_pairs
+    from magicxml_spark.operators.dsir import dsir_select
+    from magicxml_spark.operators.sampling import pack_sequences
+    from magicxml_spark.operators.text import tokens
+
+    d = F.col("doc_id")
+    synth = _v8_synth_spark(spark, sf_dir).localCheckpoint(eager=True)
+    # stage 0: paragraph-granularity score-gated langid curation —
+    # langid-only mode (lm_path=None); the LM arm is v7's
+    cur = paragraph_curation(
+        synth, None, keep_lang="en",
+        min_score=_V6_MIN_SCORE, max_chars=1000,
+    )
+    kept = cur.select(
+        "doc_id", F.col("text_kept").alias("text")
+    ).localCheckpoint(eager=True)
+    # stage 1: Gopher gate on the REASSEMBLED documents (empty
+    # reassemblies fail n_words and drop here)
+    gated = kept.join(
+        gate_on_computed(
+            gopher_quality(kept), ["doc_id", "keep"], F.col("keep")
+        ).select("doc_id"),
+        "doc_id",
+    )
+    # stage 2: FineWeb custom filters
+    fwgated = gated.join(
+        gate_on_computed(
+            fineweb_quality(gated), ["doc_id", "keep"], F.col("keep")
+        ).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    # stage 3: MinHash fuzzy dedup (capped star default) -> connected
+    # components -> min-id survivor per cluster
+    pairs = lsh_candidate_pairs(fwgated, "doc_id", "text")
+    clusters = dedup_clusters(
+        fwgated.select(F.col("doc_id").alias("id")), pairs
+    )
+    keep_ids = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = fwgated.join(keep_ids, "doc_id").localCheckpoint(eager=True)
+    # stage 4: DSIR selection toward the even-id target
+    sel = dsir_select(deduped, "doc_id", "text", d % 2 == 0, k=100)
+    # stage 5: token-exact 128-token packing
+    counts = deduped.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sel.join(counts, "doc_id"), "doc_id", "n_tokens", seq_len=128
+    )
+    return packed.select(
+        "doc_id",
+        "n_grams",
+        "log_w",
+        "sel_key",
+        "n_tokens",
+        "seq_id",
+        "doc_from",
+        "seg_len",
+        "seq_off",
+    )
