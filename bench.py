@@ -144,6 +144,7 @@ def main() -> None:
             "q_lm_snapshot_probe",
             "q_bm25_index_probe",
             "q_stream_paragraph_curation",
+            "q_curation_v8",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the
