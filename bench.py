@@ -145,6 +145,7 @@ def main() -> None:
             "q_bm25_index_probe",
             "q_stream_paragraph_curation",
             "q_curation_v8",
+            "q_quality_paragraphs",
         ],
     }
     # Per-query accounting footnotes, emitted verbatim so the

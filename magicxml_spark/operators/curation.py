@@ -2376,20 +2376,46 @@ def paragraph_curation(
             F.col("surprisal") <= max_surprisal, F.lit(False)
         )
     marked = sig.withColumn("_keep", keep)
+    return rebuild_documents(marked, id_col, "pos", "para", "_keep", sep)
+
+
+def rebuild_documents(
+    marked: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    para_col: str = "para",
+    keep_col: str = "keep",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Reassemble documents from a marked paragraph frame — the shared
+    rebuild tail of every paragraph-granularity pass (langid/LM
+    curation, the classifier arm, the dedup family's shape): ONE
+    groupBy on the doc id computing totals, kept counts, and the
+    re-joined text in the same aggregation (keep/drop rides as a
+    marker column — no kept-vs-totals join, no filter over upstream
+    computed columns). Output: ``(id, n_paras, n_kept, text_kept)``
+    with ``text_kept`` the surviving paragraphs in original
+    ``pos_col`` order (empty string when every paragraph dropped)."""
     return (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
-            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum(F.col(keep_col).cast("long")).alias("n_kept"),
             F.array_join(
                 F.transform(
                     F.filter(
                         F.array_sort(
-                            F.collect_list(F.struct("pos", "_keep", "para"))
+                            F.collect_list(
+                                F.struct(
+                                    F.col(pos_col).alias("_p"),
+                                    F.col(keep_col).alias("_k"),
+                                    F.col(para_col).alias("_t"),
+                                )
+                            )
                         ),
-                        lambda s: s["_keep"],
+                        lambda s: s["_k"],
                     ),
-                    lambda s: s["para"],
+                    lambda s: s["_t"],
                 ),
                 sep,
             ).alias("text_kept"),

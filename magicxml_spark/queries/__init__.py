@@ -119,6 +119,7 @@ _DRIVER_SAMPLE_ORDER = [
     "q_bm25_index_probe",
     "q_stream_paragraph_curation",
     "q_curation_v8",
+    "q_quality_paragraphs",
     # --- r10-fresh block (next-oldest; the ~50 window tail may reach
     # here) ---
     "q_5gram_surprisal",

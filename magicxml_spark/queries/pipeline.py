@@ -5186,3 +5186,131 @@ def q_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_len",
         "seq_off",
     )
+
+
+# --- Per-paragraph quality classifier (the third paragraph signal) -----------
+# Completes the paragraph-granularity story across the signal
+# families: langid (v7/v8), frozen-LM surprisal (v7), and now the
+# GPT-3-class model-based quality filter — trained on seed-labeled
+# paragraphs, scored per paragraph, bad paragraphs dropped, documents
+# reassembled. INVARIANT ORACLE (the q_quality_classifier pattern):
+# the seed rule (paragraph contains the planted token) is linearly
+# separable in bag-of-words space, so a correctly trained LR predicts
+# it exactly and the keep decision — and therefore the reassembled
+# text fingerprints — are SQL-expressible from the rule itself. Any
+# misprediction anywhere in the train/score/rebuild chain is a value
+# mismatch.
+_QP_P0 = "the quick brown fox jumps over the lazy dog in"
+_QP_P2 = "we can read the good story of the old house at"
+_QP_SPAM1 = "buy cheap meds now spamtoken click here for"
+_QP_SPAM2 = "limited offer spamtoken win big prize today from"
+
+
+def _quality_paragraphs_oracle() -> str:
+    words_para = _WORDS_SQL.replace("text", "para")
+    return f"""
+    WITH synthq AS (
+      SELECT doc_id,
+             concat_ws(chr(10) || chr(10),
+               '{_QP_P0} d' || CAST(doc_id AS VARCHAR),
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{_QP_SPAM1} zz' || CAST(doc_id AS VARCHAR) END,
+               '{_QP_P2} d' || CAST(doc_id AS VARCHAR),
+               CASE WHEN doc_id % 4 = 0
+                    THEN '{_QP_SPAM2} zz' || CAST(doc_id AS VARCHAR) END)
+               AS text
+      FROM documents),
+    qps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+            FROM synthq),
+    qpi AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+            FROM qps),
+    qparas AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM qpi),
+    qkeep AS (SELECT doc_id, pos, para,
+                     NOT list_contains({words_para}, 'spamtoken') AS keep
+              FROM qparas),
+    qre AS (SELECT doc_id,
+                   count(*) AS n_paras,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+                   coalesce(array_to_string(
+                     list_filter(list(CASE WHEN keep THEN para END
+                                      ORDER BY pos),
+                                 x -> x IS NOT NULL),
+                     chr(10) || chr(10)), '') AS text
+            FROM qkeep GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           md5(text) AS text_fp
+    FROM qre
+    """
+
+
+@query("q_quality_paragraphs", oracle=_quality_paragraphs_oracle())
+def q_quality_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering at paragraph granularity: LR
+    trained on seed-labeled paragraphs (even-doc half), every
+    paragraph scored, predicted-bad paragraphs dropped, documents
+    reassembled (the shared rebuild tail). The paragraph key is the
+    struct(id, pos) pattern; scoring is one broadcast vocab join +
+    the JVM model transform — no Python UDF."""
+    import re
+
+    from magicxml_spark.analytics.ml import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from magicxml_spark.operators.curation import rebuild_documents
+    from magicxml_spark.operators.text import tokens
+
+    d = F.col("doc_id")
+    synth = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit(_QP_P0 + " d"), d.cast("string")),
+                F.when(
+                    d % 3 == 0,
+                    F.concat(F.lit(_QP_SPAM1 + " zz"), d.cast("string")),
+                ),
+                F.concat(F.lit(_QP_P2 + " d"), d.cast("string")),
+                F.when(
+                    d % 4 == 0,
+                    F.concat(F.lit(_QP_SPAM2 + " zz"), d.cast("string")),
+                ),
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    paras = synth.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), re.escape("\n\n"), -1)).alias(
+            "pos", "para"
+        ),
+    ).localCheckpoint(eager=True)  # feeds train, score, and rebuild
+    labeled = paras.withColumn(
+        "_pid", F.struct("doc_id", "pos")
+    ).withColumn(
+        "label",
+        F.array_contains(tokens(F.col("para")), "spamtoken").cast("double"),
+    )
+    model, vocab, v = train_quality_classifier(
+        labeled.filter(d % 2 == 0),
+        "label",
+        id_col="_pid",
+        text_col="para",
+        max_vocab=64,
+        max_iter=25,
+    )
+    scored = score_quality(
+        labeled, model, vocab, v, id_col="_pid", text_col="para"
+    )
+    marked = scored.withColumn("_keep", F.col("quality_pred") == 0)
+    out = rebuild_documents(marked, "doc_id", "pos", "para", "_keep")
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5("text_kept").alias("text_fp"),
+    )

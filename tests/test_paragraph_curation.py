@@ -146,3 +146,31 @@ def test_null_and_empty_text_degenerate(spark, lm_snap):
         assert out[i].n_paras == 1
         assert out[i].n_kept == 0
         assert out[i].text_kept == ""
+
+
+def test_quality_paragraphs_drops_spam_generalizing_to_test_half(spark):
+    """Paragraph classifier pin: doc 3 (odd — NOT in the training
+    half) carries the d%3 spam paragraph; the trained model must
+    generalize and drop exactly it. Doc 12 carries both spam variants
+    (d%3 and d%4); doc 1 is clean and reassembles verbatim."""
+    from pyspark.sql import functions as F
+
+    from magicxml_spark.queries import QUERIES
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q_quality_paragraphs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out[3].n_paras == 3 and out[3].n_kept == 2
+    assert out[12].n_paras == 4 and out[12].n_kept == 2
+    assert out[1].n_paras == 2 and out[1].n_kept == 2
+    # the kept text of a clean doc is the verbatim synthesis
+    import hashlib
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog in d1\n\n"
+        "we can read the good story of the old house at d1"
+    )
+    assert out[1].text_fp == hashlib.md5(clean.encode()).hexdigest()
