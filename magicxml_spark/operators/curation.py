@@ -225,40 +225,107 @@ def gopher_line_cols(text: Column) -> list[Column]:
     ]
 
 
-def _ngrams_tagged(words: Column, orders: list[int]) -> Column:
-    """Array of (n, gram) structs for every order in ``orders`` —
-    built in ONE projection so all orders ride a single explode.
-    Documents shorter than an order contribute no grams for it
-    (``F.sequence(1, k)`` DESCENDS for k < 1, so the short case must
-    be gated, not clamped)."""
+def _order_grams(words: Column, n: int) -> Column:
+    """All order-``n`` grams of ``words`` as space-joined strings
+    (empty array when the document is shorter than the order — the
+    sequence end is clamped to 1 because BOTH when-branches evaluate
+    and ``sequence(1, k)`` DESCENDS for k < 1)."""
 
-    def one(n: int) -> Column:
-        # closure factory, NOT `lambda i, n=n`: a default-arg capture
-        # gives the lambda a 2-arg signature and F.transform would bind
-        # the second parameter to the ELEMENT INDEX instead of n
-        def gram_at(i: Column) -> Column:
-            return F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(words, i, n), " ").alias("gram"),
-            )
+    def gram_at(i: Column) -> Column:
+        return F.array_join(F.slice(words, i, n), " ")
 
-        # the sequence end is clamped to 1 because BOTH when-branches
-        # evaluate: on short docs sequence(1, size-n+1) would DESCEND
-        # through 0 and slice(words, 0, n) is a runtime error; the one
-        # clamped (truncated) gram is then filtered away below
-        arr = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-            gram_at,
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        gram_at,
+    )
+    return F.when(F.size(words) >= n, arr).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def _char_mass(arr: Column) -> Column:
+    """Total char mass of an array of strings (zero for empty)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _top_gram_mass(words: Column, n: int) -> Column:
+    """Char mass (count x length) of the MOST FREQUENT order-``n``
+    gram, ties broken by mass (longer gram) — one in-row fold over the
+    SORTED gram array: equal grams are adjacent after the sort, so a
+    (prev, run, best-count, best-mass) accumulator finds the max run
+    without any per-gram aggregation. The sort+fold run INSIDE one
+    ``aggregate`` expression whose array argument evaluates exactly
+    once per row (higher-order functions materialize their input
+    array), so no Catalyst rewrite can duplicate the gram build."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        zero.alias("r"),
+        zero.alias("bc"),
+        zero.alias("bm"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["p"], acc["r"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        m = run * F.length(x).cast("long")
+        # lexicographic (count, mass) max — count first, mass breaks
+        # ties (the published definition's max(struct(c, m)) order).
+        # Prefix candidates of a run are dominated by its full length,
+        # so folding every prefix finds the same max as whole runs.
+        better = (run > acc["bc"]) | ((run == acc["bc"]) & (m > acc["bm"]))
+        return F.struct(
+            x.alias("p"),
+            run.alias("r"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, m).otherwise(acc["bm"]).alias("bm"),
         )
 
-        # typed empty array without a cast dance (single-arg closure
-        # per the lambda signature-binding rule)
-        def _none(x: Column) -> Column:
-            return F.lit(False)
+    return F.aggregate(
+        F.array_sort(_order_grams(words, n)), acc0, merge,
+        lambda acc: acc["bm"],
+    )
 
-        return F.when(F.size(words) >= n, arr).otherwise(F.filter(arr, _none))
 
-    return F.flatten(F.array(*[one(n) for n in orders]))
+def gopher_repetition_cols(
+    words_ref: Column, chars_ref: Column, grams_ref: dict[int, Column]
+) -> list[Column]:
+    """The nine Gopher repetition fractions as pure per-row Column
+    expressions — the shared core of :func:`gopher_repetition` and
+    :func:`gopher_quality`. ``words_ref``/``chars_ref`` must be
+    MATERIALIZED column references (not inline expressions);
+    ``grams_ref`` maps each dup order to its materialized gram-array
+    column (the dup algebra references its array twice — total minus
+    first-occurrence mass, the :func:`_dup_fracs` spelling — so the
+    array must be a column, not a rebuilt expression)."""
+
+    def frac(mass: Column) -> Column:
+        return F.coalesce(
+            F.when(
+                chars_ref > 0, F.round(mass / chars_ref, 6)
+            ).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        )
+
+    cols = [
+        frac(_top_gram_mass(words_ref, n)).alias(f"top_ngram_frac_{n}")
+        for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    ]
+    for n in sorted(GOPHER_DUP_NGRAM_MAX):
+        g = grams_ref[n]
+        # duplicated char mass = total mass - first-occurrence mass
+        # (every non-first occurrence of a gram contributes its
+        # length) — hash-based array_distinct, no sort needed
+        cols.append(
+            frac(_char_mass(g) - _char_mass(F.array_distinct(g))).alias(
+                f"dup_ngram_frac_{n}"
+            )
+        )
+    return cols
 
 
 def gopher_repetition(
@@ -279,73 +346,44 @@ def gopher_repetition(
     joined by single spaces) so the fractions are tokenizer-consistent
     rather than raw-byte-sensitive.
 
-    Scale shape: ONE explode producing (id, n, gram) for all nine
-    orders (9x token-stream amplification — inherent to the metric,
-    same cost class as the paper's own pipeline), ONE partial-combine
-    aggregate on (id, n, gram), then a per-(id, n) rollup conditionally
-    aggregated into the nine metric columns (no pivot shuffle: n is a
-    9-value literal set). Docs shorter than the order emit no grams
-    and report 0 for that metric."""
+    Scale shape (r12 rewrite, guide §2.3/§2.4): every metric is
+    per-DOCUMENT, so the whole battery now runs as in-row array
+    arithmetic inside one projection — top fractions fold a sorted
+    gram array (equal grams adjacent -> max run = max count), dup
+    fractions take total-minus-distinct char mass — and the 9x gram
+    amplification NEVER crosses an exchange. The r11 shape exploded
+    (id, n, gram) for all nine orders into a 3-level aggregation:
+    same values, but every gram string was shuffled (and the
+    deliberately collision-free bench corpora gave the map-side
+    combine ~zero compression). Zero shuffles besides the compact
+    (id, tokens) pre-compute repartition (kept: the per-row work
+    otherwise runs at the scan's split count — a couple of local
+    parquet files starve a 32-core box; measured 16x there). Docs
+    shorter than an order report 0 for that metric; sf0.1 standalone
+    A/B: 3.36 -> 2.45 s noop-sink min-of-3, and the plan drops from
+    14 Exchanges + double scan to 1 Exchange + single scan."""
     words = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    orders = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
-    # Pre-explode repartition: the 9x gram amplification runs in the
-    # SCAN's stage, so its parallelism is the input split count — a
-    # couple of local parquet files starve a 32-core box 16x (measured
-    # 192 s -> ~35 s at sf1), and any cluster whose splits < cores
-    # pays the same. The shuffled payload is the compact pre-explode
-    # (id, tokens) frame, never the 9x gram stream. Same class of fix
-    # as the KMeans fit_partitions knob.
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            words.alias("_w"),
-        )
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
         .repartition(par)
         .select(
             "_id",
-            (F.length(F.array_join("_w", " "))).alias("_chars"),
-            F.explode_outer(_ngrams_tagged(F.col("_w"), orders)).alias("_t"),
+            F.length(F.array_join("_w", " ")).alias("_chars"),
+            F.col("_w"),
+            *[
+                _order_grams(F.col("_w"), n).alias(f"_g{n}")
+                for n in sorted(GOPHER_DUP_NGRAM_MAX)
+            ],
         )
     )
-    per_gram = (
-        base.groupBy("_id", "_chars", F.col("_t.n").alias("_n"), F.col("_t.gram").alias("_g"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    glen = F.length("_g")
-    per_order = per_gram.groupBy("_id", "_chars", "_n").agg(
-        # top n-gram char mass: the MOST FREQUENT gram's count x length
-        # (the published definition — "fraction of characters in the
-        # most frequent n-gram"); char mass only breaks count ties.
-        # max(struct(count, mass)) is lexicographic: count first.
-        F.max(
-            F.struct(F.col("_c").alias("c"), (F.col("_c") * glen).alias("m"))
-        )["m"].alias("_top_mass"),
-        # duplicated-gram char mass: non-first occurrences only
-        F.sum(F.when(F.col("_c") > 1, (F.col("_c") - 1) * glen).otherwise(F.lit(0))).alias(
-            "_dup_mass"
-        ),
-    )
-    frac = lambda mass: F.round(mass / F.col("_chars"), 6)  # noqa: E731
-    aggs = []
-    for n in sorted(GOPHER_TOP_NGRAM_MAX):
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("_n") == n, frac(F.col("_top_mass")))), F.lit(0.0)
-            ).alias(f"top_ngram_frac_{n}")
-        )
-    for n in sorted(GOPHER_DUP_NGRAM_MAX):
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("_n") == n, frac(F.col("_dup_mass")))), F.lit(0.0)
-            ).alias(f"dup_ngram_frac_{n}")
-        )
-    return (
-        per_order.groupBy("_id", "_chars")
-        .agg(*aggs)
-        .select(F.col("_id").alias(id_col), F.col("_chars").alias("n_chars_norm"), *[
-            f"top_ngram_frac_{n}" for n in sorted(GOPHER_TOP_NGRAM_MAX)
-        ], *[f"dup_ngram_frac_{n}" for n in sorted(GOPHER_DUP_NGRAM_MAX)])
+    grams_ref = {
+        n: F.col(f"_g{n}") for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    }
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.col("_chars").alias("n_chars_norm"),
+        *gopher_repetition_cols(F.col("_w"), F.col("_chars"), grams_ref),
     )
 
 
@@ -386,16 +424,33 @@ def gopher_quality(
     conjunction including the bullet/ellipsis line-shape rules. Metric
     columns are rounded to 6dp so the frame is engine-exact.
 
-    Scale: the scalar + line/paragraph arm is a pure projection (zero
-    shuffle); the join with the n-gram repetition arm is id-keyed,
-    both sides one row per doc."""
+    Scale (r12 rewrite): the ENTIRE battery — scalar gates,
+    line/paragraph rules AND the n-gram repetition metrics — is one
+    per-row projection chain over a single scan: the repetition arm's
+    explode + 3-level aggregation + id-keyed join are gone (see
+    :func:`gopher_repetition_cols`), leaving exactly one exchange
+    (the compact (id, text) pre-compute repartition that spreads
+    per-row work past the scan's split count). q_gopher_quality's
+    plan: 14 Exchanges + 2 scans -> 1 Exchange + 1 scan."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = tokens(t)
-    scalars = df.select(
-        F.col(id_col).alias("_id"),
-        t.alias("_text"),
-        words.alias("_w"),
-    ).select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s1 = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_text"))
+        .repartition(par)
+        .select("_id", "_text", tokens(F.col("_text")).alias("_w"))
+    )
+    s2 = s1.select(
+        "_id",
+        "_text",
+        "_w",
+        F.length(F.array_join("_w", " ")).alias("_chars"),
+        *[
+            _order_grams(F.col("_w"), n).alias(f"_g{n}")
+            for n in sorted(GOPHER_DUP_NGRAM_MAX)
+        ],
+    )
+    grams_ref = {n: F.col(f"_g{n}") for n in sorted(GOPHER_DUP_NGRAM_MAX)}
+    joined = s2.select(
         "_id",
         F.size("_w").cast("long").alias("n_words"),
         # ANSI mode makes x/0 a JOB FAILURE, not a NULL, and a
@@ -440,8 +495,8 @@ def gopher_quality(
         .cast("long")
         .alias("n_stopwords"),
         *gopher_line_cols(F.col("_text")),
+        *gopher_repetition_cols(F.col("_w"), F.col("_chars"), grams_ref),
     )
-    rep = gopher_repetition(df, id_col, text_col).withColumnRenamed(id_col, "_id")
     # repetition caps: the n-gram battery PLUS the duplicate
     # line/paragraph rows of the same published table
     rep_exceeds = [
@@ -458,7 +513,6 @@ def gopher_quality(
         | (F.col("dup_line_char_frac") > GOPHER_MAX_DUP_LINE_CHAR_FRAC)
         | (F.col("dup_para_char_frac") > GOPHER_MAX_DUP_PARA_CHAR_FRAC)
     )
-    joined = scalars.join(rep, "_id", "left")
     full_rep_flag = F.coalesce(rep_flag, F.lit(False)) | dup_flag
     keep = (
         (F.col("n_words") >= min_words)
@@ -1411,8 +1465,16 @@ def write_lm_snapshot(
             )
         return _write_kn_snapshot(corpus, path, id_col, text_col, order)
     pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
-    t1 = pos.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt"))
-    t1.write.mode("overwrite").parquet(os.path.join(path, "t1"))
+    # The per-order count tables all derive from the SAME materialized
+    # position stream and are independent of each other — submit the
+    # writes from a thread pool so their jobs overlap instead of each
+    # paying its scheduling + tail latency in sequence (guide §2.6;
+    # the KN arm's t{k} writes already did this).
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables: list[tuple[str, DataFrame]] = [
+        ("t1", pos.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt")))
+    ]
     for k in range(2, order + 1):
         t = (
             pos.filter(F.col("pos") >= k)
@@ -1421,7 +1483,14 @@ def write_lm_snapshot(
         )
         if k >= floor_from and count_floor > 1:
             t = t.filter(F.col("cnt") >= count_floor)
-        t.write.mode("overwrite").parquet(os.path.join(path, f"t{k}"))
+        tables.append((f"t{k}", t))
+
+    def _write_table(item: tuple[str, DataFrame]) -> None:
+        sub, df_k = item
+        df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        list(pool.map(_write_table, tables))
     spark = corpus.sparkSession
     written_t1 = spark.read.parquet(os.path.join(path, "t1"))
     row = written_t1.agg(F.sum("cnt")).first()[0]
@@ -1516,11 +1585,16 @@ def _write_kn_snapshot(
         list(pool.map(_write, adj_lazy.items()))
 
     # derive context aggregates and scalars from the WRITTEN tables —
-    # distinct-n-gram-sized inputs, never the token stream again
+    # distinct-n-gram-sized inputs, never the token stream again. The
+    # c{k} writes and the scal build are mutually independent (each
+    # reads only written t{k} parquet / the checkpointed pos), so they
+    # submit from one pool and overlap (guide §2.6) instead of paying
+    # order x (job scheduling + tail) in sequence.
     adj = {
         k: spark.read.parquet(os.path.join(path, f"t{k}"))
         for k in range(1, order + 1)
     }
+    derived: list[tuple[str, DataFrame]] = []
     for k in range(2, order + 1):
         keys = _lm_table_keys(k)
         ctx = adj[k].groupBy(*keys[:-1]).agg(
@@ -1529,7 +1603,7 @@ def _write_kn_snapshot(
             F.sum((F.col("cnt") == 2).cast("bigint")).alias(f"_n2_{k}"),
             F.sum((F.col("cnt") >= 3).cast("bigint")).alias(f"_n3p_{k}"),
         )
-        ctx.write.mode("overwrite").parquet(os.path.join(path, f"c{k}"))
+        derived.append((f"c{k}", ctx))
     scalars = pos.agg(
         F.countDistinct("cur").alias("_V"),
         F.count(F.lit(1)).alias("_n_tokens"),
@@ -1557,7 +1631,14 @@ def _write_kn_snapshot(
             for name, text in kn_discount_sql(k).items()
         ],
     )
-    scalars.write.mode("overwrite").parquet(os.path.join(path, "scal"))
+    derived.append(("scal", scalars))
+
+    def _write_derived(item: tuple[str, DataFrame]) -> None:
+        sub, df_k = item
+        df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
+
+    with ThreadPoolExecutor(max_workers=len(derived)) as pool:
+        list(pool.map(_write_derived, derived))
     row = spark.read.parquet(os.path.join(path, "scal")).first()
     n_total = int(row["_n_tokens"])
     _write_lm_meta(spark, path, order, 1, order, n_total, "kn")
@@ -1747,8 +1828,14 @@ def append_lm_snapshot(
     pos = _lm_positions(delta, id_col, text_col, order, materialize=True)
 
     # ---- stage: ALL expensive work writes to __new dirs; the live
-    # snapshot is still complete and consistent if anything here fails
+    # snapshot is still complete and consistent if anything here fails.
+    # The per-order merges are independent (each reads its own live
+    # table + the checkpointed delta positions), so the staging writes
+    # submit from a thread pool and overlap (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
     staged: list[tuple[str, str]] = []
+    staged_writes: list[tuple[str, DataFrame]] = []
     for k in range(1, order + 1):
         keys = _lm_table_keys(k)
         d = (
@@ -1766,8 +1853,15 @@ def append_lm_snapshot(
         if k >= max(floor_from, 2) and count_floor > 1:
             merged = merged.filter(F.col("cnt") >= count_floor)
         new_dir = os.path.join(path, f"t{k}__new")
-        merged.write.mode("overwrite").parquet(new_dir)
+        staged_writes.append((new_dir, merged))
         staged.append((new_dir, os.path.join(path, f"t{k}")))
+
+    def _write_staged(item: tuple[str, DataFrame]) -> None:
+        new_dir_k, df_k = item
+        df_k.write.mode("overwrite").parquet(new_dir_k)
+
+    with ThreadPoolExecutor(max_workers=len(staged_writes)) as pool:
+        list(pool.map(_write_staged, staged_writes))
     row = (
         spark.read.parquet(staged[0][0]).agg(F.sum("cnt")).first()[0]
     )

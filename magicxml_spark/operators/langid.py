@@ -201,21 +201,50 @@ def with_lang(
         if max_chars <= 0:
             raise ValueError(f"max_chars must be positive: {max_chars}")
         t = F.substring(t, 1, max_chars)
-    toks = F.filter(
-        F.split(F.lower(t), _TOKEN_SPLIT), lambda x: x != F.lit("")
-    )
     script_names = [name for name, _ in SCRIPT_RANGES]
     keep = list(df.columns)
+    # stage 0 (r12): materialize the (possibly truncated) text ONCE
+    # plus an ASCII flag — bit_length == 8 * length is a byte-level
+    # test with no regex. ASCII text cannot contain any non-Latin
+    # script character, so 10 of the 11 per-script regex passes
+    # short-circuit to literal 0 and the Latin count narrows to
+    # [A-Za-z] (identical value: the À-Ö Ø-ö ø-ÿ tail is non-ASCII).
+    # CASE WHEN evaluates only the taken branch per row, so the
+    # ASCII-dominant corpora the published gates run on pay 1 regex
+    # pass + the tokenize instead of 11 + tokenize. Non-ASCII rows pay
+    # one extra O(1) flag check. Values are bit-identical either way
+    # (guide step 2: per-task work — same plan shape, zero shuffle).
+    s0 = df.select(*keep, t.alias("_lid_t")).select(
+        *keep,
+        "_lid_t",
+        (F.bit_length("_lid_t") == F.length("_lid_t") * 8).alias(
+            "_lid_ascii"
+        ),
+    )
+    tt = F.col("_lid_t")
+    toks = F.filter(
+        F.split(F.lower(tt), _TOKEN_SPLIT), lambda x: x != F.lit("")
+    )
+
+    def _count_col(name: str, rng: str):
+        full = F.length(F.regexp_replace(tt, f"[^{rng}]", "")).cast("long")
+        if name == "latin":
+            fast = F.length(
+                F.regexp_replace(tt, "[^A-Za-z]", "")
+            ).cast("long")
+        else:
+            fast = F.lit(0).cast("long")
+        return (
+            F.when(F.col("_lid_ascii"), fast)
+            .otherwise(full)
+            .alias(f"_lid_c_{name}")
+        )
+
     # stage 1: materialize counts + tokens ONCE (downstream references
     # read columns, never re-evaluate the regex/tokenize expressions)
-    s1 = df.select(
+    s1 = s0.select(
         *keep,
-        *[
-            F.length(F.regexp_replace(t, f"[^{rng}]", ""))
-            .cast("long")
-            .alias(f"_lid_c_{name}")
-            for name, rng in SCRIPT_RANGES
-        ],
+        *[_count_col(name, rng) for name, rng in SCRIPT_RANGES],
         toks.alias("_lid_toks"),
     )
     # stage 2: dominant script + both votes

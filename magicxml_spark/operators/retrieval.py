@@ -258,11 +258,20 @@ def write_bm25_index(
         .groupBy("term", "_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
-    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
     stats = pre.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    # postings and stats both read only the checkpointed pre frame —
+    # submit the two writes concurrently so their jobs overlap
+    # (guide §2.6) instead of paying two sequential job latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> None:
+        sub, df_k = item
+        df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write, [("postings", postings), ("stats", stats)]))
     spark_stats = spark.read.parquet(os.path.join(path, "stats")).first()
     out = {"n_docs": int(spark_stats["n_docs"])}
     if count_postings:

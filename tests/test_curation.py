@@ -104,6 +104,63 @@ def test_gopher_top_ngram_count_ties_break_by_char_mass(spark):
     assert row["top_ngram_frac_2"] == round(6 / 12, 6)
 
 
+def test_gopher_repetition_matches_explode_reference(spark):
+    # Equivalence pin for the r12 in-row rewrite: a seeded randomized
+    # corpus (repetition-heavy small vocab so runs, ties and
+    # multi-order duplicates all occur) compared against a plain
+    # Python reference implementing the published algebra directly
+    # (per-gram counts -> top = lexicographic (count, mass) max, dup
+    # mass = sum (c-1)*len). Any drift in the fold/sort/distinct
+    # spelling is a value mismatch here.
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e", "fff", "longword"]
+    rows = []
+    for doc_id in range(40):
+        n = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if doc_id % 5 == 0 and n >= 6:  # inject explicit runs
+            words[2:5] = words[0:3]
+        rows.append((doc_id, " ".join(words)))
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+
+    for doc_id, text in rows:
+        words = [w for w in text.lower().split() if w]
+        chars = len(" ".join(words))
+        row = got[doc_id]
+        assert row["n_chars_norm"] == chars
+        for n, kind in [(2, "top"), (3, "top"), (4, "top")] + [
+            (k, "dup") for k in range(5, 11)
+        ]:
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            counts = Counter(grams)
+            if not counts or chars == 0:
+                expect = 0.0
+            elif kind == "top":
+                c, m = max(
+                    (c, c * len(g)) for g, c in counts.items()
+                )
+                expect = round(m / chars, 6)
+            else:
+                dup = sum(
+                    (c - 1) * len(g) for g, c in counts.items() if c > 1
+                )
+                expect = round(dup / chars, 6)
+            col = f"{kind}_ngram_frac_{n}"
+            assert row[col] == pytest.approx(expect, abs=1e-9), (
+                doc_id,
+                col,
+                row[col],
+                expect,
+            )
+
+
 def test_gopher_dup_line_fractions_hand_computed(spark):
     # Rae et al. 2021 Table A1 duplicate-line rows. Lines:
     # [aaa, bbb, aaa, ccc, aaa] -> 5 lines, 3 distinct -> dup count
