@@ -143,8 +143,16 @@ def vocab_features(
         .limit(max_vocab)
     )
     w = Window.orderBy(F.desc("_c"), "term")
+    # Materialize the vocab ONCE (≤ max_vocab rows by construction):
+    # every downstream broadcast of it — the trainer's featurization,
+    # the scorer's, any extra action — would otherwise re-execute the
+    # full tokenize + aggregate + top-k subtree per consumer
+    # (measured: the subtree ran 3x in the quality-paragraphs
+    # lifecycle). The count() then reads the checkpoint for free.
     vocab = (
-        top.withColumn("idx", F.row_number().over(w) - 1).select("term", "idx")
+        top.withColumn("idx", F.row_number().over(w) - 1)
+        .select("term", "idx")
+        .localCheckpoint(eager=True)
     )
     v = max(vocab.count(), 1)
     return _assemble_bow(df, vocab, v, id_col, text_col), vocab, v
@@ -170,25 +178,37 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
 
     feats, vocab, v = vocab_features(df, id_col, text_col, max_vocab)
-    # the L-BFGS fit iterates ~max_iter treeAggregate passes over the
-    # feature frame, whose partitioning it inherits from the SOURCE
-    # scan — repartition to defaultParallelism so a couple of local
-    # input files (or a sample smeared over thousands of near-empty
-    # splits) don't serialize every iteration (the _fit_centroids
-    # fit_partitions rationale; the planted-rule invariant is
-    # prediction-level, not coefficient-bit-level, so repartitioning
-    # is safe here)
-    feats = feats.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # LogisticRegression does NOT persist its input: without a cache,
     # every one of the ~max_iter treeAggregate iterations would
     # re-execute the whole tokenize -> join -> assemble lineage
     # (measured ~3x the fit cost at sf1). Persist for the fit only.
     feats = feats.persist()
     try:
+        # The fit runs ~max_iter treeAggregate passes, and each pass
+        # pays per-partition scheduling + combine overhead (~0.2 s per
+        # iteration at 32 partitions on this box) regardless of row
+        # count — on a small training frame the fit is pure overhead
+        # (measured sf0.1: 7.1 s at 32 partitions vs 1.3 s at 1,
+        # coefficients identical). Size the fit partitioning from the
+        # ACTUAL row count (the count doubles as the cache warm-up),
+        # capped at defaultParallelism so big fits keep every core:
+        # scale-adaptive, not a local-core-count constant. The planted
+        # -rule invariant is prediction-level, not coefficient-bit-
+        # level, so the partitioning is free to change.
+        n = feats.count()
+        par = df.sparkSession.sparkContext.defaultParallelism
+        nparts = max(1, min(par, n // 20_000 + 1))
+        cur = feats.rdd.getNumPartitions()
+        if nparts < cur:
+            fit_in = feats.coalesce(nparts)  # narrow read of the cache
+        elif nparts > cur:
+            fit_in = feats.repartition(nparts)  # one shuffle of cached rows
+        else:
+            fit_in = feats
         lr = LogisticRegression(
             featuresCol="features", labelCol=label_col, maxIter=max_iter, regParam=0.0
         )
-        model = lr.fit(feats)
+        model = lr.fit(fit_in)
     finally:
         feats.unpersist()
     return model, vocab, v

@@ -221,16 +221,34 @@ def minhash_signatures(
         exploded = df.select(
             F.col(id_col).alias("id"), F.explode(zipped).alias("_z")
         ).select("id", *[F.col("_z")[str(g)].alias(f"_h{g}") for g in range(n_digests)])
+    # min over BIGINT, not the hex slice string (r12): a string min is
+    # a DeclarativeAggregate with an immutable buffer, so Spark plans
+    # SortAggregate — TWO full sorts of the exploded digest stream
+    # (partial + final) per query. Fixed-width lowercase hex orders
+    # identically to its numeric value, so conv(slice,16,10) -> min ->
+    # lower(lpad(conv(min,10,16),8,'0')) is value-exact and the
+    # aggregate becomes a HashAggregate with map-side partial min
+    # (q_minhash_lsh_pairs plan: 4 Sort nodes -> 0).
     mins = exploded.groupBy("id").agg(
         *[
-            F.min(_band_slice(F.col(f"_h{b // 4}"), b)).alias(f"_b{b}")
+            F.min(
+                F.conv(_band_slice(F.col(f"_h{b // 4}"), b), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias(f"_b{b}")
             for b in range(n_bands)
         ]
     )
-    stack_expr = "stack({}, {}) as (band, signature)".format(
+    stack_expr = "stack({}, {}) as (band, _sig_num)".format(
         n_bands, ", ".join(f"{b}, _b{b}" for b in range(n_bands))
     )
-    return mins.selectExpr("id", stack_expr)
+    return mins.selectExpr("id", stack_expr).select(
+        "id",
+        "band",
+        F.lower(F.lpad(F.conv(F.col("_sig_num"), 10, 16), 8, "0")).alias(
+            "signature"
+        ),
+    )
 
 
 def _capped_bucket_pairs(
@@ -267,7 +285,16 @@ def _capped_bucket_pairs(
         if payload_col
         else F.min("id").over(w)
     )
-    sized = rows.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn("_rep", rep)
+    # materialize the sized frame ONCE (r12): it feeds THREE consumers
+    # (both self-join sides + the star branch), and without the
+    # checkpoint each consumer re-runs the window sort AND the whole
+    # upstream fingerprint subtree (ReuseExchange dedupes only the
+    # exchange, not the sort or the generate chain above it)
+    sized = (
+        rows.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", rep)
+        .localCheckpoint(eager=True)
+    )
     keep = [*bucket_cols, "id"] + ([payload_col] if payload_col else [])
     small = sized.filter(F.col("_n") <= max_bucket_size).select(*keep)
     a = small.alias("a")
@@ -334,6 +361,14 @@ def lsh_candidate_pairs(
             ["band", "signature"],
             max_bucket_size,
         ).distinct()
+    # materialize the compact (id, band, signature) frame ONCE before
+    # the self-join (r12): each join side otherwise re-executes the
+    # whole shingle+digest subtree — the dominant cost of the
+    # operator. 4 rows per doc, hash-sized strings: narrow by
+    # construction. (The capped branch needs no checkpoint here — it
+    # references sig once; _capped_bucket_pairs materializes its own
+    # multi-consumer frame.)
+    sig = sig.localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     return (

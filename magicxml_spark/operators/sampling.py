@@ -136,12 +136,22 @@ def pack_shards(
     # the totals collect is a separate action that would otherwise
     # re-execute the caller's upstream plan (persist would leak into
     # the CacheManager and make repeated identical queries silent
-    # cache hits); the (key, weight) frame is narrow by contract
+    # cache hits); the (key, weight) frame is narrow by contract.
+    # TWO checkpoints, deliberately (r12): repartitionByRange runs a
+    # RANGE-SAMPLING job over its input before the exchange, so
+    # ranging the caller's raw lineage executes that whole upstream
+    # plan TWICE (sample + materialize). Materialize the compact
+    # input once, range the checkpointed blocks (sampling is then a
+    # cheap re-read), pin the partition ids with the second
+    # checkpoint (its two consumers — totals and the output plan —
+    # must see identical range splits), and free the first.
+    src = df.localCheckpoint(eager=True)
     ranged = (
-        df.repartitionByRange(n, F.col(key))
+        src.repartitionByRange(n, F.col(key))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    src.unpersist()
     w = (
         Window.partitionBy("_pid")
         .orderBy(key)
@@ -335,11 +345,17 @@ def pack_sequences(
 
     nz = df.filter(F.col(tokens_col) > 0)
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # checkpoint the input BEFORE the range partition: the range
+    # sampling job would otherwise execute the caller's upstream
+    # lineage a second time (pack_shards' rationale, r12); the second
+    # checkpoint pins partition ids for the totals/output consumers
+    src = nz.localCheckpoint(eager=True)
     ranged = (
-        nz.repartitionByRange(n_parts, F.col(key))
+        src.repartitionByRange(n_parts, F.col(key))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    src.unpersist()
     w = (
         Window.partitionBy("_pid")
         .orderBy(key)

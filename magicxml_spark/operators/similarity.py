@@ -976,7 +976,10 @@ def write_ivf_snapshot(
     spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        # repartition(1) not coalesce(1): single-task coalesce of a
+        # parallelized LocalRelation costs seconds (write_bpe_model's
+        # measured pathology); order is irrelevant (cell-keyed reads)
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     model.transform(ml).select("id", "v", "n", "cell").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "cells"))
@@ -1150,7 +1153,7 @@ def refit_ivf_snapshot(
     spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(cents_tmp)
+    ).repartition(1).write.mode("overwrite").parquet(cents_tmp)
     for src, tmp in ((cells_src, cells_tmp), (cents_src, cents_tmp)):
         old = src + ".old"
         shutil.rmtree(old, ignore_errors=True)

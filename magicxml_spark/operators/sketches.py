@@ -335,7 +335,16 @@ def bloom_probe_compiled(
             f"hexmap length {len(hexmap)} does not match m={m}"
         )
     v = F.col(value_col)
-    arr = F.lit([int(c, 16) for c in hexmap])
+    # The nibble array enters the plan as a PARSED SQL literal, not
+    # F.lit(list): py4j converts a Python list element-by-element over
+    # the gateway socket, and at m=65536 (16 Ki nibbles) that is ~7 s
+    # of single-threaded DRIVER time on EVERY plan build (measured
+    # this box; guide §7.3's "driver doing single-threaded work"
+    # class). The SQL text parses in ~0.4 s and yields the identical
+    # array<int> literal — same codegen, same values.
+    arr = F.expr(
+        "array(" + ",".join(str(int(c, 16)) for c in hexmap) + ")"
+    )
     probes = F.array(*[_bloom_bit(j, v, m) for j in range(k)])
 
     def _hit(p: Column) -> Column:
