@@ -1397,6 +1397,13 @@ def winnow_pairs(
             "id_a", "id_b", F.col("_pay_a").alias("_na"), F.col("_pay_b").alias("_nb")
         )
     else:
+        # materialize the exploded long frame ONCE before the exact
+        # self-join (r12): each join side otherwise re-executes the
+        # whole fingerprint subtree (two md5-heavy projections + the
+        # sliding-min folds + the explode) — the plan showed 2 scans +
+        # 2 Generate chains for one logical subtree. Narrow rows
+        # (id, int, 8-hex fp) by construction.
+        long = long.localCheckpoint(eager=True)
         a = long.alias("wa")
         b = long.alias("wb")
         cand = a.join(

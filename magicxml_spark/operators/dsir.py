@@ -30,14 +30,16 @@ Published recipe -> Spark mapping:
   resampling; u in (0,1) by construction), so the selection is
   reproducible and DuckDB-checkable.
 
-Scale shape: one explode (pre-repartitioned to defaultParallelism —
-the LM-family scan-parallelism rule), one localCheckpoint of the
-(doc, bucket) stream (it feeds the model fit AND the scoring join),
-one groupBy(bucket) agg bounded by m, one AQE-planned join of the
-gram stream against the <=m-row ratio table (hint-free: AQE
-broadcasts it at runtime), one groupBy(doc) integer sum, and a
-distributed TakeOrdered (orderBy+limit) for the top-k. Zero windows,
-zero collects, zero Python rows.
+Scale shape (r12): one explode (pre-repartitioned to
+defaultParallelism — the LM-family scan-parallelism rule) into one
+groupBy(bucket) agg whose output is BOUNDED at m = 16**hash_chars
+rows; the per-bucket micro-nat ratios then collect to the driver
+(bounded collect — the two_phase_rank class; float math stays on the
+JVM) and per-document scoring is ONE projection summing dense
+m-array entries over the in-row gram array — no gram-stream
+checkpoint, no scoring join, no groupBy(doc), no ids left-join. The
+top-k is a distributed TakeOrdered (orderBy+limit). Zero windows;
+the only collect is the m-bounded bucket table.
 """
 
 from __future__ import annotations
@@ -96,6 +98,72 @@ def hashed_ngram_stream(
     )
 
 
+#: Largest bucket space scored via the in-row m-array (16**4). Above
+#: this the array literal would dominate plan build (the bloom-bitmap
+#: lesson bounds the safe literal size) and scoring falls back to the
+#: join spelling.
+_INROW_MAX_BUCKETS = 65536
+
+
+def _gram_array(text_col: str) -> Column:
+    """The hashed_ngram_stream multiset as a PER-ROW array (unigram +
+    bigram instances, duplicates kept) — the in-row scoring spelling's
+    input. NULL text yields an empty array (the exploded stream's
+    drop-the-row + left-join-coalesce outcome, in-row)."""
+    w = _words(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(w)
+    bi = F.filter(
+        F.zip_with(
+            w,
+            F.slice(w, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(w, bi)
+
+
+def _m_array_literal(spark, vals: list[int]) -> Column:
+    """Dense bucket->micro-nat array as a PARSED SQL literal — F.lit
+    of a 4096-element Python list costs seconds of py4j round-trips
+    per plan build (the bloom-bitmap measurement, sketches.py)."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def _inrow_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_chars: int,
+    m_lit: Column,
+) -> DataFrame:
+    """(id, n_grams, lw_micro) via per-row gram-array lookup into the
+    dense m-array — zero joins, zero shuffles past the pre-compute
+    repartition (the scan-parallelism rule: per-row md5 work must not
+    run at the input-split count)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(par)
+        .select("_id", _gram_array("_t").alias("_gs"))
+    )
+    idx = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, hash_chars), 16, 10).cast("int") + 1
+    )
+    return base.select(
+        F.col("_id"),
+        F.coalesce(F.size("_gs"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(
+            F.aggregate(
+                F.transform("_gs", lambda g: F.element_at(m_lit, idx(g))),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("lw_micro"),
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     id_col: str,
@@ -114,8 +182,23 @@ def dsir_log_weights(
     instances of round(1e6 * [ln p_hat(bucket) - ln q_hat(bucket)]),
     p_hat/q_hat the alpha-smoothed target/raw bucket multinomials.
     Documents with no tokens score 0 (empty product).
-    """
+
+    Scale shape (r12 rewrite, guide §8's decide-with-small-rows): the
+    bucket table is BOUNDED at m = 16**hash_chars rows by construction
+    — data size never grows it — so the per-bucket micro-nat ratios
+    collect to the driver (the two_phase_rank bounded-collect class)
+    and scoring becomes ONE projection: per document, sum the dense
+    m-array entries its gram array indexes. The exploded gram stream
+    is built once for the model-fit aggregate and never shuffled
+    again; the old shape's gram-stream checkpoint, scoring join,
+    groupBy(doc) and ids left-join are gone (measured: q_dsir_select
+    2.76 -> 1.0 s noop sf0.1). Every float op (ln, /, round) stays on
+    the JVM: only exact integers cross the driver boundary, so the
+    micro-nat values are bit-identical to the join spelling's
+    (m totals enter the JVM expression as literals — the
+    score_with_dsir_model precedent)."""
     m_buckets = 16**hash_chars
+    spark = raw.sparkSession
     grams = hashed_ngram_stream(
         raw.withColumn("_is_t", target_flag.cast("int")),
         id_col,
@@ -123,52 +206,87 @@ def dsir_log_weights(
         hash_chars,
         extra_cols=["_is_t"],
     )
-    # the gram stream feeds the model fit AND the scoring join —
-    # materialize once (localCheckpoint, not persist: the
-    # CacheManager plan-matching trap documented in ngram_surprisal)
-    grams = grams.localCheckpoint(eager=True)
-
-    # <=m rows; materialized so (a) the totals agg below reuses it
-    # instead of re-aggregating the corpus gram stream a third time,
-    # and (b) the ratio side's size is runtime-known, letting AQE
-    # broadcast the SMALL side of the scoring join at any SF
-    counts = (
-        grams.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("cr"),
-            F.sum("_is_t").alias("ct"),
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum("_is_t").alias("ct"),
+    )
+    if m_buckets > _INROW_MAX_BUCKETS:
+        # join fallback for oversized bucket spaces: the literal-array
+        # plan-build cost would dominate. Same values.
+        counts = counts.localCheckpoint(eager=True)
+        totals = counts.agg(
+            F.sum("cr").alias("n_raw"), F.sum("ct").alias("n_tgt")
         )
-        .localCheckpoint(eager=True)
-    )
-    totals = counts.agg(
-        F.sum("cr").alias("n_raw"), F.sum("ct").alias("n_tgt")
-    )
-    # 1-row totals: the whitelisted broadcast-crossJoin pattern
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            (
-                F.log((F.col("ct") + alpha) / (F.col("n_tgt") + alpha * m_buckets))
-                - F.log((F.col("cr") + alpha) / (F.col("n_raw") + alpha * m_buckets))
+        ratio = counts.crossJoin(F.broadcast(totals)).select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ct") + alpha)
+                        / (F.col("n_tgt") + alpha * m_buckets)
+                    )
+                    - F.log(
+                        (F.col("cr") + alpha)
+                        / (F.col("n_raw") + alpha * m_buckets)
+                    )
+                )
+                * 1e6
             )
-            * 1e6
+            .cast("bigint")
+            .alias("m"),
         )
-        .cast("bigint")
-        .alias("m"),
-    )
-    scored = (
-        grams.join(ratio, "bucket")  # hint-free: AQE broadcasts <=m rows
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("m").alias("lw_micro"))
-    )
-    ids = raw.select(F.col(id_col).alias("_id"))
-    return (
-        ids.join(scored, "_id", "left")
-        .select(
+        scored = (
+            grams.join(ratio, "bucket")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("m").alias("lw_micro"),
+            )
+        )
+        ids = raw.select(F.col(id_col).alias("_id"))
+        return ids.join(scored, "_id", "left").select(
             F.col("_id").alias(id_col),
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("lw_micro", F.lit(0)).alias("lw_micro"),
         )
+
+    # ONE job fits both multinomials (bounded output); exact integer
+    # sums happen in Python (no float drift possible on longs)
+    counts_rows = counts.collect()
+    n_raw = sum(r["cr"] for r in counts_rows)
+    n_tgt = sum(r["ct"] for r in counts_rows)
+    vals = [0] * m_buckets  # absent buckets are unreachable: every
+    # scored gram contributed to counts
+    if counts_rows:
+        # per-bucket micro-nats computed by the JVM over a
+        # LocalRelation (literal totals — the score_with_dsir_model
+        # ratio expression, proven engine-exact)
+        am = alpha * m_buckets
+        m_rows = (
+            spark.createDataFrame(
+                [(r["bucket"], r["cr"], r["ct"]) for r in counts_rows],
+                "bucket string, cr long, ct long",
+            )
+            .select(
+                "bucket",
+                F.round(
+                    (
+                        F.log((F.col("ct") + alpha) / F.lit(n_tgt + am))
+                        - F.log((F.col("cr") + alpha) / F.lit(n_raw + am))
+                    )
+                    * 1e6
+                )
+                .cast("bigint")
+                .alias("m"),
+            )
+            .collect()
+        )
+        for r in m_rows:
+            vals[int(r["bucket"], 16)] = r["m"]
+    return _inrow_scored(
+        raw, id_col, text_col, hash_chars, _m_array_literal(spark, vals)
+    ).select(
+        F.col("_id").alias(id_col), "n_grams", "lw_micro"
     )
 
 
@@ -283,13 +401,20 @@ def score_with_dsir_model(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Score a batch against a frozen DSIR model O(batch): one gram
-    explode, one LEFT join against the stored bucket counts (hint-free
-    — AQE broadcasts the <=m-row table), out-of-model buckets take the
-    zero-count ratio (the same alpha-smoothed formula with cr=ct=0,
-    spelled as an in-plan constant expression so both engines evaluate
-    their own ln). Output: (id, n_grams, log_w); docs with no tokens
-    score 0."""
+    """Score a batch against a frozen DSIR model O(batch).
+
+    Out-of-model buckets take the zero-count ratio (the same
+    alpha-smoothed formula with cr=ct=0). Output:
+    (id, n_grams, log_w); docs with no tokens score 0.
+
+    Scale shape (r12 rewrite — the dsir_log_weights rationale): the
+    stored bucket table is bounded at 16**hash_chars rows, so its
+    micro-nat ratios (JVM-computed, exactly the join spelling's
+    expression) collect once into a dense array whose absent slots
+    hold the oov value — the left-join + coalesce(oov) semantics as
+    an array fill — and scoring is ONE projection over the batch:
+    no gram explode, no join, no groupBy, no ids left-join. Oversized
+    bucket spaces fall back to the join spelling."""
     import os
 
     spark = docs.sparkSession
@@ -297,7 +422,8 @@ def score_with_dsir_model(
     hash_chars = int(meta["hash_chars"])
     alpha = float(meta["alpha"])
     n_raw, n_tgt = int(meta["n_raw"]), int(meta["n_tgt"])
-    am = alpha * (16**hash_chars)
+    m_buckets = 16**hash_chars
+    am = alpha * m_buckets
     counts = spark.read.parquet(os.path.join(path, "counts"))
     ratio = counts.select(
         "bucket",
@@ -321,20 +447,32 @@ def score_with_dsir_model(
         )
         .cast("bigint")
     )
-    grams = hashed_ngram_stream(docs, id_col, text_col, hash_chars)
-    scored = (
-        grams.join(ratio, "bucket", "left")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce("m", oov)).alias("lw_micro"),
+    if m_buckets > _INROW_MAX_BUCKETS:
+        grams = hashed_ngram_stream(docs, id_col, text_col, hash_chars)
+        scored = (
+            grams.join(ratio, "bucket", "left")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce("m", oov)).alias("lw_micro"),
+            )
         )
-    )
-    ids = docs.select(F.col(id_col).alias("_id"))
-    return ids.join(scored, "_id", "left").select(
+        ids = docs.select(F.col(id_col).alias("_id"))
+        return ids.join(scored, "_id", "left").select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce("lw_micro", F.lit(0)) / 1e6, 6).alias("log_w"),
+        )
+    oov_val = int(spark.range(1).select(oov.alias("v")).first()["v"])
+    vals = [oov_val] * m_buckets
+    for r in ratio.collect():  # bounded: <= m_buckets rows
+        vals[int(r["bucket"], 16)] = r["m"]
+    return _inrow_scored(
+        docs, id_col, text_col, hash_chars, _m_array_literal(spark, vals)
+    ).select(
         F.col("_id").alias(id_col),
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.round(F.coalesce("lw_micro", F.lit(0)) / 1e6, 6).alias("log_w"),
+        "n_grams",
+        F.round(F.col("lw_micro") / 1e6, 6).alias("log_w"),
     )
 
 
