@@ -1311,7 +1311,17 @@ def ngram_surprisal(
     tot = tables[1].agg(F.sum("_c1").alias("_n_total"))
 
     # context table for level k = tables[k-1] re-keyed one slot up
-    # (prev_j -> prev_{j+1}, cur -> prev_1), count aliased _x{k}
+    # (prev_j -> prev_{j+1}, cur -> prev_1), count aliased _x{k}.
+    # The ctx join FOLDS onto the gram-sized count table instead of
+    # the position stream: the ladder consumes _x{k} only through
+    # coalesce(_c{k}/_x{k}, 0.0), so _x{k} matters ONLY when _c{k} is
+    # non-null — and a surviving k-gram's context always survives its
+    # own pruning (count(ctx) >= count(kgram) >= floor, the
+    # prefix-consistency invariant above). One stream join per order
+    # instead of two: at 100 TB that removes order-1 full shuffles of
+    # the token stream (guide §2.3 "shuffle keys and metadata");
+    # value-exact because unseen k-grams coalesce to 0.0 with or
+    # without a matched context count.
     joined = pos.join(tables[1], "cur").crossJoin(F.broadcast(tot))
     for k in range(2, order + 1):
         keys = [f"prev{j}" for j in range(k - 1, 0, -1)] + ["cur"]
@@ -1323,9 +1333,8 @@ def ngram_surprisal(
             F.col("cur").alias("prev1"),
             F.col(f"_c{k - 1}").alias(f"_x{k}"),
         )
-        joined = joined.join(tables[k], keys, "left").join(
-            ctx, keys[:-1], "left"
-        )
+        tk = tables[k].join(ctx, keys[:-1], "left")
+        joined = joined.join(tk, keys, "left")
 
     p = F.col("_c1").cast("double") / F.col("_n_total")
     ladder = [p]
@@ -1489,12 +1498,16 @@ def write_lm_snapshot(
         sub, df_k = item
         df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
 
-    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+    # n_total == sum(t1.cnt) == the position-stream row count by
+    # construction (t1 groups EVERY pos row by cur) — count the
+    # checkpointed stream concurrently WITH the table writes instead
+    # of reading t1's parquet back afterwards (one fewer read-back
+    # job + footer listing on the write path)
+    with ThreadPoolExecutor(max_workers=len(tables) + 1) as pool:
+        n_total_f = pool.submit(pos.count)
         list(pool.map(_write_table, tables))
+        n_total = int(n_total_f.result())
     spark = corpus.sparkSession
-    written_t1 = spark.read.parquet(os.path.join(path, "t1"))
-    row = written_t1.agg(F.sum("cnt")).first()[0]
-    n_total = int(row) if row is not None else 0
     _write_lm_meta(spark, path, order, count_floor, floor_from, n_total, "jm")
     return {"order": order, "n_total": n_total}
 
@@ -1514,7 +1527,13 @@ def _write_lm_meta(
         [(order, count_floor, floor_from, n_total, smoothing)],
         "order int, count_floor int, floor_from int, n_total long,"
         " smoothing string",
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        # repartition(1): a bare 1-row createDataFrame parallelizes to
+        # defaultParallelism slices -> 32 write tasks / 32 files (31
+        # empty), and every later meta READ pays the 32-footer listing
+        # (write_bpe_model's measured LocalRelation pathology)
+    ).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
 
 
 def _lm_meta_smoothing(meta) -> str:
@@ -1575,26 +1594,29 @@ def _write_kn_snapshot(
             " training corpus: the KN uniform base is 1/V and V=0;"
             " use smoothing='jm' if degenerate corpora must score"
         )
+    # materialize the adjusted tables ONCE (localCheckpoint, submitted
+    # concurrently — the kn_ngram_surprisal pattern): every t{k}, c{k}
+    # and scal column derives from them, so a single checkpoint phase
+    # replaces the old write-t{k} -> read-back-parquet barrier (two
+    # sequential job waves + a parquet round-trip) with one wave of
+    # aggregates and ONE concurrent wave of writes below (guide §2.6).
+    # The checkpoints are distinct-n-gram-sized — the artifact class
+    # being persisted anyway.
     adj_lazy = _kn_adjusted_tables(pos, order)
-
-    def _write(item: tuple[int, DataFrame]) -> None:
-        k, df_k = item
-        df_k.write.mode("overwrite").parquet(os.path.join(path, f"t{k}"))
-
     with ThreadPoolExecutor(max_workers=len(adj_lazy)) as pool:
-        list(pool.map(_write, adj_lazy.items()))
+        adj: dict[int, DataFrame] = dict(
+            zip(
+                adj_lazy.keys(),
+                pool.map(
+                    lambda d: d.localCheckpoint(eager=True),
+                    adj_lazy.values(),
+                ),
+            )
+        )
 
-    # derive context aggregates and scalars from the WRITTEN tables —
-    # distinct-n-gram-sized inputs, never the token stream again. The
-    # c{k} writes and the scal build are mutually independent (each
-    # reads only written t{k} parquet / the checkpointed pos), so they
-    # submit from one pool and overlap (guide §2.6) instead of paying
-    # order x (job scheduling + tail) in sequence.
-    adj = {
-        k: spark.read.parquet(os.path.join(path, f"t{k}"))
-        for k in range(1, order + 1)
-    }
-    derived: list[tuple[str, DataFrame]] = []
+    derived: list[tuple[str, DataFrame]] = [
+        (f"t{k}", adj[k]) for k in range(1, order + 1)
+    ]
     for k in range(2, order + 1):
         keys = _lm_table_keys(k)
         ctx = adj[k].groupBy(*keys[:-1]).agg(
@@ -1637,10 +1659,13 @@ def _write_kn_snapshot(
         sub, df_k = item
         df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
 
-    with ThreadPoolExecutor(max_workers=len(derived)) as pool:
+    # n_total == scal._n_tokens == the checkpointed position-stream
+    # row count — counted concurrently with the writes instead of
+    # reading scal's parquet back afterwards
+    with ThreadPoolExecutor(max_workers=len(derived) + 1) as pool:
+        n_total_f = pool.submit(pos.count)
         list(pool.map(_write_derived, derived))
-    row = spark.read.parquet(os.path.join(path, "scal")).first()
-    n_total = int(row["_n_tokens"])
+        n_total = int(n_total_f.result())
     _write_lm_meta(spark, path, order, 1, order, n_total, "kn")
     return {"order": order, "n_total": n_total}
 
@@ -1693,9 +1718,6 @@ def score_with_lm_snapshot(
     for k in range(2, order + 1):
         keys = _lm_table_keys(k)
         tk = spark.read.parquet(os.path.join(path, f"t{k}"))
-        joined = joined.join(
-            tk.select(*keys, F.col("cnt").alias(f"_c{k}")), keys, "left"
-        )
         prev_t = spark.read.parquet(
             os.path.join(path, f"t{k - 1}")
         )
@@ -1707,7 +1729,16 @@ def score_with_lm_snapshot(
             ],
             F.col("cnt").alias(f"_x{k}"),
         )
-        joined = joined.join(ctx, keys[:-1], "left")
+        # ctx folds onto the gram-sized count table, not the batch's
+        # position stream (ngram_surprisal's fold — _x{k} is consumed
+        # only when _c{k} matched, and a stored k-gram's context is
+        # always stored: the write-time floor is prefix-consistent).
+        # One stream join per order; the ctx join is count-table ⋈
+        # count-table, the artifact class, never the token stream.
+        tk2 = tk.select(*keys, F.col("cnt").alias(f"_c{k}")).join(
+            ctx, keys[:-1], "left"
+        )
+        joined = joined.join(tk2, keys, "left")
 
     p = F.coalesce(F.col("_c1"), F.lit(1)).cast("double") / F.lit(n_total)
     ladder = [p]
@@ -1870,7 +1901,7 @@ def append_lm_snapshot(
     spark.createDataFrame(
         [(order, count_floor, floor_from, n_total)],
         "order int, count_floor int, floor_from int, n_total long",
-    ).write.mode("overwrite").parquet(meta_new)
+    ).repartition(1).write.mode("overwrite").parquet(meta_new)
     staged.append((meta_new, os.path.join(path, "meta")))
 
     # ---- publish: tight rename loop, no Spark work inside

@@ -391,7 +391,11 @@ def write_dsir_model(
     spark.createDataFrame(
         [(hash_chars, float(alpha), n_raw, n_tgt)],
         "hash_chars int, alpha double, n_raw long, n_tgt long",
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        # repartition(1): 1-row LocalRelation otherwise writes 32
+        # tasks / 32 files (write_bpe_model's measured pathology)
+    ).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
     return {"n_raw": n_raw, "n_tgt": n_tgt}
 
 
@@ -521,7 +525,7 @@ def append_dsir_model(
     spark.createDataFrame(
         [(hash_chars, alpha, n_raw, n_tgt)],
         "hash_chars int, alpha double, n_raw long, n_tgt long",
-    ).write.mode("overwrite").parquet(meta_new)
+    ).repartition(1).write.mode("overwrite").parquet(meta_new)
     for new_dir, live_dir in (
         (counts_new, os.path.join(path, "counts")),
         (meta_new, os.path.join(path, "meta")),

@@ -270,10 +270,13 @@ def write_bm25_index(
         sub, df_k = item
         df_k.write.mode("overwrite").parquet(os.path.join(path, sub))
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # n_docs == stats.n_docs == the checkpointed pre frame's row count
+    # by construction — counted concurrently with the writes instead
+    # of reading the stats parquet back afterwards
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        n_docs_f = pool.submit(pre.count)
         list(pool.map(_write, [("postings", postings), ("stats", stats)]))
-    spark_stats = spark.read.parquet(os.path.join(path, "stats")).first()
-    out = {"n_docs": int(spark_stats["n_docs"])}
+        out = {"n_docs": int(n_docs_f.result())}
     if count_postings:
         out["n_postings"] = int(
             spark.read.parquet(os.path.join(path, "postings")).count()

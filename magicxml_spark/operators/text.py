@@ -693,7 +693,7 @@ def write_bpe_model(
     # irrelevant — read_bpe_model sorts by rank.
     spark.createDataFrame(
         [(level, len(rows))], "level string, n_merges int"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     return {"level": level, "n_merges": len(rows)}
 
 
