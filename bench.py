@@ -33,7 +33,7 @@ def _measure(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from magicxml_spark.queries import QUERIES
-    from magicxml_spark.session import get_spark
+    from magicxml_spark.session import get_spark, release_persisted_rdds
 
     headline = [
         "q_flagship_revenue",
@@ -178,12 +178,18 @@ def main() -> None:
                 # a failing warm-up must not mask the measured run, but
                 # a silently-cold measurement is not comparable — say so
                 print(f"warm-up failed for {name}: {exc}", file=sys.stderr)
+            # release the build's localCheckpoint blocks (they leak —
+            # see session.release_persisted_rdds): without this the
+            # ~80-query warm-up alone ages the session before the
+            # first timed run
+            release_persisted_rdds(spark)
 
     # Two timed runs per query, min taken: this box runs noisy
     # neighbors (observed 3x wall-clock swings on identical plans), and
     # min-of-n is the standard way to report the machine-independent
     # cost. Both runs execute the full plan (no Spark-level result
-    # caching between calls — each call rebuilds the DataFrame).
+    # caching between calls — each call rebuilds the DataFrame; the
+    # inter-run sweep RELEASES memory, it never retains results).
     def _time_list(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -195,6 +201,12 @@ def main() -> None:
                 _measure(QUERIES[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                # isolate measurements (guide §1): drop the finished
+                # run's leaked localCheckpoint blocks OUTSIDE the
+                # timed region so query N+1 never pays query N's
+                # storage + GC (r13 measurement-hygiene fix — the
+                # leak evidence is in OPTIMIZATION_r13.md)
+                release_persisted_rdds(spark)
             out[name] = round(best, 3)
         return out
 

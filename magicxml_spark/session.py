@@ -59,3 +59,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_persisted_rdds(spark: SparkSession) -> int:
+    """Unpersist (non-blocking) every RDD still registered in the
+    context's persistent-RDD map and return how many were released.
+
+    Why this exists: the engine materializes multi-consumer
+    intermediates with ``localCheckpoint`` (plan-truncation, guide §5),
+    and in a long-lived session those checkpointed RDD blocks are NOT
+    reclaimed when the Python DataFrame goes out of scope — measured:
+    ~8-10 persistent RDDs leak per composition-query build and survive
+    both ``gc.collect()`` and a JVM ``System.gc()`` (a strong JVM-side
+    reference keeps the ContextCleaner's weak refs from firing). A
+    harness that builds hundreds of plans in one session (bench.py's
+    warm-up + timed runs, the oracle-parity gate, q_probe) accumulates
+    those blocks in storage memory and pays growing GC on every later
+    query — the later measurements then charge the earlier queries'
+    garbage, exactly what guide §1's isolate-each-query rule exists to
+    prevent.
+
+    Safety contract: call this only BETWEEN self-contained query
+    builds. A localCheckpointed RDD has no lineage to recompute from,
+    so unpersisting it breaks RE-EXECUTION of any still-live DataFrame
+    that references it — harnesses that rebuild each measured plan from
+    the registry (bench.py, q_probe, the parity gate) never do that."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n

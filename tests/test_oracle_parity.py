@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from magicxml_spark.queries import ORACLE, QUERIES
+from magicxml_spark.session import release_persisted_rdds
 from tests.conftest import SF_ORACLE
 from tests.oracle_harness import compare, duck_connection
 
@@ -16,6 +17,16 @@ def duck():
     con = duck_connection(SF_ORACLE)
     yield con
     con.close()
+
+
+@pytest.fixture(autouse=True)
+def _sweep_checkpoints(spark):
+    """Each parametrized case builds a fresh plan from the registry, so
+    the previous case's leaked localCheckpoint blocks are garbage —
+    release them so the 150+-query gate doesn't accumulate storage/GC
+    (session.release_persisted_rdds documents the leak)."""
+    yield
+    release_persisted_rdds(spark)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))

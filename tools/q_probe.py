@@ -26,7 +26,7 @@ def main() -> None:
     mode = os.environ.get("MXS_PROBE_MODE", "noop")
     runs = int(os.environ.get("MXS_PROBE_RUNS", "3"))
     from magicxml_spark.queries import QUERIES
-    from magicxml_spark.session import get_spark
+    from magicxml_spark.session import get_spark, release_persisted_rdds
 
     spark = get_spark("magicxml-q-probe")
     out: dict[str, dict] = {}
@@ -47,6 +47,7 @@ def main() -> None:
                 dfw.count()
         except Exception as exc:  # noqa: BLE001
             print(f"warm-up failed for {name}: {exc}", file=sys.stderr)
+        release_persisted_rdds(spark)
         raw = []
         for i in range(runs):
             spark.sparkContext.setJobDescription(f"probe[{i}]: {name}")
@@ -57,6 +58,9 @@ def main() -> None:
             else:
                 df.count()
             raw.append(round(time.perf_counter() - t0, 3))
+            # isolate runs: drop the finished build's leaked
+            # localCheckpoint blocks outside the timed region
+            release_persisted_rdds(spark)
         out[name] = {"min": min(raw), "runs": raw}
     print(json.dumps({"mode": mode, "sf_dir": sf_dir, "timings": out}))
     spark.stop()
