@@ -1431,6 +1431,7 @@ def write_lm_snapshot(
     count_floor: int = 1,
     floor_from: int = 3,
     smoothing: str = "jm",
+    durable_derive: bool = False,
 ) -> dict:
     """Train and persist an order-n LM: one parquet count table per
     order (``{path}/t{k}`` with key columns + ``cnt``) plus
@@ -1452,7 +1453,11 @@ def write_lm_snapshot(
     one partial-combine aggregate of it (KN table writes submit
     concurrently — independent jobs); snapshot size is the distinct
     n-gram count (after pruning for JM, which the floor is the knob
-    for)."""
+    for). ``durable_derive=True`` (KN only) trades the single-wave
+    write shape for the write-then-read pattern so the derived
+    c{k}/scal jobs read durable t{k} parquet instead of executor-local
+    checkpoint blocks — the preemptible-cluster arm (ADVICE r12; see
+    :func:`_write_kn_snapshot`)."""
     import os
 
     if order < 2:
@@ -1472,7 +1477,19 @@ def write_lm_snapshot(
                 "count_floor does not apply to smoothing='kn' snapshots"
                 " (continuation counts need the unpruned type inventory)"
             )
-        return _write_kn_snapshot(corpus, path, id_col, text_col, order)
+        return _write_kn_snapshot(
+            corpus, path, id_col, text_col, order,
+            durable_derive=durable_derive,
+        )
+    if durable_derive:
+        # reject rather than silently ignore: the JM arm has no derived
+        # second wave — its t{k} writes are the only jobs and they read
+        # the position-stream checkpoint, so there is nothing to make
+        # durable ahead of them
+        raise ValueError(
+            "durable_derive applies only to smoothing='kn' (the JM arm"
+            " has no derived write wave)"
+        )
     pos = _lm_positions(corpus, id_col, text_col, order, materialize=True)
     # The per-order count tables all derive from the SAME materialized
     # position stream and are independent of each other — submit the
@@ -1571,12 +1588,81 @@ def _kn_adjusted_tables(pos, order: int) -> dict[int, DataFrame]:
     return adj
 
 
+def _kn_adjusted_checkpointed(pos, order: int) -> dict[int, DataFrame]:
+    """Materialized :func:`_kn_adjusted_tables`: every a_k as an eager
+    localCheckpoint (each feeds three consumers — numerator join,
+    per-context aggregate, counts-of-counts — whose per-consumer
+    pruning defeats ReuseExchange, the r12 finding).
+
+    One structural improvement over checkpointing the lazy dict
+    directly: a_{order} IS the raw top-order table and a_{order-1}
+    re-aggregates that same raw table (continuation counts = counts of
+    raw (order)-gram TYPES), so the lazy plans computed the TOP-ORDER
+    STREAM AGGREGATE TWICE — once for a_{order}'s checkpoint and once
+    inside a_{order-1}'s. The top table now checkpoints FIRST and
+    a_{order-1} aggregates the checkpoint (value-exact — same rows,
+    same grouping); the remaining orders' aggregates still submit
+    concurrently (guide §2.6). At 100 TB this removes one full
+    aggregation of the token stream per KN train/score (the largest of
+    the ladder — top-order keys are the widest)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    top = (
+        pos.filter(F.col("pos") >= order)
+        .groupBy(*_lm_table_keys(order))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    lazy: dict[int, DataFrame] = {
+        order - 1: top.groupBy(*_lm_table_keys(order - 1)).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    }
+    for k in range(1, order - 1):
+        raw_k1 = (
+            pos.filter(F.col("pos") >= k + 1)
+            .groupBy(*_lm_table_keys(k + 1))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lazy[k] = raw_k1.groupBy(*_lm_table_keys(k)).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    adj: dict[int, DataFrame] = {order: top}
+    with ThreadPoolExecutor(max_workers=max(len(lazy), 1)) as pool:
+        adj.update(
+            zip(
+                lazy.keys(),
+                pool.map(
+                    lambda d: d.localCheckpoint(eager=True), lazy.values()
+                ),
+            )
+        )
+    return adj
+
+
 def _write_kn_snapshot(
-    corpus: DataFrame, path: str, id_col: str, text_col: str, order: int
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    order: int,
+    durable_derive: bool = False,
 ) -> dict:
     """KN arm of :func:`write_lm_snapshot`: persist adjusted count
     tables ``t{k}``, per-context aggregates ``c{k}``, and the one-row
-    vocab/discount scalar table ``scal``."""
+    vocab/discount scalar table ``scal``.
+
+    ``durable_derive=False`` (default) holds the adjusted tables as
+    executor-local localCheckpoint blocks through the whole derived
+    write wave — the fastest shape (one aggregate wave, one concurrent
+    write wave), but an executor loss mid-write fails the entire
+    snapshot build (ADVICE r12). ``durable_derive=True`` opts into the
+    write-then-read pattern for very long-running builds on
+    preemptible clusters: the t{k} parquet writes land FIRST and the
+    c{k}/scal derivation reads the already-durable files back, so an
+    executor loss after the t-wave only re-runs the in-flight derived
+    job (the cost is the re-added read-back barrier plus one extra
+    pass over the top-order table)."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1594,29 +1680,39 @@ def _write_kn_snapshot(
             " training corpus: the KN uniform base is 1/V and V=0;"
             " use smoothing='jm' if degenerate corpora must score"
         )
-    # materialize the adjusted tables ONCE (localCheckpoint, submitted
-    # concurrently — the kn_ngram_surprisal pattern): every t{k}, c{k}
-    # and scal column derives from them, so a single checkpoint phase
-    # replaces the old write-t{k} -> read-back-parquet barrier (two
-    # sequential job waves + a parquet round-trip) with one wave of
-    # aggregates and ONE concurrent wave of writes below (guide §2.6).
-    # The checkpoints are distinct-n-gram-sized — the artifact class
-    # being persisted anyway.
-    adj_lazy = _kn_adjusted_tables(pos, order)
-    with ThreadPoolExecutor(max_workers=len(adj_lazy)) as pool:
-        adj: dict[int, DataFrame] = dict(
-            zip(
-                adj_lazy.keys(),
-                pool.map(
-                    lambda d: d.localCheckpoint(eager=True),
-                    adj_lazy.values(),
-                ),
-            )
-        )
+    # materialize the adjusted tables ONCE (localCheckpoint via
+    # _kn_adjusted_checkpointed — top order first, the rest
+    # concurrently; r13 removed the duplicated top-order stream
+    # aggregate): every t{k}, c{k} and scal column derives from them,
+    # so a single checkpoint phase replaces the old write-t{k} ->
+    # read-back-parquet barrier (two sequential job waves + a parquet
+    # round-trip) with one wave of aggregates and ONE concurrent wave
+    # of writes below (guide §2.6). The checkpoints are
+    # distinct-n-gram-sized — the artifact class being persisted
+    # anyway.
+    adj = _kn_adjusted_checkpointed(pos, order)
 
-    derived: list[tuple[str, DataFrame]] = [
-        (f"t{k}", adj[k]) for k in range(1, order + 1)
-    ]
+    if durable_derive:
+        # preemptible-cluster arm: land the t{k} parquet first (one
+        # concurrent wave from the checkpoints), then re-point every
+        # derived aggregate at the DURABLE files — from here on an
+        # executor loss can only cost the in-flight derived job, never
+        # the adjusted tables themselves
+        def _write_t(item: tuple[int, DataFrame]) -> None:
+            k, df_k = item
+            df_k.write.mode("overwrite").parquet(
+                os.path.join(path, f"t{k}")
+            )
+
+        with ThreadPoolExecutor(max_workers=order) as pool:
+            list(pool.map(_write_t, adj.items()))
+        adj = {
+            k: spark.read.parquet(os.path.join(path, f"t{k}"))
+            for k in range(1, order + 1)
+        }
+        derived: list[tuple[str, DataFrame]] = []
+    else:
+        derived = [(f"t{k}", adj[k]) for k in range(1, order + 1)]
     for k in range(2, order + 1):
         keys = _lm_table_keys(k)
         ctx = adj[k].groupBy(*keys[:-1]).agg(
@@ -2115,27 +2211,16 @@ def kn_ngram_surprisal(
     # makes the three subplans differ so ReuseExchange never fires —
     # a lazy plan re-runs the agg-over-corpus subtree per consumer
     # (measured 5.3x vs DuckDB at sf0.1). Materialize each a_k ONCE
-    # via localCheckpoint, submitting all orders CONCURRENTLY from a
-    # thread pool (Spark's scheduler runs jobs from separate threads
-    # in parallel, so the wall cost is the largest table's aggregate,
-    # not the sum — sequential eager checkpoints measured WORSE than
-    # the lazy plan, 12.7s vs 9.6s, because each small job
-    # underutilizes the cluster). The checkpointed tables are
-    # distinct-n-gram-sized — the artifact class any shuffle of them
-    # would spill at 100 TB.
-    from concurrent.futures import ThreadPoolExecutor
-
-    adj_lazy = _kn_adjusted_tables(pos, order)
-    with ThreadPoolExecutor(max_workers=len(adj_lazy)) as pool:
-        adj: dict[int, DataFrame] = dict(
-            zip(
-                adj_lazy.keys(),
-                pool.map(
-                    lambda d: d.localCheckpoint(eager=True),
-                    adj_lazy.values(),
-                ),
-            )
-        )
+    # via localCheckpoint (top order first — it feeds a_{order-1}'s
+    # aggregate, the r13 duplicate-stream-aggregate fix — the rest
+    # submitted CONCURRENTLY from a thread pool: Spark's scheduler
+    # runs jobs from separate threads in parallel, so the wall cost is
+    # the largest table's aggregate, not the sum — sequential eager
+    # checkpoints measured WORSE than the lazy plan, 12.7s vs 9.6s,
+    # because each small job underutilizes the cluster). The
+    # checkpointed tables are distinct-n-gram-sized — the artifact
+    # class any shuffle of them would spill at 100 TB.
+    adj = _kn_adjusted_checkpointed(pos, order)
 
     # one-row scalar table: V, the global unigram context aggregate,
     # counts-of-counts for every order, then the discount columns —

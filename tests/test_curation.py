@@ -1498,3 +1498,50 @@ def test_fineweb_quality_hand_pins(spark):
     assert not got[5]["keep"] and got[5]["end_punct_frac"] == 1.0
     assert not got[6]["keep"] and got[6]["n_lines"] == 0
     assert got[6]["end_punct_frac"] == 0.0 == got[6]["new_line_ratio"]
+
+
+def test_kn_snapshot_durable_derive_identical_artifact(spark, tmp_path):
+    """durable_derive=True (write-then-read, the preemptible-cluster
+    arm — ADVICE r12) must persist byte-equal snapshot CONTENTS to the
+    default single-wave path: same t{k}/c{k}/scal/meta rows, and a
+    batch scores identically against either."""
+    from magicxml_spark.operators.curation import (
+        score_with_lm_snapshot,
+        write_lm_snapshot,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b c a b"), (2, "c c a b a"), (3, "b a d a b c")],
+    )
+    fast = str(tmp_path / "kn_fast")
+    durable = str(tmp_path / "kn_durable")
+    s1 = write_lm_snapshot(docs, fast, order=3, smoothing="kn")
+    s2 = write_lm_snapshot(
+        docs, durable, order=3, smoothing="kn", durable_derive=True
+    )
+    assert s1 == s2
+    for sub in ("t1", "t2", "t3", "c2", "c3", "scal", "meta"):
+        a = {tuple(r) for r in spark.read.parquet(f"{fast}/{sub}").collect()}
+        b = {
+            tuple(r) for r in spark.read.parquet(f"{durable}/{sub}").collect()
+        }
+        assert a == b, sub
+    batch = _docs(spark, [(9, "a b x c"), (10, "d d a")])
+    ga = {r["doc_id"]: r.asDict() for r in
+          score_with_lm_snapshot(batch, fast).collect()}
+    gb = {r["doc_id"]: r.asDict() for r in
+          score_with_lm_snapshot(batch, durable).collect()}
+    assert ga == gb
+
+
+def test_durable_derive_rejected_for_jm(spark, tmp_path):
+    import pytest as _pytest
+
+    from magicxml_spark.operators.curation import write_lm_snapshot
+
+    docs = _docs(spark, [(1, "a b c")])
+    with _pytest.raises(ValueError, match="durable_derive"):
+        write_lm_snapshot(
+            docs, str(tmp_path / "jm"), order=2, durable_derive=True
+        )
