@@ -102,13 +102,22 @@ def paragraph_dedup(
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
             F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            # dropped paragraphs' TEXT never crosses the rebuild
+            # exchange: collect_list skips nulls, so the kept-filter
+            # moves INSIDE the partial aggregate (guide §2.3 "shuffle
+            # fewer bytes"; value-identical — pos is unique per doc, so
+            # sorting (pos, para) structs of the kept subset reproduces
+            # the old filter-after-sort order, and a NULL/false keep
+            # dropped the row in both spellings)
             F.array_join(
                 F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(F.struct("_pos", "_keep", "_para"))
-                        ),
-                        lambda s: s["_keep"],
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("_pos", "_para"),
+                            )
+                        )
                     ),
                     lambda s: s["_para"],
                 ),
@@ -818,13 +827,19 @@ def paragraph_dedup_against_snapshot(
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
             F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            # kept-filter inside the partial aggregate (collect_list
+            # skips nulls): known-duplicate paragraphs' text never
+            # crosses the rebuild exchange (paragraph_dedup's r13
+            # spelling; value-identical — see that site)
             F.array_join(
                 F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(F.struct("_pos", "_keep", "_para"))
-                        ),
-                        lambda s: s["_keep"],
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("_pos", "_para"),
+                            )
+                        )
                     ),
                     lambda s: s["_para"],
                 ),
@@ -2611,19 +2626,26 @@ def rebuild_documents(
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
             F.sum(F.col(keep_col).cast("long")).alias("n_kept"),
+            # kept-filter inside the partial aggregate (collect_list
+            # skips nulls): dropped paragraphs' text never crosses the
+            # rebuild exchange — at CCNet drop rates that halves the
+            # reassembly shuffle (guide §2.3). Value-identical:
+            # pos_col is unique per document, so sorting the kept
+            # (pos, text) structs reproduces the old
+            # filter-after-sort order, and NULL/false keep dropped the
+            # row in both spellings.
             F.array_join(
                 F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col(keep_col),
                                 F.struct(
                                     F.col(pos_col).alias("_p"),
-                                    F.col(keep_col).alias("_k"),
                                     F.col(para_col).alias("_t"),
-                                )
+                                ),
                             )
-                        ),
-                        lambda s: s["_k"],
+                        )
                     ),
                     lambda s: s["_t"],
                 ),
